@@ -1,0 +1,115 @@
+"""Aggregation operators: repetition stacking (A1), stack statistics
+(A2), census counts (A6), min-by "from first file" (A1), latest-mtime
+freshness (A7).
+
+Reference parity notes cited per function (file:line into
+/root/reference/).
+
+Oracle-parity note (why the decimal casts): the driver hash-compares
+Spark output against DuckDB. Floating-point SUMs are order-dependent, so
+two engines summing the same doubles in different orders disagree in the
+last ulps. Summing DECIMAL is exact and order-independent; casting the
+exact decimal sum back to DOUBLE is deterministic. Derived statistics
+(mean/var/sem) are then identical IEEE double expressions on identical
+inputs in both engines. This costs one widening cast per row — JVM-side,
+codegen'd, negligible next to the shuffle — and keeps results stable
+under AQE re-partitioning at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact, order-independent accumulator type for double inputs.
+DEC = "decimal(30,10)"
+
+
+def dsum(col: str | Column, alias: str | None = None) -> Column:
+    """Order-independent sum of a double column (decimal accumulator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def stack_stats(df: DataFrame, keys: Sequence[str], value: str,
+                prefix: str = "") -> DataFrame:
+    """A2 — per-group mean / std(ddof=1) / sem / max / min / count.
+
+    Reference: the stacker writes ``{path}_averaged/{mean,std,sem,max,
+    min,n}`` per stacked dataset with std at ddof=1 and sem = std/sqrt(n)
+    (src/post_translation_operation_hdf5_stacker.py:162-189).
+
+    Single shuffle on ``keys`` with map-side partial aggregation; the
+    variance is derived from exact decimal sums so the result is
+    reproducible under any partitioning (see module docstring).
+    """
+    p = prefix
+    v = F.col(value)
+    agg = df.groupBy(*keys).agg(
+        dsum(v, "__sum"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("__sumsq"),
+        F.count(v).cast("bigint").alias(f"{p}count"),
+        F.max(v).alias(f"{p}max"),
+        F.min(v).alias(f"{p}min"),
+    )
+    n = F.col(f"{p}count").cast("double")
+    mean = F.col("__sum") / n
+    var = (F.col("__sumsq") - (F.col("__sum") * F.col("__sum")) / n) / (n - F.lit(1.0))
+    std = F.sqrt(var)
+    return (
+        agg.withColumn(f"{p}mean", mean)
+        .withColumn(f"{p}std", F.when(F.col(f"{p}count") > 1, std))
+        .withColumn(f"{p}sem", F.when(F.col(f"{p}count") > 1, std / F.sqrt(n)))
+        .drop("__sum", "__sumsq")
+    )
+
+
+def repetition_stack(df: DataFrame, keys: Sequence[str], order_col: str,
+                     value: str, alias: str = "stacked") -> DataFrame:
+    """A1 — stack one value per repetition into an array ordered by the
+    repetition number.
+
+    Reference: stacked datasets gain a leading axis ordered by the
+    trailing repetition int of the filename
+    (src/post_translation_operation_hdf5_stacker.py:120-126,
+    src/utilities.py:92-93).
+
+    ``sort_array(collect_list(struct(order, value)))`` sorts inside each
+    group after the shuffle — no global sort, no ordering assumption on
+    the input.
+    """
+    pair = F.struct(F.col(order_col).alias("o"), F.col(value).alias("v"))
+    return df.groupBy(*keys).agg(
+        F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"]).alias(alias),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+
+
+def first_by_order(*, value: Column, order: Column) -> Column:
+    """A1 "non-stacked datasets come from the first file": the value at
+    the minimum repetition (src/post_translation_operation_hdf5_stacker.py:191-214).
+    """
+    return F.min_by(value, order)
+
+
+def census(df: DataFrame, keys: Sequence[str],
+           predicates: dict[str, Column]) -> DataFrame:
+    """A6/F1 — per-group conditional counts (file-count census).
+
+    Reference: completeness counts files per glob pattern
+    (src/checkers.py:15-16). Each predicate becomes a
+    ``count(when(pred, 1))`` column; single shuffle, map-side combine.
+    """
+    aggs = [F.count(F.when(pred, F.lit(1))).cast("bigint").alias(name)
+            for name, pred in predicates.items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def latest_mtime(df: DataFrame, keys: Sequence[str],
+                 mtime_col: str = "modificationTime") -> DataFrame:
+    """A7/F7 — max modification time per group, for freshness checks
+    (src/processstep_stacker.py:33-35)."""
+    return df.groupBy(*keys).agg(F.max(mtime_col).alias("latest_mtime"))

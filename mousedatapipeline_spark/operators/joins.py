@@ -1,0 +1,156 @@
+"""Join operators: broadcast dimension lookup (J1), as-of join (J2),
+background self-join (J3/J4), semi/anti membership (J6).
+
+Reference parity notes are cited per function (file:line into
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: Sequence[str],
+                     how: str = "left", dedupe_dim: bool = True) -> DataFrame:
+    """J1 — dimension lookup as an explicit broadcast hash join.
+
+    The reference scans its Excel logbook for the *first* entry matching
+    (ymd, batchnum) (src/processstep_metadata_update.py:41-48); a
+    relational join must dedupe the dimension on the key first to keep
+    that first-match semantics (one output row per fact row).
+
+    Scale: the dimension is broadcast — no shuffle of the fact table at
+    any scale; the dedupe shuffles only the (small) dimension.
+    """
+    if dedupe_dim:
+        w = Window.partitionBy(*on).orderBy(*[F.col(c) for c in dim.columns])
+        dim = dim.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1).drop("__rn")
+    return fact.join(F.broadcast(dim), list(on), how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_time: str, right_time: str,
+              right_values: Sequence[str],
+              tolerance: Column | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """J2 — as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` within the same ``on`` key group.
+
+    Reference: mask selection picks, among masks of the same instrument
+    configuration, the one with the nearest mask date *not after* the
+    measurement date (src/processstep_add_mask_file.py:34-81); no such
+    mask -> null columns (step skipped, :95-97).
+
+    Implementation — union + carry-forward, NOT join-then-filter:
+    tag right rows 0 / left rows 1, union, and take
+    ``last(right_payload, ignorenulls=True)`` over a window ordered by
+    (time, tag). This is a single shuffle on ``on`` with no pair
+    explosion, so it survives many-to-many key skew at 100 TB where a
+    conditional join would blow up. At equal timestamps the right row
+    sorts before the left row (tag 0 < 1), giving the inclusive <=
+    bound; ties among right rows at the same timestamp resolve to the
+    greatest payload (column order of ``right_values``) via the
+    secondary sort below. Left columns ride through the shuffle in a
+    struct, so no re-join (and no nondeterministic row-id) is needed.
+    """
+    on = list(on)
+    rv = list(right_values)
+    left_cols = list(left.columns)
+
+    payload_t = right.select(
+        F.struct(*[F.col(c) for c in rv]).alias("p")).schema["p"].dataType
+    lrow_t = left.select(
+        F.struct(*[F.col(c) for c in left_cols]).alias("s")).schema["s"].dataType
+
+    r = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in rv]).alias("__payload"),
+        F.lit(None).cast(lrow_t).alias("__lrow"),
+    )
+    l = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(payload_t).alias("__payload"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
+    )
+    unioned = r.unionByName(l)
+
+    # Secondary sort on the payload itself makes the carried value
+    # deterministic when several right rows share a timestamp.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc_nulls_first(), F.col("__is_left").asc(),
+                 F.col("__payload").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # The carry expression must be NULL (not a struct with null fields) on
+    # left rows, or last(ignorenulls) would pick the left row itself.
+    carry_src = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__t").alias("__rt"), F.col("__payload")))
+    carried = unioned.withColumn(
+        "__carry", F.last(carry_src, ignorenulls=True).over(w))
+    matched = carried.filter(F.col("__is_left") == 1)
+
+    if tolerance is not None:
+        in_tol = F.col("__t") - F.col("__carry.__rt") <= tolerance
+        matched = matched.withColumn(
+            "__carry", F.when(in_tol, F.col("__carry")))
+
+    return matched.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__carry.__payload.{c}").alias(f"{c}{suffix}") for c in rv],
+    )
+
+
+def background_self_join(df: DataFrame, keys: Sequence[str],
+                         bg_keys: Sequence[str],
+                         value_cols: Sequence[str],
+                         suffix: str = "_bg") -> DataFrame:
+    """J3/J4 — attach the background measurement's values to each sample
+    row via its background identifier; a row may be its own background.
+
+    Reference: sample rows carry a `background_identifier` = '{ymd}_{batch}'
+    pointing at another stacked measurement
+    (src/processstep_add_background_files.py:63-80); thickness correction
+    skips when the background IS the sample's own batch
+    (src/processstep_thickness_from_absorption.py:95-108). The same-batch
+    guard is exposed here as a boolean `same_as_bg{suffix}` column.
+
+    Scale: self-join on the bg identifier; background sets are a small
+    fraction of measurements, so the right side (deduped backgrounds) is
+    broadcast-eligible — hint applied.
+    """
+    keys, bg_keys = list(keys), list(bg_keys)
+    bg_side = df.select(
+        *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)],
+        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+    ).dropDuplicates(bg_keys)
+    joined = df.join(F.broadcast(bg_side), bg_keys, "left")
+    same = F.lit(True)
+    for k, b in zip(keys, bg_keys):
+        same = same & (F.col(k) == F.col(b))
+    return joined.withColumn(f"same_as_bg{suffix}", F.coalesce(same, F.lit(False)))
+
+
+def anti_members(manifest: DataFrame, processed: DataFrame,
+                 on: Sequence[str]) -> DataFrame:
+    """J6/F2 — rows of the manifest not yet processed (left-anti join;
+    src/checkers.py:5-13 `already_processed`)."""
+    return manifest.join(processed.select(*on).dropDuplicates(list(on)),
+                         list(on), "left_anti")
+
+
+def semi_members(manifest: DataFrame, processed: DataFrame,
+                 on: Sequence[str]) -> DataFrame:
+    """J6 — rows of the manifest already processed (left-semi join;
+    src/utilities.py:66-71)."""
+    return manifest.join(processed.select(*on).dropDuplicates(list(on)),
+                         list(on), "left_semi")

@@ -1,0 +1,513 @@
+"""Relational query catalog: SURVEY.md §2 operator families exercised on
+the driver's star schema, each with a DuckDB oracle.
+
+Operator coverage map (SURVEY §2 id -> query):
+  A1 (stack/collect ordered)     -> q13_repetition_stack, q14_first_file
+  A2 (stack statistics)          -> q01_pricing_summary, q11_stack_stats
+  A4 (group-max propagation)     -> q05_window_propagation
+  A6/F1 (census + completeness)  -> q02_order_census
+  J1 (broadcast dim join)        -> q03_region_revenue
+  J2/O2 (as-of join / top-1)     -> q04_asof_view_before_purchase,
+                                    q06_latest_order_per_customer
+  J6/F2 (semi/anti membership)   -> q07_customers_without_orders,
+                                    q08_active_customers_semi
+  P8/P10 (guarded math)          -> q09_thickness_physics
+  P7/P13 (energy / gated factor) -> q10_energy_tcf
+  P15/P16 (identifiers, dates)   -> q12_identifiers, q15_date_arith
+
+Parity conventions (see plans/catalog.py): decimal-accumulated sums cast
+to double (order-independent), identical derived-expression trees on both
+sides, round() only on transcendental outputs, timestamps emitted as
+formatted strings, every computed column aliased identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions import physics
+from mousedatapipeline_spark.operators import joins, windows
+from mousedatapipeline_spark.operators.aggregates import (
+    DEC, census, dsum, first_by_order, repetition_stack, stack_stats,
+)
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# A2/A1: grouped statistics over a filtered fact scan (TPC-H Q1 shape).
+# Scale: single shuffle on a low-cardinality key; partial aggregation
+# map-side; the shipdate filter is pushed to the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A2: filtered scan -> grouped sums/averages (TPC-H Q1 shape).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        dsum("l_discount", "__sum_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return (agg
+            .withColumn("avg_qty", F.round(F.col("sum_qty") / n, 6))
+            .withColumn("avg_price", F.round(F.col("sum_base_price") / n, 6))
+            .withColumn("avg_disc", F.round(F.col("__sum_disc") / n, 6))
+            .withColumn("sum_qty", F.round("sum_qty", 6))
+            .withColumn("sum_base_price", F.round("sum_base_price", 6))
+            .withColumn("sum_disc_price", F.round("sum_disc_price", 6))
+            .withColumn("sum_charge", F.round("sum_charge", 6))
+            .drop("__sum_disc"))
+
+
+# --------------------------------------------------------------------------
+# A6/F1: per-group conditional census + completeness predicate (HAVING).
+# --------------------------------------------------------------------------
+@register(
+    "q02_order_census",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+           CAST(COUNT(CASE WHEN l_quantity >= 25.0 THEN 1 END) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5
+    """,
+    doc="A6/F1: file-count census -> completeness filter (checkers.py:19-46 shape).",
+)
+def q02_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = census(li, ["l_orderkey"], {
+        "n_lines": F.lit(True),
+        "n_returned": F.col("l_returnflag") == "R",
+        "n_bulk": F.col("l_quantity") >= 25.0,
+    })
+    return out.filter(F.col("n_lines") >= 5)
+
+
+# --------------------------------------------------------------------------
+# J1: broadcast dimension joins (logbook-lookup shape). region/nation are
+# broadcast at any scale; customer is broadcast relative to orders.
+# --------------------------------------------------------------------------
+@register(
+    "q03_region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="J1: broadcast hash joins fact->dims, grouped revenue.",
+)
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = (cust
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region),
+                 nation.n_regionkey == region.r_regionkey)
+           .select("c_custkey", "r_name"))
+    joined = orders.join(F.broadcast(dim),
+                         orders.o_custkey == dim.c_custkey)
+    return joined.groupBy("r_name").agg(
+        F.round(dsum("o_totalprice"), 6).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: as-of join — for each purchase, the latest view at-or-before it by
+# the same user. Single shuffle union+carry-forward (operators/joins.py),
+# no pair explosion under key skew.
+# --------------------------------------------------------------------------
+@register(
+    "q04_asof_view_before_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="J2: as-of join (mask-selection semantics, add_mask_file.py:34-81).",
+)
+def q04_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id"))
+             .withColumn("view_ts", F.col("ts")))
+    out = joins.asof_join(purchases, views, on=["user_id"],
+                          left_time="ts", right_time="ts",
+                          right_values=["view_event_id", "view_ts"],
+                          suffix="")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: group-max propagation onto every row (one window, no self-join).
+# --------------------------------------------------------------------------
+@register(
+    "q05_window_propagation",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS batch_max_price,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS batch_n
+    FROM orders
+    """,
+    doc="A4: propagate per-batch max to every row (propagator.py:54-81 shape).",
+)
+def q05_window_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = windows.propagate_group_max(
+        orders, ["o_custkey"], {"o_totalprice": "batch_max_price"})
+    w = Window.partitionBy("o_custkey")
+    return (out.withColumn("batch_n", F.count(F.lit(1)).over(w).cast("bigint"))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "batch_max_price", "batch_n"))
+
+
+# --------------------------------------------------------------------------
+# O2: deterministic top-1 per group.
+# --------------------------------------------------------------------------
+@register(
+    "q06_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+           o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="O2: nearest/latest top-1 per group via row_number (add_mask_file.py:63-73 shape).",
+)
+def q06_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    top = windows.top1_per_group(
+        orders, ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return top.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+        "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# J6/F2: anti membership (not-yet-processed shape).
+# --------------------------------------------------------------------------
+@register(
+    "q07_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J6/F2: left-anti join = already_processed complement (checkers.py:5-13).",
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_members(cust, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# J6: semi membership.
+# --------------------------------------------------------------------------
+@register(
+    "q08_active_customers_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    """,
+    doc="J6: left-semi membership (utilities.py:66-71 shape).",
+)
+def q08_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000.0).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_members(cust, big, ["c_custkey"]).select(
+        "c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# P8/P10: guarded transcendental math with load-bearing sentinels.
+# --------------------------------------------------------------------------
+@register(
+    "q09_thickness_physics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_tax * 10.0 > 0.0
+                       AND ABS(l_discount) > 0.0 AND ABS(l_discount) <= 1.0
+                      THEN -SIGN(l_discount) * LN(1.0 - ABS(l_discount)) / (l_tax * 10.0)
+                      ELSE -1.0 END, 6) AS derived_thickness,
+           ROUND(CASE WHEN l_quantity >= 25.0 THEN l_quantity
+                      WHEN l_tax * 10.0 > 0.0
+                       AND ABS(l_discount) > 0.0 AND ABS(l_discount) <= 1.0
+                      THEN -SIGN(l_discount) * LN(1.0 - ABS(l_discount)) / (l_tax * 10.0)
+                      ELSE -1.0 END, 6) AS thickness
+    FROM lineitem
+    """,
+    doc="P8/P10: thickness-from-absorption with -1 sentinel + selection "
+        "(thickness_from_absorption.py:36-52,167-202).",
+)
+def q09_thickness_physics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    derived = physics.thickness_from_absorption(
+        F.col("l_discount"), F.col("l_tax") * F.lit(10.0))
+    logbook_t = F.when(F.col("l_quantity") >= 25.0, F.col("l_quantity")).otherwise(
+        F.lit(-1.0))
+    selected = physics.select_thickness(
+        F.when(logbook_t >= 0, logbook_t), derived)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(derived, 6).alias("derived_thickness"),
+        F.round(selected, 6).alias("thickness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P7/P13: energy from wavelength (0.0 sentinel) + TCF gate (>1 only).
+# --------------------------------------------------------------------------
+@register(
+    "q10_energy_tcf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN (l_quantity - 5.0) / 10.0 <= 0.0 THEN 0.0
+                      ELSE 1.2398419843320026 / ((l_quantity - 5.0) / 10.0)
+                 END, 6) AS energy_kev,
+           ROUND(CASE WHEN 1.0 + l_tax > 1.0
+                      THEN (1.0 - l_discount) * (1.0 + l_tax)
+                      ELSE 1.0 - l_discount END, 6) AS transmission_corrected
+    FROM lineitem
+    """,
+    doc="P7/P13: E=hc/lambda with <=0 -> 0.0 sentinel (metadata_update.py:51-87); "
+        "factor applied only when > 1 (apply_transmission_correction_factor.py:59-62).",
+)
+def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wavelength = (F.col("l_quantity") - F.lit(5.0)) / F.lit(10.0)
+    transmission = F.lit(1.0) - F.col("l_discount")
+    tcf = F.lit(1.0) + F.col("l_tax")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(physics.energy_kev(wavelength), 6).alias("energy_kev"),
+        F.round(physics.apply_tcf(transmission, tcf), 6).alias(
+            "transmission_corrected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: full stack statistics (mean/std ddof=1/sem/max/min/count).
+# --------------------------------------------------------------------------
+@register(
+    "q11_stack_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS su,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             CAST(COUNT(l_extendedprice) AS BIGINT) AS price_count,
+             MAX(l_extendedprice) AS price_max,
+             MIN(l_extendedprice) AS price_min
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, price_count, price_max, price_min,
+           ROUND(su / CAST(price_count AS DOUBLE), 6) AS price_mean,
+           ROUND(SQRT((sq - (su * su) / CAST(price_count AS DOUBLE))
+                      / (CAST(price_count AS DOUBLE) - 1.0)), 6) AS price_std,
+           ROUND(SQRT((sq - (su * su) / CAST(price_count AS DOUBLE))
+                      / (CAST(price_count AS DOUBLE) - 1.0))
+                 / SQRT(CAST(price_count AS DOUBLE)), 6) AS price_sem
+    FROM s
+    """,
+    doc="A2: stacker statistics mean/std(ddof=1)/sem/max/min/count "
+        "(hdf5_stacker.py:162-189).",
+)
+def q11_stack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = stack_stats(li, ["l_suppkey"], "l_extendedprice", prefix="price_")
+    return out.select(
+        "l_suppkey", "price_count", "price_max", "price_min",
+        F.round("price_mean", 6).alias("price_mean"),
+        F.round("price_std", 6).alias("price_std"),
+        F.round("price_sem", 6).alias("price_sem"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P15/P16: identifier construction with real NULLs + date parts.
+# --------------------------------------------------------------------------
+@register(
+    "q12_identifiers",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS VARCHAR) || '_' ||
+             CAST(o_custkey AS VARCHAR) AS collection_identifier,
+           CASE WHEN o_orderstatus = 'O' THEN NULL
+                ELSE CAST(o_custkey AS VARCHAR) || '_' || o_orderstatus
+           END AS background_identifier,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month
+    FROM orders
+    """,
+    doc="P15/P16: collection/background identifiers, NULL over 'None' sentinel "
+        "(metadata_update.py:110-150), date parts (YMD_class.py:6-31).",
+)
+def q12_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.year("o_orderdate").cast("string"), F.lit("_"),
+                 F.col("o_custkey").cast("string")).alias("collection_identifier"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("o_custkey").cast("string"), F.lit("_"),
+                            F.col("o_orderstatus")))
+        .alias("background_identifier"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1: repetition stack — per-group array ordered by repetition number,
+# emitted as a canonical string so both engines hash identically.
+# --------------------------------------------------------------------------
+@register(
+    "q13_repetition_stack",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+                      ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qty_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_reps
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="A1: ordered repetition stacking (hdf5_stacker.py:120-126, "
+        "utilities.py:92-93); array canonicalized to CSV string.",
+)
+def q13_repetition_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("bigint"))
+    stacked = repetition_stack(li, ["l_orderkey"], "l_linenumber", "qty_int",
+                               alias="qty_arr")
+    return stacked.select(
+        "l_orderkey",
+        F.array_join(F.transform("qty_arr", lambda v: v.cast("string")), ",")
+        .alias("qty_seq"),
+        "n_reps",
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 "from first file": min_by — the value at the lowest repetition.
+# --------------------------------------------------------------------------
+@register(
+    "q14_first_file",
+    oracle="""
+    SELECT l_orderkey,
+           strftime(l_shipdate, '%Y-%m-%d') AS first_shipdate,
+           CAST(l_quantity AS BIGINT) AS first_qty
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_shipdate, l_quantity) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="A1: non-stacked datasets taken from the first (lowest-repetition) file "
+        "(hdf5_stacker.py:191-214). l_linenumber is non-unique in the synthetic "
+        "data, so the order key is extended to a total order for determinism.",
+)
+def q14_first_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    order = F.struct("l_linenumber", "l_shipdate", "l_quantity")
+    picked = li.groupBy("l_orderkey").agg(
+        first_by_order(value=F.struct("l_shipdate", "l_quantity"),
+                       order=order).alias("first"),
+    )
+    return picked.select(
+        "l_orderkey",
+        F.date_format("first.l_shipdate", "yyyy-MM-dd").alias("first_shipdate"),
+        F.col("first.l_quantity").cast("bigint").alias("first_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P16: date arithmetic across a fact-fact join.
+# --------------------------------------------------------------------------
+@register(
+    "q15_date_arith",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS INT) AS ship_delay_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 60
+    """,
+    doc="P16: date parse/diff (YMD_class.py:6-31; add_mask_file.py:64-73 day math).",
+)
+def q15_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+    return (joined.filter(delay > 60)
+            .select("l_orderkey", "l_linenumber",
+                    delay.cast("int").alias("ship_delay_days")))

@@ -1,0 +1,55 @@
+"""SparkSession construction tuned for both local testing and scale.
+
+Local mode is a single JVM; on a real cluster the same settings hold,
+with AQE doing runtime re-planning (partition coalescing, skew-join
+splitting) so the static ``shuffle.partitions`` choice is only a
+starting point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "mousedatapipeline_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime partition coalescing + skew-join handling means the
+      plan survives 100x data growth without retuning.
+    - Arrow on: pandas-UDF kernels (beam analysis, embeddings) move data
+      in columnar batches, not pickled rows.
+    - shuffle.partitions sized to cores locally; on a cluster AQE
+      coalesces or splits as observed sizes dictate.
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{default_parallelism()}]")
+        mem_gb = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB", "48")
+        builder = builder.config("spark.driver.memory", f"{mem_gb}g")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

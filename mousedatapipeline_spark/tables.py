@@ -1,0 +1,52 @@
+"""Test-table loaders for the driver-provided synthetic star schema.
+
+Tables (one parquet each, see TESTDATA.md): region nation customer
+supplier part orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimensions: always broadcast-eligible at any scale factor in this
+# schema (region=5 rows, nation=25). customer/supplier/part grow with SF
+# but stay dimension-sized relative to lineitem/orders.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects by default. Read nanos as long
+    (legacy conf) and convert to a microsecond timestamp — truncation,
+    matching DuckDB's second-level formatting downstream."""
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf locked down: fall through, the
+        pass           # read below will surface PARQUET_TYPE_ILLEGAL if so
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (mirrors the DuckDB oracle setup)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

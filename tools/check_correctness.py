@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every query in ``__spark_entry__.queries()`` on Spark and its
+``oracle_sql()`` counterpart on DuckDB at the same scale factor, then
+compares row count, sorted column names, and cell values (rows sorted by
+their full stringified tuple — order-insensitive, like the driver's
+value hash).
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_repr(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mousedatapipeline_spark.session import get_spark
+    from mousedatapipeline_spark.tables import TABLE_NAMES
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows  "
+                  f"({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        sc, st = table_repr(scols, [tuple(r) for r in srows])
+        oc, ot = table_repr(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: columns differ\n  spark: {sc}\n  duck:  {oc}")
+            n_fail += 1
+            continue
+        if len(st) != len(ot):
+            print(f"FAIL {name}: row count {len(st)} vs {len(ot)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(st, ot) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(st)} rows differ; first:")
+            print(f"  cols:  {sc}")
+            print(f"  spark: {bad[0][0]}")
+            print(f"  duck:  {bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(st)} rows ({time.time()-t0:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only @ {SF_DIR}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
