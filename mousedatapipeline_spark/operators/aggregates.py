@@ -57,7 +57,12 @@ def stack_stats(df: DataFrame, keys: Sequence[str], value: str,
     )
     n = F.col(f"{p}count").cast("double")
     mean = F.col("__sum") / n
-    var = (F.col("__sumsq") - (F.col("__sum") * F.col("__sum")) / n) / (n - F.lit(1.0))
+    # Clamp: the textbook formula can go epsilon-negative when all group
+    # values are equal (catastrophic cancellation); sqrt must stay defined.
+    var = F.greatest(
+        (F.col("__sumsq") - (F.col("__sum") * F.col("__sum")) / n)
+        / (n - F.lit(1.0)),
+        F.lit(0.0))
     std = F.sqrt(var)
     return (
         agg.withColumn(f"{p}mean", mean)

@@ -367,10 +367,10 @@ def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, price_count, price_max, price_min,
            ROUND(su / CAST(price_count AS DOUBLE), 6) AS price_mean,
-           ROUND(SQRT((sq - (su * su) / CAST(price_count AS DOUBLE))
-                      / (CAST(price_count AS DOUBLE) - 1.0)), 6) AS price_std,
-           ROUND(SQRT((sq - (su * su) / CAST(price_count AS DOUBLE))
-                      / (CAST(price_count AS DOUBLE) - 1.0))
+           ROUND(SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
+                      / (CAST(price_count AS DOUBLE) - 1.0), 0.0)), 6) AS price_std,
+           ROUND(SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
+                      / (CAST(price_count AS DOUBLE) - 1.0), 0.0))
                  / SQRT(CAST(price_count AS DOUBLE)), 6) AS price_sem
     FROM s
     """,
