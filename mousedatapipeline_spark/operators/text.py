@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+language identification, quality scoring, and document fingerprinting —
+all as JVM-side column expressions (no Python UDFs in the hot path).
+
+These extend the reference's capability surface (SURVEY.md §2 "beyond
+the reference" mandate): MOUSEDataPipeline itself has no text path, so
+semantics here follow standard corpus-curation practice (C4/Gopher-style
+heuristics) expressed Spark-first.
+
+Scale notes: every function below is a narrow projection — no shuffle,
+no UDF, fully whole-stage-codegen'd. At 100 TB these run at scan speed;
+the only shuffles appear in the consumers (groupBy in the dedup/quality
+aggregation queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/symbol tokenizer, shared with the DuckDB oracles.
+# Java regex and RE2 agree on this subset (char classes + alternation).
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Marker stopwords per language for the n-gram/stopword-voting language
+# ID heuristic. Deliberately tiny and inlined into the SQL oracles too.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "que", "los", "una", "y", "es", "las"),
+}
+CJK_REGEX_SPARK = "[\\u4e00-\\u9fff]"
+CJK_REGEX_DUCK = "[\\x{4e00}-\\x{9fff}]"
+
+# English stopwords for the quality-score stopword ratio.
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as")
+
+_MOD = 2_147_483_647  # 2^31 - 1, keeps all rolling-hash math in bigint
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens from runs
+    of spaces are dropped so token counts match across engines)."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: words / digit runs / single symbols."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX),
+                                       idx=0)).cast("bigint")
+
+
+def marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens are marker words of one language."""
+    ms = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(ms, t))
+                  ).cast("bigint")
+
+
+def cjk_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(CJK_REGEX_SPARK)).cast("bigint")
+
+
+def predict_language(text: Column) -> Column:
+    """Stopword-voting language ID with a fixed, engine-independent
+    tie-break order (zh by CJK presence, then en >= de >= fr >= es)."""
+    t = tokens(text)
+    en = marker_count(t, LANG_MARKERS["en"])
+    de = marker_count(t, LANG_MARKERS["de"])
+    fr = marker_count(t, LANG_MARKERS["fr"])
+    es = marker_count(t, LANG_MARKERS["es"])
+    return (
+        F.when(cjk_count(text) > 0, F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    """Mean token length as an exact ratio of integer totals (bigint sum
+    / bigint count — identical in any engine)."""
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n = F.size(t).cast("bigint")
+    return F.when(n > 0, total.cast("double") / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column,
+                   stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    t = tokens(text)
+    n = F.size(t).cast("bigint")
+    return F.when(
+        n > 0,
+        marker_count(t, stopwords).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    n = F.length(text).cast("bigint")
+    alpha = F.regexp_count(F.lower(text), F.lit("[a-z ]")).cast("bigint")
+    return F.when(n > 0, alpha.cast("double") / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length documents
+    with moderate stopword density and mostly-alphabetic content
+    (Gopher-rule flavor, deterministic arithmetic only)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    return (len_score * F.lit(0.4) + sw_score * F.lit(0.3)
+            + alpha_ratio(text) * F.lit(0.3))
+
+
+def token_hashes(text: Column) -> Column:
+    """Per-token modular hash: first/last char codepoints + length.
+    Pure integer arithmetic — bit-identical in Spark and DuckDB."""
+    return F.transform(
+        tokens(text),
+        lambda t: (F.ascii(F.substring(t, 1, 1)) * F.lit(8191)
+                   + F.ascii(F.substring(t, -1, 1)) * F.lit(131)
+                   + F.length(t)).cast("bigint") % F.lit(_MOD))
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: left fold of the token-hash
+    stream, ``acc -> (acc*31 + h) mod (2^31-1)``, seeded with the first
+    hash (mirrors DuckDB ``list_reduce`` semantics, which uses the first
+    element as the initial accumulator)."""
+    h = token_hashes(text)
+    folded = F.aggregate(
+        F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
+        F.element_at(h, 1),
+        lambda acc, x: (acc * 31 + x) % F.lit(_MOD))
+    return F.when(F.size(h) > 0, folded).otherwise(F.lit(0).cast("bigint"))
+
+
+def content_hash(text: Column) -> Column:
+    """Exact-identity fingerprint (md5 hex — engine-portable)."""
+    return F.md5(text)

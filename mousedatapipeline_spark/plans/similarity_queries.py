@@ -1,1 +1,411 @@
-"""Placeholder — filled in later this round."""
+"""Dedup & similarity-search query catalog: exact dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, brute-force cosine KNN, and LSH-bucketed ANN —
+each with a DuckDB oracle built from the same modular-integer hashing
+and decimal-exact float sums (see operators/similarity.py for the scale
+rationale of each shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
+from mousedatapipeline_spark.operators import similarity as S
+from mousedatapipeline_spark.operators import text as T
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+_SQL_SHINGLES = """
+      SELECT DISTINCT doc_id, lang, source,
+             substr(text, CAST(pos AS INT), 3) AS shingle
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(pos)
+"""
+
+_SQL_DIMS = """
+      SELECT vec_id, CAST(dim AS INT) AS dim,
+             CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(dim)
+"""
+
+_SQL_NORMS = """
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)) AS norm
+      FROM dims GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content. One shuffle; at 100 TB this is
+# the cheapest dedup pass and always runs first.
+# --------------------------------------------------------------------------
+@register(
+    "s01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact deduplication: md5 content hash groupBy, canonical id = "
+        "min(doc_id), members listed in id order.",
+)
+def s01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    members = F.concat_ws(",", F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")))
+    return (
+        d.groupBy(T.content_hash(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+             members.alias("doc_ids"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup, blocked by (lang, source): the quadratic pair
+# space is bounded by the largest block (~112 docs at sf0.1), which is
+# the knob that keeps this shape alive at scale.
+# --------------------------------------------------------------------------
+@register(
+    "s02_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_common,
+           {stable_round_sql(
+               'CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE)')}
+             AS jaccard
+    FROM common JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6
+    """,
+    doc="Near-dup detection: 3-gram shingle Jaccard >= 0.6 within "
+        "(lang, source) blocks.",
+)
+def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = S.shingles(d, "text", ["doc_id", "lang", "source"])
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "lang", "source", "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "lang", "source", "shingle")
+    common = (
+        a.join(b, ["shingle", "lang", "source"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    jac = (
+        common
+        .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn("jaccard_raw",
+                    F.col("n_common").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("n_common"))
+                    .cast("double")))
+    return (
+        jac.filter(F.col("jaccard_raw") >= 0.6)
+        .select("d1", "d2", "n_common",
+                stable_round(F.col("jaccard_raw")).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: the scale path for near-dup — candidates come
+# only from shared (lang, band, signature) buckets, never all-pairs.
+# --------------------------------------------------------------------------
+@register(
+    "s03_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS (
+      SELECT doc_id, lang, i, MIN((a * h + b) % 2147483647) AS mh
+      FROM h, {S.minhash_params_sql()}
+      GROUP BY doc_id, lang, i
+    ),
+    bands AS (
+      SELECT doc_id, lang, CAST(i // {S.ROWS_PER_BAND} AS INT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+      FROM mh GROUP BY doc_id, lang, CAST(i // {S.ROWS_PER_BAND} AS INT)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="MinHash (16 perms) + LSH (4 bands x 4): near-dup candidate "
+        "pairs sharing at least one band bucket.",
+)
+def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = S.shingles(d, "text", ["doc_id", "lang"])
+    sig = S.minhash_signature(sh, ["doc_id", "lang"])
+    bands = S.band_signatures(sig, ["doc_id", "lang"])
+    a = bands.select(F.col("doc_id").alias("d1"), "lang", "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("d2"), "lang", "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig", "lang"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit count-weighted token fingerprint; near-dups = hamming
+# distance <= 3 within (lang, source) blocks.
+# --------------------------------------------------------------------------
+@register(
+    "s04_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, t AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents,
+           UNNEST(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS u(t)
+      GROUP BY 1, 2, 3, 4
+    ),
+    th AS (
+      SELECT *, ((ascii(substr(token, 1, 1)) * 8191
+                  + ascii(substr(token, length(token), 1)) * 131
+                  + length(token)) % 2147483647) % 65536 AS th16
+      FROM tok
+    ),
+    per_bit AS (
+      SELECT doc_id, lang, source, j, w,
+             SUM(n * (((th16 // w) % 2) * 2 - 1)) AS s
+      FROM th, {S.bit_weights_sql()}
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    sim AS (
+      SELECT doc_id, lang, source,
+             CAST(SUM(CASE WHEN s > 0 THEN w ELSE 0 END) AS BIGINT) AS simhash
+      FROM per_bit GROUP BY 1, 2, 3
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup: 16-bit count-weighted token fingerprint, "
+        "pairs at hamming <= 3 within (lang, source) blocks.",
+)
+def s04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "lang", "source",
+                 F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "lang", "source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    th = tok.withColumn(
+        "th",
+        (F.ascii(F.substring("token", 1, 1)).cast("bigint") * 8191
+         + F.ascii(F.substring(F.col("token"), F.length("token"), F.lit(1)))
+         .cast("bigint") * 131
+         + F.length("token")) % S.MOD)
+    sim = S.simhash(th, ["doc_id", "lang", "source"], count_col="n")
+    a = sim.select(F.col("doc_id").alias("d1"), "lang", "source",
+                   F.col("simhash").alias("s1"))
+    b = sim.select(F.col("doc_id").alias("d2"), "lang", "source",
+                   F.col("simhash").alias("s2"))
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming",
+                    F.bit_count(F.expr("s1 ^ s2")).cast("int")))
+    return pairs.filter(F.col("hamming") <= 3).select("d1", "d2", "hamming")
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine KNN: the correctness baseline for ANN. Exact decimal
+# dot products; top-k by (rounded cosine, id) so ordering is
+# engine-independent.
+# --------------------------------------------------------------------------
+@register(
+    "s05_knn_cosine",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM dims q JOIN dims c ON q.dim = c.dim
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, cid,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN dot / (qn.norm * cn.norm) ELSE 0.0 END AS cosine
+      FROM dots JOIN norms qn ON qid = qn.vec_id
+                JOIN norms cn ON cid = cn.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, {stable_round_sql('cosine')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY {stable_round_sql('cosine')} DESC, cid) AS rank
+      FROM cos
+    )
+    SELECT qid, cid, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for query vectors vec_id < 10 — the "
+        "exact baseline ANN is judged against.",
+)
+def s05_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    norms = S.vector_norms(dims, "vec_id")
+    q_dims = dims.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "dim", F.col("v").alias("qv"))
+    c_dims = dims.select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    q_norms = norms.select(F.col("vec_id").alias("qid"),
+                           F.col("norm").alias("qnorm"))
+    c_norms = norms.select(F.col("vec_id").alias("cid"),
+                           F.col("norm").alias("cnorm"))
+    cos = (
+        S.cosine_pairs(F.broadcast(q_dims), c_dims, q_norms, c_norms)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", stable_round(F.col("cosine"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "rank", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN: 8 deterministic sign-hyperplanes -> 256 buckets;
+# candidates share the query's bucket, then exact cosine re-rank. This is
+# the scale path: bucket size, not corpus size, bounds the join.
+# --------------------------------------------------------------------------
+_SQL_PLANES = ("(VALUES " + ", ".join(f"({p}, {1 << p})" for p in range(8))
+               + ") AS pl(p, w)")
+_SQL_SIGN = ("CASE WHEN ((p * 2654435761 + dim * 40503) % 2147483647) % 2 = 0 "
+             "THEN 1.0 ELSE -1.0 END")
+
+
+@register(
+    "s06_ann_lsh",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    proj AS (
+      SELECT vec_id, p, w,
+             CAST(SUM(CAST(({_SQL_SIGN}) * v AS DECIMAL(30,10)))
+                  AS DOUBLE) AS proj
+      FROM dims, {_SQL_PLANES}
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    dots AS (
+      SELECT cand.qid, cand.cid, cand.bucket,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM cand JOIN dims q ON cand.qid = q.vec_id
+                JOIN dims c ON cand.cid = c.vec_id AND q.dim = c.dim
+      GROUP BY 1, 2, 3
+    ),
+    cos AS (
+      SELECT qid, cid, bucket,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN dot / (qn.norm * cn.norm) ELSE 0.0 END AS cosine
+      FROM dots JOIN norms qn ON qid = qn.vec_id
+                JOIN norms cn ON cid = cn.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, bucket, {stable_round_sql('cosine')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY {stable_round_sql('cosine')} DESC, cid) AS rank
+      FROM cos
+    )
+    SELECT qid, cid, bucket, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="ANN via sign-hyperplane LSH (8 planes, 256 buckets) + exact "
+        "cosine re-rank within the query's bucket.",
+)
+def s06_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    norms = S.vector_norms(dims, "vec_id")
+    planes = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("p"), F.lit(1 << p).alias("w"))
+        for p in range(8)])).alias("pl")
+    sign = F.when(
+        ((F.col("pl.p") * F.lit(2_654_435_761) + F.col("dim") * 40_503)
+         % S.MOD) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = (
+        dims.select("vec_id", "dim", "v", planes)
+        .select("vec_id", F.col("pl.p").alias("p"), F.col("pl.w").alias("w"),
+                (sign * F.col("v")).alias("sv"))
+        .groupBy("vec_id", "p", "w")
+        .agg(F.sum(F.col("sv").cast("decimal(30,10)")).cast("double")
+             .alias("proj")))
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint").alias("bucket"))
+    qb = buckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "bucket")
+    cb = buckets.select(F.col("vec_id").alias("cid"), "bucket")
+    cand = (F.broadcast(qb).join(cb, "bucket")
+            .filter(F.col("qid") != F.col("cid")))
+    q_dims = dims.select(F.col("vec_id").alias("qid"), "dim",
+                         F.col("v").alias("qv"))
+    c_dims = dims.select(F.col("vec_id").alias("cid"), "dim",
+                         F.col("v").alias("cv"))
+    dots = (
+        cand.join(q_dims, "qid").join(c_dims, ["cid", "dim"])
+        .groupBy("qid", "cid", "bucket")
+        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(30,10)"))
+             .cast("double").alias("dot")))
+    q_norms = norms.select(F.col("vec_id").alias("qid"),
+                           F.col("norm").alias("qnorm"))
+    c_norms = norms.select(F.col("vec_id").alias("cid"),
+                           F.col("norm").alias("cnorm"))
+    cos = (
+        dots.join(q_norms, "qid").join(c_norms, "cid")
+        .withColumn(
+            "cosine",
+            stable_round(
+                F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                       F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+                .otherwise(F.lit(0.0)))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "bucket", "rank", "cosine")
+    )

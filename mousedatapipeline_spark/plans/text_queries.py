@@ -1,1 +1,191 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis query catalog over the ``documents`` table: token
+statistics, language ID, quality scoring, and fingerprinting — the
+text-curation layer of a training-data pipeline (SURVEY.md §2
+beyond-reference mandate), each with a DuckDB oracle.
+
+All expressions are integer/exact arithmetic or `stable_round`-ed
+doubles, so Spark and DuckDB agree bit-for-bit (see
+functions/rounding.py and plans/catalog.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
+from mousedatapipeline_spark.operators import text as T
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+# ---- SQL twins of operators/text.py (kept literally in sync) -------------
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (f"len(list_filter({_SQL_TOKENS}, "
+            f"t -> list_contains([{lst}], t)))")
+
+
+_SQL_CJK = f"len(regexp_extract_all(text, '{T.CJK_REGEX_DUCK}'))"
+_SQL_NTOK = f"len({_SQL_TOKENS})"
+_SQL_TOKLEN_SUM = (f"list_aggregate(list_transform({_SQL_TOKENS}, "
+                   f"t -> CAST(length(t) AS BIGINT)), 'sum')")
+_SQL_TOKEN_HASHES = (
+    f"list_transform({_SQL_TOKENS}, t -> "
+    f"(ascii(substr(t, 1, 1)) * 8191 + ascii(substr(t, -1, 1)) * 131 "
+    f"+ length(t)) % 2147483647)")
+
+
+@register(
+    "t01_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '{T.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           {stable_round_sql(
+               f"CASE WHEN {_SQL_NTOK} > 0 THEN "
+               f"CAST({_SQL_TOKLEN_SUM} AS DOUBLE) / CAST({_SQL_NTOK} AS DOUBLE) "
+               f"ELSE 0.0 END")} AS mean_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens + mean "
+        "token length. Narrow projection, no shuffle, codegen'd.",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        stable_round(T.mean_token_length(F.col("text")))
+        .alias("mean_token_len"),
+    )
+
+
+@register(
+    "t02_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_marker_count(T.LANG_MARKERS['en'])} AS en_score,
+             {_sql_marker_count(T.LANG_MARKERS['de'])} AS de_score,
+             {_sql_marker_count(T.LANG_MARKERS['fr'])} AS fr_score,
+             {_sql_marker_count(T.LANG_MARKERS['es'])} AS es_score,
+             {_SQL_CJK} AS cjk_chars
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(en_score AS BIGINT) AS en_score,
+           CAST(de_score AS BIGINT) AS de_score,
+           CAST(fr_score AS BIGINT) AS fr_score,
+           CAST(es_score AS BIGINT) AS es_score,
+           CAST(cjk_chars AS BIGINT) AS cjk_chars,
+           CASE WHEN cjk_chars > 0 THEN 'zh'
+                WHEN en_score >= de_score AND en_score >= fr_score
+                     AND en_score >= es_score THEN 'en'
+                WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                WHEN fr_score >= es_score THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           CAST(CASE WHEN cjk_chars > 0 THEN 'zh'
+                WHEN en_score >= de_score AND en_score >= fr_score
+                     AND en_score >= es_score THEN 'en'
+                WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                WHEN fr_score >= es_score THEN 'fr'
+                ELSE 'es' END = lang AS INT) AS correct
+    FROM scored
+    """,
+    doc="Language ID by stopword voting + CJK detection, with a fixed "
+        "tie-break order; compared against the labeled lang column.",
+)
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang",
+        T.marker_count(toks, T.LANG_MARKERS["en"]).alias("en_score"),
+        T.marker_count(toks, T.LANG_MARKERS["de"]).alias("de_score"),
+        T.marker_count(toks, T.LANG_MARKERS["fr"]).alias("fr_score"),
+        T.marker_count(toks, T.LANG_MARKERS["es"]).alias("es_score"),
+        T.cjk_count(F.col("text")).alias("cjk_chars"),
+        T.predict_language(F.col("text")).alias("predicted_lang"),
+    )
+    return scored.withColumn(
+        "correct",
+        (F.col("predicted_lang") == F.col("lang")).cast("int"))
+
+
+@register(
+    "t03_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST({_SQL_NTOK} AS DOUBLE) AS n_tok,
+             CASE WHEN {_SQL_NTOK} > 0 THEN
+               CAST({_sql_marker_count(T.EN_STOPWORDS)} AS DOUBLE)
+               / CAST({_SQL_NTOK} AS DOUBLE) ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0 THEN
+               CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {stable_round_sql('sw_ratio')} AS stopword_ratio,
+           {stable_round_sql('alpha_ratio')} AS alpha_ratio,
+           {stable_round_sql(
+               "LEAST(n_tok / 50.0, 1.0) * 0.4 "
+               "+ LEAST(sw_ratio * 4.0, 1.0) * 0.3 + alpha_ratio * 0.3")}
+             AS quality,
+           CASE WHEN LEAST(n_tok / 50.0, 1.0) * 0.4
+                     + LEAST(sw_ratio * 4.0, 1.0) * 0.3
+                     + alpha_ratio * 0.3 >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM f
+    """,
+    doc="Gopher-style quality heuristic (length, stopword density, "
+        "alphabetic ratio) with a keep/drop verdict.",
+)
+def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    return d.select(
+        "doc_id", "lang",
+        stable_round(T.stopword_ratio(F.col("text"))).alias("stopword_ratio"),
+        stable_round(T.alpha_ratio(F.col("text"))).alias("alpha_ratio"),
+        stable_round(q).alias("quality"),
+        F.when(q >= 0.5, F.lit("keep")).otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "t04_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text, {_SQL_TOKEN_HASHES} AS th FROM documents
+    )
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(CASE WHEN len(th) > 0
+                THEN list_reduce(th, (acc, x) -> (acc * 31 + x) % 2147483647)
+                ELSE 0 END AS BIGINT) AS rolling_fp
+    FROM h
+    """,
+    doc="Document fingerprinting: exact md5 identity hash + order-"
+        "sensitive rolling token hash (modular left fold).",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.content_hash(F.col("text")).alias("content_hash"),
+        T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
