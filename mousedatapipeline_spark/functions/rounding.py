@@ -24,13 +24,28 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Above this magnitude the spacing between adjacent doubles exceeds
+# 1e-6, so "round to 6 decimals" is the identity; pass through unchanged
+# (also keeps x*1e6 inside bigint range for Spark's LONG-typed floor).
+_PASSTHROUGH = 1.0e9
+
+
 def stable_round(col: Column, digits: int = 6) -> Column:
-    """Round a double column deterministically across Spark and DuckDB."""
+    """Round a double column deterministically across Spark and DuckDB.
+
+    The input is cast to double first so decimal-typed expressions (and
+    decimal-parsed literals on the DuckDB side) take the same IEEE path.
+    """
     scale = float(10 ** digits)
-    return F.floor(col * F.lit(scale) + F.lit(0.5001)) / F.lit(scale)
+    x = col.cast("double")
+    rounded = F.floor(x * F.lit(scale) + F.lit(0.5001)) / F.lit(scale)
+    return F.when(F.abs(x) >= _PASSTHROUGH, x).otherwise(rounded)
 
 
 def stable_round_sql(expr: str, digits: int = 6) -> str:
     """The DuckDB-side twin of :func:`stable_round`."""
     scale = float(10 ** digits)
-    return f"FLOOR(({expr}) * {scale} + 0.5001) / {scale}"
+    return (f"CASE WHEN ABS(CAST({expr} AS DOUBLE)) >= {_PASSTHROUGH} "
+            f"THEN CAST({expr} AS DOUBLE) "
+            f"ELSE FLOOR(CAST({expr} AS DOUBLE) * {scale} + 0.5001) / {scale} "
+            f"END")

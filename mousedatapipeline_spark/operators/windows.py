@@ -61,13 +61,16 @@ def lowest_repetition_gate(df: DataFrame, keys: Sequence[str],
 
 
 def sessionize(df: DataFrame, user_col: str, ts_col: str,
-               gap_seconds: int = 1800) -> DataFrame:
+               gap_seconds: int = 1800,
+               tiebreak: str | None = None) -> DataFrame:
     """Training-data extension — assign session ids per user: a new
     session starts when the gap to the previous event exceeds
     ``gap_seconds``. Two windows over the same (user, ts) partitioning —
-    Spark reuses the single sort/shuffle for both.
+    Spark reuses the single sort/shuffle for both. Pass ``tiebreak`` (a
+    unique column) to make lag() deterministic at equal timestamps.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
     gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))

@@ -1,0 +1,22 @@
+"""Shared Spark fixture: one local session for the whole test run
+(Spark startup is ~10 s; per-test sessions would dominate runtime)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("mousedatapipeline-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

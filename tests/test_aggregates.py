@@ -1,0 +1,81 @@
+"""A1/A2/A6 aggregation semantics against numpy ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators.aggregates import (
+    census,
+    dsum,
+    first_by_order,
+    repetition_stack,
+    stack_stats,
+)
+
+
+def test_stack_stats_matches_numpy_ddof1(spark):
+    vals = [1.5, 2.25, 4.0, 8.125, 9.5]
+    df = spark.createDataFrame([("b", v) for v in vals], "k string, v double")
+    row = stack_stats(df, ["k"], "v").collect()[0]
+    assert row["count"] == 5
+    assert math.isclose(row["mean"], np.mean(vals), rel_tol=1e-12)
+    assert math.isclose(row["std"], np.std(vals, ddof=1), rel_tol=1e-12)
+    assert math.isclose(row["sem"], np.std(vals, ddof=1) / math.sqrt(5),
+                        rel_tol=1e-12)
+    assert row["max"] == max(vals) and row["min"] == min(vals)
+
+
+def test_stack_stats_constant_group_has_zero_std(spark):
+    # Catastrophic-cancellation guard: sumsq - sum^2/n can go epsilon-
+    # negative when all values are equal; std must be 0, not NaN.
+    df = spark.createDataFrame([("b", 0.1)] * 4, "k string, v double")
+    row = stack_stats(df, ["k"], "v").collect()[0]
+    assert row["std"] == 0.0 and not math.isnan(row["std"])
+
+
+def test_stack_stats_single_row_null_std(spark):
+    df = spark.createDataFrame([("b", 3.0)], "k string, v double")
+    row = stack_stats(df, ["k"], "v").collect()[0]
+    assert row["std"] is None and row["sem"] is None  # n=1: ddof=1 undefined
+
+
+def test_repetition_stack_orders_by_repetition(spark):
+    df = spark.createDataFrame(
+        [("b", 3, 30.0), ("b", 1, 10.0), ("b", 2, 20.0)],
+        "k string, rep int, v double")
+    row = repetition_stack(df, ["k"], "rep", "v").collect()[0]
+    assert row["stacked"] == [10.0, 20.0, 30.0]
+    assert row["n_reps"] == 3
+
+
+def test_first_by_order_takes_min_repetition_value(spark):
+    df = spark.createDataFrame(
+        [("b", 2, "second"), ("b", 1, "first")], "k string, rep int, s string")
+    row = df.groupBy("k").agg(
+        first_by_order(value=F.col("s"), order=F.col("rep")).alias("f")
+    ).collect()[0]
+    assert row["f"] == "first"
+
+
+def test_census_conditional_counts(spark):
+    df = spark.createDataFrame(
+        [("d1", "a"), ("d1", "a"), ("d1", "b"), ("d2", "b")],
+        "dir string, kind string")
+    rows = {r["dir"]: r for r in census(df, ["dir"], {
+        "n_a": F.col("kind") == "a",
+        "n_b": F.col("kind") == "b",
+    }).collect()}
+    assert rows["d1"]["n_a"] == 2 and rows["d1"]["n_b"] == 1
+    assert rows["d2"]["n_a"] == 0 and rows["d2"]["n_b"] == 1
+
+
+def test_dsum_is_partition_independent(spark):
+    vals = [0.1] * 100
+    one = spark.createDataFrame([(v,) for v in vals], "v double").coalesce(1)
+    many = spark.createDataFrame([(v,) for v in vals], "v double").repartition(7)
+    s1 = one.agg(dsum("v").alias("s")).collect()[0]["s"]
+    s2 = many.agg(dsum("v").alias("s")).collect()[0]["s"]
+    assert s1 == s2 == 10.0  # exact decimal accumulation

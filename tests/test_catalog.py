@@ -1,0 +1,52 @@
+"""Catalog / driver-contract integrity and cross-engine rounding."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
+from mousedatapipeline_spark.plans import catalog
+
+
+def test_every_query_has_matching_oracle_or_none():
+    qs = catalog.all_queries()
+    assert len(qs) >= 29
+    for name, spec in qs.items():
+        assert spec.name == name
+        assert callable(spec.spark)
+        assert spec.oracle is None or "SELECT" in spec.oracle.upper()
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert "q01_pricing_summary" in qs
+
+
+@pytest.mark.parametrize("x", [
+    1.0341375, -1.0341375, 0.0000005, 123456.9999995, 0.1 + 0.2, 2.5e-7,
+    1e15 / 7, -0.3333333333,
+])
+def test_stable_round_agrees_with_duckdb(spark, x):
+    s = spark.range(1).select(
+        stable_round(F.lit(x)).alias("v")).collect()[0]["v"]
+    d = duckdb.sql(f"SELECT {stable_round_sql(repr(x))} AS v").fetchone()[0]
+    assert s == d or (math.isnan(s) and math.isnan(d))
+
+
+def test_stable_round_is_close_to_true_round(spark):
+    vals = [0.123456789, 7.5, -3.00000049, 42.0]
+    for x in vals:
+        got = spark.range(1).select(
+            stable_round(F.lit(x)).alias("v")).collect()[0]["v"]
+        assert abs(got - round(x, 6)) <= 1.1e-6

@@ -1,0 +1,116 @@
+"""Text & similarity operator semantics: tokenization, language ID,
+fingerprint fold, minhash/simhash invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import similarity as S
+from mousedatapipeline_spark.operators import text as T
+
+
+def _one(spark, col, text):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")).collect()[0]["v"]
+
+
+def test_token_count_ignores_space_runs(spark):
+    assert _one(spark, T.token_count(F.col("text")), "a  b   c") == 3
+    assert _one(spark, T.token_count(F.col("text")), "") == 0
+
+
+def test_regex_token_count_bpe_ish(spark):
+    # 'abc' '12' 'd' '!' -> 4 tokens
+    assert _one(spark, T.regex_token_count(F.col("text")), "abc12 d!") == 4
+
+
+def test_language_prediction(spark):
+    cases = {
+        "the cat and the dog is in a house": "en",
+        "der hund und die katze ist nicht da": "de",
+        "le chat et la maison les deux": "fr",
+        "el perro que los gatos una casa y": "es",
+        "这 是 中文 文本": "zh",
+    }
+    for txt, lang in cases.items():
+        assert _one(spark, T.predict_language(F.col("text")), txt) == lang
+
+
+def test_language_tiebreak_is_english(spark):
+    # No markers at all -> all scores 0 -> en by fixed tie-break order
+    assert _one(spark, T.predict_language(F.col("text")), "zzz qqq") == "en"
+
+
+def test_rolling_fingerprint_matches_python_fold(spark):
+    text = "spark is a fast engine"
+    mod = 2_147_483_647
+    hashes = [(ord(t[0]) * 8191 + ord(t[-1]) * 131 + len(t)) % mod
+              for t in text.split()]
+    expect = hashes[0]
+    for h in hashes[1:]:
+        expect = (expect * 31 + h) % mod
+    assert _one(spark, T.rolling_fingerprint(F.col("text")), text) == expect
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    a = _one(spark, T.rolling_fingerprint(F.col("text")), "alpha beta")
+    b = _one(spark, T.rolling_fingerprint(F.col("text")), "beta alpha")
+    assert a != b
+
+
+def test_shingles_distinct_and_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "ababa"), (2, "ab")], "doc_id int, text string")
+    rows = S.shingles(df, "text", ["doc_id"]).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    assert got == {(1, "aba"), (1, "bab")}  # doc 2 shorter than n -> none
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "a completely different text here")],
+        "doc_id int, text string")
+    sh = S.shingles(df, "text", ["doc_id"])
+    sig = S.minhash_signature(sh, ["doc_id"])
+    sigs = {d: sorted((r["i"], r["mh"]) for r in rows) for d, rows in
+            _group(sig.collect(), "doc_id").items()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == S.N_PERM
+
+
+def _group(rows, key):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+def test_simhash_identical_tokens_zero_hamming(spark):
+    tok = spark.createDataFrame(
+        [(1, 100, 2), (1, 200, 1), (2, 100, 2), (2, 200, 1), (3, 999, 5)],
+        "doc_id int, th long, n long")
+    out = {r["doc_id"]: r["simhash"]
+           for r in S.simhash(tok, ["doc_id"]).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < (1 << S.SIMHASH_BITS)
+
+
+def test_cosine_pairs_unit_vectors(spark):
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id int, embedding array<float>")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    norms = S.vector_norms(dims, "vec_id")
+    q = dims.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("qid"), "dim", F.col("v").alias("qv"))
+    c = dims.select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("norm").alias("qnorm"))
+    cn = norms.select(F.col("vec_id").alias("cid"), F.col("norm").alias("cnorm"))
+    out = {r["cid"]: r["cosine"]
+           for r in S.cosine_pairs(q, c, qn, cn).collect()}
+    import math
+    assert math.isclose(out[0], 1 / math.sqrt(2), rel_tol=1e-9)
+    assert math.isclose(out[1], 1 / math.sqrt(2), rel_tol=1e-9)
+    assert math.isclose(out[2], 1.0, rel_tol=1e-9)
