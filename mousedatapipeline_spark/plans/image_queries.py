@@ -1,0 +1,104 @@
+"""Image-kernel and multimodal catalog entries.
+
+These are the genuinely non-SQL-expressible operators (numpy beam
+analysis, binary payload featurization), so they register WITHOUT a
+DuckDB oracle — the driver records the weaker rows-only check, and the
+closed-form validation lives in tests/test_kernels_multimodal.py
+(synthetic Gaussian beams with analytically known centroid/σ/coverage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions.kernels import (
+    BEAM_STATS_SCHEMA,
+    beam_analysis,
+)
+from mousedatapipeline_spark.operators.multimodal import (
+    attach_synthetic_media,
+    extract_features,
+)
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+_H = _W = 32
+
+
+def _gaussian_image(batch: int, repetition: int) -> np.ndarray:
+    """Deterministic synthetic Gaussian beam: parameters derived from
+    the keys, so every engine run produces identical pixels."""
+    cy = 10.0 + (batch % 12)
+    cx = 10.0 + (repetition % 12)
+    sigma = 1.5 + (batch % 4) * 0.5
+    amp = 1000.0 + (batch % 7) * 100.0
+    rows, cols = np.indices((_H, _W))
+    return amp * np.exp(-((rows - cy) ** 2 + (cols - cx) ** 2)
+                        / (2 * sigma * sigma))
+
+
+@register(
+    "u01_beam_analysis",
+    oracle=None,  # numpy kernel: rows-only check; closed-form tests in tests/
+    doc="U1-U4: coverage-ellipse beam analysis (weighted centroid, "
+        "sigma_minor/major, theta, 0.997-coverage intensity) over "
+        "synthetic Gaussian beams via Arrow mapInPandas.",
+)
+def u01_beam_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    keys = (li.filter(F.col("l_orderkey") < 200)
+            .select(F.col("l_orderkey").alias("batch"),
+                    F.col("l_linenumber").alias("repetition"))
+            .distinct())
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                img = _gaussian_image(int(rec.batch), int(rec.repetition))
+                rows.append({
+                    "batch": rec.batch, "repetition": rec.repetition,
+                    "image": img.ravel().tolist(), "height": _H, "width": _W,
+                })
+            yield pd.DataFrame(
+                rows, columns=["batch", "repetition", "image",
+                               "height", "width"])
+
+    from pyspark.sql import types as T
+    img_schema = T.StructType([
+        T.StructField("batch", T.LongType()),
+        T.StructField("repetition", T.IntegerType()),
+        T.StructField("image", T.ArrayType(T.DoubleType())),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ])
+    images = keys.mapInPandas(gen, img_schema)
+    stats = beam_analysis(images)
+    return stats.select(
+        "batch", "repetition",
+        F.round("com_y", 4).alias("com_y"),
+        F.round("com_x", 4).alias("com_x"),
+        F.round("sigma_minor", 4).alias("sigma_minor"),
+        F.round("sigma_major", 4).alias("sigma_major"),
+        F.round("achieved_coverage", 4).alias("achieved_coverage"),
+    )
+
+
+@register(
+    "mm01_media_features",
+    oracle=None,  # binary payload kernel: rows-only; tested in tests/
+    doc="Multimodal plumbing: binary payload + typed metadata columns, "
+        "decode-stub + byte-histogram featurization via mapInPandas.",
+)
+def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    media = attach_synthetic_media(docs, "doc_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        F.round(F.element_at("histogram", 1), 6).alias("hist_bin0"),
+    )

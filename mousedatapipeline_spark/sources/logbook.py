@@ -1,0 +1,58 @@
+"""Excel logbook source (S6): the (ymd, batch) → sample-metadata
+dimension table.
+
+Reference: `Logbook2MouseReader` loads an Excel workbook once per run;
+entries carry ymd, batchnum, background/dispersant-background pointers,
+sample id, project, thickness, positions
+(src/directory_processor.py:30-33, src/processstep_metadata_update.py:41-48,
+217-235). Lookups are first-match by (ymd, batchnum).
+
+Spark design: read driver-side with pandas (the logbook is tiny), then
+broadcast-join. openpyxl may be absent (it is in this container), so a
+CSV fallback with the same schema keeps the path testable; '{None}'
+sentinels become real NULLs at this boundary (SURVEY.md P15 note).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOGBOOK_COLUMNS = (
+    "ymd", "batch", "sample_name", "project", "samplethickness",
+    "bg_ymd", "bg_batch", "dbg_ymd", "dbg_batch",
+)
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    for c in LOGBOOK_COLUMNS:
+        if c not in pdf.columns:
+            pdf[c] = None
+    pdf = pdf[list(LOGBOOK_COLUMNS)].copy()
+    # 'None' string sentinels -> real NULL at the boundary (P15).
+    return pdf.replace({"None": None, "": None})
+
+
+def load_logbook(spark: SparkSession, path: str) -> DataFrame:
+    """Load the logbook (xlsx via pandas/openpyxl, or csv fallback) as a
+    deduped dimension DataFrame ready for broadcast_lookup (J1)."""
+    if path.endswith((".xlsx", ".xls")):
+        try:
+            pdf = pd.read_excel(path)  # needs openpyxl
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "reading .xlsx logbooks requires openpyxl; convert to "
+                "CSV with the same columns instead") from e
+    else:
+        pdf = pd.read_csv(path, dtype={"ymd": str, "bg_ymd": str,
+                                       "dbg_ymd": str})
+    df = spark.createDataFrame(_normalize(pdf))
+    return (
+        df.withColumn("batch", F.col("batch").cast("int"))
+        .withColumn("samplethickness",
+                    F.col("samplethickness").cast("double"))
+        # first-match semantics of the reference's linear scan
+        # (src/processstep_metadata_update.py:41-48)
+        .dropDuplicates(["ymd", "batch"])
+    )

@@ -1,0 +1,62 @@
+"""Sinks (S11–S13): stacked results, metrics CSV, quarantine.
+
+Reference terminal outputs: a per-(batch, configuration) stacked HDF5
+file (src/processstep_stacker.py:78, chunked+gzip, noted "very slow" at
+src/post_translation_operation_hdf5_stacker.py:216-226), an appended
+CSV metrics table (src/processstep_transmission_thickness_flux_table.py:59-89),
+and a stacking-error sideband list
+(src/post_translation_operation_hdf5_stacker.py:104-108).
+
+Spark design: Parquet with (year, ymd) partitioning replaces the
+stacked HDF5 (columnar + zstd ≫ chunk-1 gzip HDF5); the CSV keeps the
+reference's append-with-header contract; rejected rows land in a
+quarantine Parquet with their reason instead of a text sideband.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The 14-column metrics row the reference appends per repetition
+# (src/processstep_transmission_thickness_flux_table.py:59-77).
+METRICS_COLUMNS = (
+    "ymd", "batch", "repetition", "configuration", "sample_name",
+    "direct_flux", "sample_flux", "transmission", "transmission_corrected",
+    "absorption", "thickness", "energy_kev", "scattering_prob",
+    "measurement_date",
+)
+
+
+def write_stacked(df: DataFrame, path: str,
+                  partition_cols: Sequence[str] = ("year",),
+                  mode: str = "overwrite") -> None:
+    """S11 — stacked-results sink: partitioned, compressed Parquet.
+
+    Partitioning by coarse date keys gives partition pruning for the
+    freshness/re-stack path (F7/W4) and bounds file counts at scale
+    (dynamic partition overwrite rewrites only touched partitions).
+    """
+    (df.write.mode(mode)
+     .option("partitionOverwriteMode", "dynamic")
+     .option("compression", "zstd")
+     .partitionBy(*partition_cols)
+     .parquet(path))
+
+
+def append_metrics_csv(df: DataFrame, path: str,
+                       columns: Sequence[str] = METRICS_COLUMNS) -> None:
+    """S12 — append the per-repetition metrics table as CSV with header
+    (append-only contract of the reference's flux/thickness table)."""
+    present = [c for c in columns if c in df.columns]
+    (df.select(*present)
+     .write.mode("append").option("header", True).csv(path))
+
+
+def write_quarantine(rejected: DataFrame, path: str) -> None:
+    """S13 — rejected-rows sideband: full rows + reject_reason, Parquet
+    append (replaces the `.stacking_error_list` text file)."""
+    rejected.withColumn("quarantined_at", F.current_timestamp()) \
+        .write.mode("append").parquet(path)

@@ -1,0 +1,115 @@
+"""Image kernels (U1–U6) against closed-form Gaussian beams, and the
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions import kernels as K
+from mousedatapipeline_spark.operators import multimodal as M
+
+
+def _gauss(h=32, w=32, cy=14.0, cx=17.0, sy=2.0, sx=3.0, amp=1000.0):
+    rows, cols = np.indices((h, w))
+    return amp * np.exp(-((rows - cy) ** 2 / (2 * sy * sy)
+                          + (cols - cx) ** 2 / (2 * sx * sx)))
+
+
+def test_prepare_eiger_image_masks_and_reduces():
+    stack = np.stack([np.full((4, 4), 2.0), np.full((4, 4), 4.0)])
+    stack[0, 0, 0] = -7.0          # invalid: below 0
+    stack[1, 0, 0] = 5.0e7         # invalid: pegged pixel
+    img = K.prepare_eiger_image(stack)
+    assert img.shape == (4, 4)
+    assert img[0, 0] == 0.0        # both invalid values zeroed, mean of 0,0
+    assert img[1, 1] == 3.0        # mean of 2 and 4
+
+
+def test_label_main_feature_keeps_largest_blob():
+    img = np.zeros((20, 20))
+    img[2:10, 2:10] = 100.0        # 64 px blob
+    img[14:17, 14:17] = 100.0      # 9 px blob (below min_size=20)
+    mask = K.label_main_feature(img)
+    assert mask[5, 5] and not mask[15, 15]
+    assert mask.sum() == 64
+
+
+def test_label_main_feature_raises_on_flat_image():
+    with pytest.raises(ValueError):
+        K.label_main_feature(np.zeros((8, 8)))
+
+
+def test_weighted_centroid_matches_gaussian_center():
+    img = _gauss()
+    cy, cx = K.weighted_centroid(img)
+    # truncation shifts the centroid by < 0.01 px for these sigmas
+    assert abs(cy - 14.0) < 0.01 and abs(cx - 17.0) < 0.01
+
+
+def test_beam_shape_recovers_sigmas():
+    img = _gauss(sy=2.0, sx=3.0)
+    _, _, cov = K.weighted_covariance(img)
+    s_minor, s_major, theta = K.beam_shape(cov)
+    assert abs(s_minor - 2.0) < 0.05
+    assert abs(s_major - 3.0) < 0.05
+    # axis-aligned: theta ~ 0 or +-pi/2
+    assert min(abs(theta), abs(abs(theta) - math.pi / 2)) < 0.05
+
+
+def test_dynamic_beam_analysis_hits_coverage():
+    r = K.dynamic_beam_analysis(_gauss())
+    assert r["achieved_coverage"] >= 0.997
+    assert abs(r["com_y"] - 14.0) < 0.01 and abs(r["com_x"] - 17.0) < 0.01
+    assert 0.5 <= r["k"] <= 5.0
+    assert r["region_intensity"] <= r["total_intensity"]
+
+
+def test_circular_mask_area():
+    m = K.circular_mask((64, 64), (32.0, 32.0), 10.0)
+    assert abs(m.sum() - math.pi * 100) / (math.pi * 100) < 0.05
+    assert m[32, 32] and not m[32, 43]
+
+
+def test_beam_analysis_spark_plumbing(spark):
+    img = _gauss()
+    df = spark.createDataFrame(
+        [(1, 1, img.ravel().tolist(), 32, 32)],
+        "batch long, repetition int, image array<double>, height int, width int")
+    row = K.beam_analysis(df).collect()[0]
+    assert abs(row["com_y"] - 14.0) < 0.01
+    assert row["achieved_coverage"] >= 0.997
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def test_synth_payload_deterministic_and_typed():
+    p1, m1 = M.synth_payload(7)
+    p2, m2 = M.synth_payload(7)
+    assert p1 == p2 and m1 == m2
+    assert m1["media_type"] in ("image", "audio", "video")
+
+
+def test_decode_rejects_real_formats():
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_extract_features_spark(spark):
+    ids = spark.range(6).withColumnRenamed("id", "doc_id")
+    media = M.attach_synthetic_media(ids, "doc_id")
+    feats = extracted = M.extract_features(media).collect()
+    assert len(extracted) == 6
+    for r in feats:
+        assert len(r["histogram"]) == 16
+        assert abs(sum(r["histogram"]) - 1.0) < 1e-9
+        assert r["media_type"] == ("image", "audio", "video")[r["media_id"] % 3]
+
+
+def test_frame_indices_jvm_side(spark):
+    df = spark.createDataFrame([(10,)], "n int")
+    row = df.select(M.frame_indices(F.col("n"), 3).alias("idx")).collect()[0]
+    assert row["idx"] == [0, 3, 6, 9]
