@@ -35,7 +35,8 @@ def dsum(col: str | Column, alias: str | None = None) -> Column:
 
 
 def stack_stats(df: DataFrame, keys: Sequence[str], value: str,
-                prefix: str = "") -> DataFrame:
+                prefix: str = "",
+                extra_aggs: dict[str, Column] | None = None) -> DataFrame:
     """A2 — per-group mean / std(ddof=1) / sem / max / min / count.
 
     Reference: the stacker writes ``{path}_averaged/{mean,std,sem,max,
@@ -45,6 +46,9 @@ def stack_stats(df: DataFrame, keys: Sequence[str], value: str,
     Single shuffle on ``keys`` with map-side partial aggregation; the
     variance is derived from exact decimal sums so the result is
     reproducible under any partitioning (see module docstring).
+    ``extra_aggs`` rides additional aggregate columns on the SAME
+    groupBy — callers needing stats plus other aggregates should pass
+    them here rather than aggregating twice and joining.
     """
     p = prefix
     v = F.col(value)
@@ -54,6 +58,7 @@ def stack_stats(df: DataFrame, keys: Sequence[str], value: str,
         F.count(v).cast("bigint").alias(f"{p}count"),
         F.max(v).alias(f"{p}max"),
         F.min(v).alias(f"{p}min"),
+        *[c.alias(name) for name, c in (extra_aggs or {}).items()],
     )
     n = F.col(f"{p}count").cast("double")
     mean = F.col("__sum") / n

@@ -74,6 +74,25 @@ def shingles(df: DataFrame, text_col: str, id_cols: Sequence[str],
     )
 
 
+def shingle_set_col(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of ONE document as a per-row
+    array expression — no explode, no shuffle, pure codegen.
+
+    This is the preferred formulation whenever shingles are consumed
+    per-document (set building, minhash): a document's shingle set is a
+    row-local quantity, so deriving it through explode + groupBy (two
+    712k-row shuffles at sf0.1) is pure waste. Use :func:`shingles`
+    only when downstream genuinely needs shingle-level rows (the
+    inverted-index join shape).
+    """
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.substring(text, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_hash(shingle: Column) -> Column:
     """3-char shingle → bigint, pure codepoint arithmetic (identical in
     Spark and DuckDB: ascii() is the first codepoint in both)."""
@@ -106,6 +125,100 @@ def minhash_signature(sh: DataFrame, id_cols: Sequence[str]) -> DataFrame:
         *ids, F.col("p.i").alias("i"),
         ((F.col("p.a") * F.col("h") + F.col("p.b")) % MOD).alias("ph"))
     return expanded.groupBy(*ids, "i").agg(F.min("ph").alias("mh"))
+
+
+def minhash_cols(hash_array: Column) -> list[Column]:
+    """All N_PERM minhashes of a document's shingle-HASH array as
+    per-row expressions (``mh0``..``mh{N-1}``) — zero shuffles.
+
+    CRITICAL: ``hash_array`` must reference a MATERIALIZED column (a
+    prior ``select`` stage), not an inline expression. These N_PERM
+    output columns each reference the array; if the array is an inline
+    expression, CollapseProject duplicates its whole computation into
+    every column (measured 8x slowdown at sf0.1). Stage it:
+
+        hs = df.select(..., F.transform(ss, shingle_hash).alias("hs"))
+        sig = hs.select(..., *minhash_cols(F.col("hs")))
+
+    NB: captures go through a closure factory, not lambda defaults —
+    pyspark derives higher-order-function arity from the lambda's
+    parameter count, so ``lambda h, i=i:`` would be read as (elem, idx).
+    """
+    def perm(i: int):
+        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MOD
+
+    return [F.array_min(F.transform(hash_array, perm(i))).alias(f"mh{i}")
+            for i in range(N_PERM)]
+
+
+def token_hashes_16bit(token_array: Column,
+                       n_bits: int = SIMHASH_BITS) -> Column:
+    """Per-row array of 16-bit token hashes (first/last codepoint +
+    length, modular) — materialize this as a column before feeding
+    :func:`simhash_col` (see minhash_cols note on CollapseProject)."""
+    return F.transform(
+        token_array,
+        lambda t: ((F.ascii(F.substring(t, 1, 1)).cast("bigint") * 8191
+                    + F.ascii(F.substring(t, F.length(t), F.lit(1)))
+                    .cast("bigint") * 131
+                    + F.length(t)) % MOD) % (1 << n_bits))
+
+
+def simhash_col(hash_array: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """Count-weighted SimHash over a MATERIALIZED 16-bit token-hash
+    array column, as one per-row expression — zero shuffles.
+
+    Token multiplicity weights naturally: the per-bit signed sum
+    aggregates over the RAW hash array (duplicates included), which is
+    exactly the count-weighted formulation. The 16 per-bit aggregates
+    each reference ``hash_array``; pass a real column, not an inline
+    expression, or CollapseProject duplicates the tokenization into
+    every bit lane.
+    """
+    def bit_sum(w: int):
+        return lambda acc, h: acc + (F.floor(h / w) % 2) * 2 - 1
+
+    out = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        w = 1 << j
+        s_j = F.aggregate(hash_array, F.lit(0).cast("bigint"), bit_sum(w))
+        out = out + F.when(s_j > 0, F.lit(w)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def minhash_signature_wide(sh: DataFrame,
+                           id_cols: Sequence[str]) -> DataFrame:
+    """(id_cols, mh0..mh{N-1}): all N_PERM minhashes in ONE groupBy with
+    N min-aggregate columns — no ×N_PERM explode, no N·|shingles| row
+    shuffle. This is the scale formulation: shuffle volume equals the
+    shingle count, and map-side partial MIN does the rest.
+    """
+    ids = list(id_cols)
+    # Project the shingle hash ONCE; inlining it into each MIN would
+    # re-evaluate the ascii/substring chain N_PERM times per row.
+    hashed = sh.select(*ids, shingle_hash(F.col("shingle")).alias("h"))
+    return hashed.groupBy(*ids).agg(*[
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MOD)
+        .alias(f"mh{i}")
+        for i in range(N_PERM)])
+
+
+def band_signatures_wide(sig_wide: DataFrame,
+                         id_cols: Sequence[str]) -> DataFrame:
+    """(id_cols, band, band_sig) from the wide signature — a 4-element
+    explode per doc (cheap) instead of a 16-row aggregation."""
+    ids = list(id_cols)
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("-", *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            ]).alias("band_sig"))
+        for b in range(N_BANDS)])).alias("bb")
+    return sig_wide.select(*ids, bands).select(
+        *ids, F.col("bb.band").alias("band"),
+        F.col("bb.band_sig").alias("band_sig"))
 
 
 def band_signatures(sig: DataFrame, id_cols: Sequence[str]) -> DataFrame:
@@ -143,6 +256,63 @@ def simhash(df: DataFrame, id_cols: Sequence[str], token_col: str = "token",
     return per_bit.groupBy(*ids).agg(
         F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
         .cast("bigint").alias("simhash"))
+
+
+def blocked_pairs(sets: DataFrame, block_cols: Sequence[str],
+                  payload: dict[str, str],
+                  redistribute: int | None = None,
+                  combine=None) -> DataFrame:
+    """All within-block (d1 < d2) document pairs WITHOUT a self-join.
+
+    Input: one row per doc with block columns, ``doc_id`` and payload
+    columns. The block's rows are collected into one array, pairs are
+    generated by a nested higher-order ``transform`` (i < j index
+    slicing), and exploded back out — a single linear pipeline, so the
+    upstream set-building subtree executes exactly once (a self-join
+    would compute it per side; Spark does not always reuse the
+    exchange).
+
+    ``combine(x, y) -> list[Column]``: when given, pair structs carry
+    ``(d1, d2, *combine(x, y))`` instead of copies of both payloads.
+    Compute pairwise results (array intersections, distances) HERE —
+    copying array payloads into every pair struct materializes
+    O(block² · payload) bytes per block row before the explode, which
+    is pure GC pressure (measured 2-3x slowdown + wild variance).
+
+    Scale contract: one output row per within-block pair — the caller
+    bounds the largest block. One block row must fit in task memory
+    (fine for blocks up to a few thousand docs; beyond that use LSH
+    banding, s03-style).
+    """
+    blocks = list(block_cols)
+    fields = [F.col("doc_id").alias("doc_id")] + [
+        F.col(src).alias(dst) for src, dst in payload.items()]
+    arr_col = F.array_sort(F.collect_list(F.struct(*fields)))
+    grouped = sets.groupBy(*blocks).agg(arr_col.alias("__arr"))
+    if redistribute:
+        # Spread the (few, AQE-coalesced) block rows BEFORE the explode:
+        # downstream per-pair work then parallelizes across the cluster,
+        # and the shuffle moves one array row per block instead of one
+        # row per pair.
+        grouped = grouped.repartition(redistribute)
+    arr = F.col("__arr")
+
+    def pair_struct(x, y):
+        head = [x["doc_id"].alias("d1"), y["doc_id"].alias("d2")]
+        if combine is not None:
+            return F.struct(*head, *combine(x, y))
+        return F.struct(
+            *head,
+            *[x[dst].alias(f"{dst}_1") for dst in payload.values()],
+            *[y[dst].alias(f"{dst}_2") for dst in payload.values()])
+
+    pairs = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + 2, F.size(arr)),
+            lambda y: pair_struct(x, y))))
+    return (grouped.select(*blocks, F.explode(pairs).alias("p"))
+            .select(*blocks, "p.*"))
 
 
 def vector_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

@@ -135,13 +135,15 @@ def m01_stacked_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = prop.withColumn(
         "transmission_corrected",
         physics.apply_tcf(F.col("transmission"), F.col("largest_tcf")))
-    stats = stack_stats(corr, ["batch", "configuration"],
-                        "transmission_corrected", prefix="t_")
-    extra = corr.groupBy("batch", "configuration").agg(
-        stable_round(dsum("direct_flux")).alias("flux_sum"),
-        F.max("max_scatter_prob").alias("max_scatter_prob"),
-    )
-    out = stats.join(extra, ["batch", "configuration"])
+    # One shuffle: the flux sum and propagated max ride on the same
+    # groupBy as the stack statistics (no second aggregation, no join).
+    out = stack_stats(
+        corr, ["batch", "configuration"], "transmission_corrected",
+        prefix="t_",
+        extra_aggs={
+            "flux_sum": stable_round(dsum("direct_flux")),
+            "max_scatter_prob": F.max("max_scatter_prob"),
+        })
     return out.select(
         "batch", "configuration", "t_count", "t_max", "t_min",
         "max_scatter_prob",

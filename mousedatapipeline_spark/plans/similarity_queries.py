@@ -97,26 +97,39 @@ def s01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(lang, source) blocks.",
 )
 def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical strategy choice: an inverted-index join (explode on
+    # shingle, self-join, count) blows up when the shingle vocabulary is
+    # small — here only ~400 distinct 3-grams exist, so shingle groups
+    # are huge and the join emits ~14M intermediate rows at sf0.1.
+    # Instead the shingle SET is computed as a per-row array expression
+    # (zero shuffles — a document's shingle set is row-local), pairs are
+    # generated per (lang, source) block without a self-join
+    # (S.blocked_pairs), and the overlap is a JVM-side array_intersect.
+    # One small shuffle total; pair count bounded by block size.
+    # With large blocks + rich vocabulary the inverted index wins; the
+    # true scale path is s03's MinHash banding.
     d = load(spark, sf_dir, "documents")
-    sh = S.shingles(d, "text", ["doc_id", "lang", "source"])
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "lang", "source", "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "lang", "source", "shingle")
-    common = (
-        a.join(b, ["shingle", "lang", "source"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
-    jac = (
-        common
-        .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .withColumn("jaccard_raw",
-                    F.col("n_common").cast("double")
-                    / (F.col("n1") + F.col("n2") - F.col("n_common"))
-                    .cast("double")))
+    sets = d.select(
+        "doc_id", "lang", "source",
+        S.shingle_set_col(F.col("text")).alias("shs"),
+    ).withColumn("n", F.size("shs").cast("bigint"))
+    # The intersect happens INSIDE the pair lambda (combine=): pair
+    # structs carry five scalars, never copies of the shingle arrays.
+    pairs = S.blocked_pairs(
+        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        redistribute=spark.sparkContext.defaultParallelism,
+        combine=lambda x, y: [
+            x["n"].alias("n_1"), y["n"].alias("n_2"),
+            F.size(F.array_intersect(x["shs"], y["shs"]))
+            .cast("bigint").alias("n_common"),
+        ])
+    scored = pairs.withColumn(
+        "jaccard_raw",
+        F.col("n_common").cast("double")
+        / (F.col("n_1") + F.col("n_2") - F.col("n_common"))
+        .cast("double"))
     return (
-        jac.filter(F.col("jaccard_raw") >= 0.6)
+        scored.filter(F.col("jaccard_raw") >= 0.6)
         .select("d1", "d2", "n_common",
                 stable_round(F.col("jaccard_raw")).alias("jaccard"))
     )
@@ -126,21 +139,31 @@ def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding: the scale path for near-dup — candidates come
 # only from shared (lang, band, signature) buckets, never all-pairs.
 # --------------------------------------------------------------------------
+def _minhash_wide_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({S.MINHASH_A[i]}::BIGINT * h + {S.MINHASH_B[i]}::BIGINT) "
+        f"% 2147483647) AS mh{i}"
+        for i in range(S.N_PERM))
+    return f"SELECT doc_id, lang, {mins} FROM h GROUP BY doc_id, lang"
+
+
+def _bands_wide_sql() -> str:
+    selects = []
+    for b in range(S.N_BANDS):
+        cols = range(b * S.ROWS_PER_BAND, (b + 1) * S.ROWS_PER_BAND)
+        sig = " || '-' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in cols)
+        selects.append(
+            f"SELECT doc_id, lang, {b} AS band, {sig} AS band_sig FROM mh")
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "s03_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
     h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
-    mh AS (
-      SELECT doc_id, lang, i, MIN((a * h + b) % 2147483647) AS mh
-      FROM h, {S.minhash_params_sql()}
-      GROUP BY doc_id, lang, i
-    ),
-    bands AS (
-      SELECT doc_id, lang, CAST(i // {S.ROWS_PER_BAND} AS INT) AS band,
-             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
-      FROM mh GROUP BY doc_id, lang, CAST(i // {S.ROWS_PER_BAND} AS INT)
-    )
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()})
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(COUNT(*) AS BIGINT) AS shared_bands
     FROM bands a JOIN bands b
@@ -149,17 +172,39 @@ def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="MinHash (16 perms) + LSH (4 bands x 4): near-dup candidate "
-        "pairs sharing at least one band bucket.",
+        "pairs sharing at least one band bucket. Wide formulation: one "
+        "groupBy with 16 MIN columns — shuffle volume = shingle count, "
+        "not 16x it.",
 )
 def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signature computation is fully per-row (S.minhash_cols): the
+    # shingle-hash array and all 16 permutation minima are array
+    # expressions — zero shuffles until the bucket grouping. Candidate
+    # pairs come from S.blocked_pairs per (lang, band, band_sig)
+    # bucket — no self-join, no recomputation of the signature subtree —
+    # then one count shuffle keyed (d1, d2).
     d = load(spark, sf_dir, "documents")
-    sh = S.shingles(d, "text", ["doc_id", "lang"])
-    sig = S.minhash_signature(sh, ["doc_id", "lang"])
-    bands = S.band_signatures(sig, ["doc_id", "lang"])
+    # Staged selects: ss and hs are materialized columns so the 16
+    # minhash projections share them (inline expressions would be
+    # duplicated into every column by CollapseProject — measured 8x
+    # slower). Shingle-less docs are dropped before banding (the
+    # oracle's shingle relation has no rows for them).
+    withset = d.select("doc_id", "lang",
+                       S.shingle_set_col(F.col("text")).alias("ss"))
+    hashed = (withset.filter(F.size("ss") > 0)
+              .select("doc_id", "lang",
+                      F.transform("ss", S.shingle_hash).alias("hs")))
+    sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
+    bands = S.band_signatures_wide(sig, ["doc_id", "lang"])
+    # Bucket pairing via self-join, NOT blocked_pairs: LSH buckets are
+    # skewed (one 925-doc bucket at sf0.1 => 427k pairs), and the
+    # array-based pair generator would materialize a whole bucket's
+    # pairs in one task. The join spreads pair production across
+    # partitions of the bucket key; AQE skew-join splits the hot bucket.
     a = bands.select(F.col("doc_id").alias("d1"), "lang", "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("d2"), "lang", "band", "band_sig")
     return (
-        a.join(b, ["band", "band_sig", "lang"])
+        a.join(b, ["lang", "band", "band_sig"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_bands"))
@@ -207,29 +252,21 @@ def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pairs at hamming <= 3 within (lang, source) blocks.",
 )
 def s04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SimHash is a per-row expression over the raw token array
+    # (S.simhash_col — count weighting falls out of aggregating with
+    # multiplicity): zero shuffles to compute 5000 signatures. Pairing
+    # is blocked per (lang, source) without a self-join.
     d = load(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", "lang", "source",
-                 F.explode(T.tokens(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "lang", "source", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    th = tok.withColumn(
-        "th",
-        (F.ascii(F.substring("token", 1, 1)).cast("bigint") * 8191
-         + F.ascii(F.substring(F.col("token"), F.length("token"), F.lit(1)))
-         .cast("bigint") * 131
-         + F.length("token")) % S.MOD)
-    sim = S.simhash(th, ["doc_id", "lang", "source"], count_col="n")
-    a = sim.select(F.col("doc_id").alias("d1"), "lang", "source",
-                   F.col("simhash").alias("s1"))
-    b = sim.select(F.col("doc_id").alias("d2"), "lang", "source",
-                   F.col("simhash").alias("s2"))
-    pairs = (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("d1") < F.col("d2"))
-        .withColumn("hamming",
-                    F.bit_count(F.expr("s1 ^ s2")).cast("int")))
-    return pairs.filter(F.col("hamming") <= 3).select("d1", "d2", "hamming")
+    # Stage the token-hash array so the 16 per-bit aggregates share it.
+    hashed = d.select(
+        "doc_id", "lang", "source",
+        S.token_hashes_16bit(T.tokens(F.col("text"))).alias("ths"))
+    sim = hashed.select("doc_id", "lang", "source",
+                        S.simhash_col(F.col("ths")).alias("simhash"))
+    pairs = S.blocked_pairs(sim, ["lang", "source"], {"simhash": "sh"})
+    out = pairs.withColumn(
+        "hamming", F.bit_count(F.expr("sh_1 ^ sh_2")).cast("int"))
+    return out.filter(F.col("hamming") <= 3).select("d1", "d2", "hamming")
 
 
 # --------------------------------------------------------------------------

@@ -108,6 +108,9 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Tokenize once, score once; the prediction reuses the score columns
+    # instead of re-deriving them (halves the expression tree — the
+    # token split/filter is the dominant cost of this projection).
     toks = T.tokens(F.col("text"))
     scored = d.select(
         "doc_id", "lang",
@@ -116,11 +119,19 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.marker_count(toks, T.LANG_MARKERS["fr"]).alias("fr_score"),
         T.marker_count(toks, T.LANG_MARKERS["es"]).alias("es_score"),
         T.cjk_count(F.col("text")).alias("cjk_chars"),
-        T.predict_language(F.col("text")).alias("predicted_lang"),
     )
-    return scored.withColumn(
-        "correct",
-        (F.col("predicted_lang") == F.col("lang")).cast("int"))
+    en, de = F.col("en_score"), F.col("de_score")
+    fr, es = F.col("fr_score"), F.col("es_score")
+    pred = (
+        F.when(F.col("cjk_chars") > 0, F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es")))
+    return (scored.withColumn("predicted_lang", pred)
+            .withColumn("correct",
+                        (F.col("predicted_lang") == F.col("lang"))
+                        .cast("int")))
 
 
 @register(
