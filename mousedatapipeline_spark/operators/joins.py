@@ -113,7 +113,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 def background_self_join(df: DataFrame, keys: Sequence[str],
                          bg_keys: Sequence[str],
                          value_cols: Sequence[str],
-                         suffix: str = "_bg") -> DataFrame:
+                         suffix: str = "_bg",
+                         order_col: str | None = None) -> DataFrame:
     """J3/J4 — attach the background measurement's values to each sample
     row via its background identifier; a row may be its own background.
 
@@ -127,12 +128,24 @@ def background_self_join(df: DataFrame, keys: Sequence[str],
     Scale: self-join on the bg identifier; background sets are a small
     fraction of measurements, so the right side (deduped backgrounds) is
     broadcast-eligible — hint applied.
+
+    ``order_col`` makes the per-key background pick deterministic via
+    min_by (the stacker's "from first file" = lowest repetition,
+    src/post_translation_operation_hdf5_stacker.py:191-214); without it
+    the pick among same-key rows is arbitrary (dropDuplicates).
     """
     keys, bg_keys = list(keys), list(bg_keys)
-    bg_side = df.select(
-        *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)],
-        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
-    ).dropDuplicates(bg_keys)
+    if order_col is not None:
+        bg_side = df.groupBy(
+            *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)]
+        ).agg(*[
+            F.min_by(F.col(v), F.col(order_col)).alias(f"{v}{suffix}")
+            for v in value_cols])
+    else:
+        bg_side = df.select(
+            *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)],
+            *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+        ).dropDuplicates(bg_keys)
     joined = df.join(F.broadcast(bg_side), bg_keys, "left")
     same = F.lit(True)
     for k, b in zip(keys, bg_keys):

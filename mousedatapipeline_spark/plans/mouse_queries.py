@@ -293,3 +293,181 @@ def m04_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("missing", ",").alias("missing"),
         F.col("is_complete").cast("int").alias("is_complete"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end pipeline: the watcher's full step program as ONE lazy plan
+# (pipeline.full_program). Three shuffles total: A4 window, J3 broadcast
+# join, A1/A2 stacking groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "m05_pipeline_e2e",
+    oracle=f"""
+    WITH m0 AS ({_MEASUREMENT_SQL_CTE}),
+    m AS (
+      SELECT *, ymd AS bg_ymd,
+             CAST(FLOOR(batch / 10.0) AS BIGINT) * 10 AS bg_batch
+      FROM m0
+    ),
+    lb AS (
+      SELECT DISTINCT ymd, batch,
+             'S_' || CAST(batch AS VARCHAR) AS sample_name
+      FROM m0
+    ),
+    j1 AS (
+      SELECT m.*, lb.sample_name,
+             CASE WHEN m.wavelength_nm <= 0.0 THEN 0.0
+                  ELSE 1.2398419843320026 / m.wavelength_nm END AS energy_kev
+      FROM m LEFT JOIN lb ON m.ymd = lb.ymd AND m.batch = lb.batch
+    ),
+    prop AS (
+      SELECT *,
+             MAX(tcf) OVER (PARTITION BY ymd, batch) AS largest_tcf,
+             MAX(scattering_prob) OVER (PARTITION BY ymd, batch)
+               AS max_scatter_prob
+      FROM j1
+    ),
+    corr AS (
+      SELECT *,
+             CASE WHEN largest_tcf > 1.0 THEN transmission * largest_tcf
+                  ELSE transmission END AS transmission_corrected
+      FROM prop
+    ),
+    bg AS (
+      SELECT ymd AS bg_ymd, batch AS bg_batch,
+             MIN_BY(transmission_corrected, repetition) AS tc_bg
+      FROM corr GROUP BY 1, 2
+    ),
+    jb AS (
+      SELECT c.*, bg.tc_bg,
+             (c.bg_ymd = c.ymd AND c.bg_batch = c.batch) AS same_bg
+      FROM corr c LEFT JOIN bg
+        ON c.bg_ymd = bg.bg_ymd AND c.bg_batch = bg.bg_batch
+    ),
+    a AS (
+      SELECT *,
+             CASE WHEN tc_bg IS NOT NULL AND tc_bg <> 0.0 AND NOT same_bg
+                  THEN 1.0 - transmission_corrected / tc_bg
+                  ELSE 1.0 - transmission_corrected END AS ac
+      FROM jb
+    ),
+    th AS (
+      SELECT *,
+             CASE WHEN samplethickness >= 0.0 THEN samplethickness
+                  WHEN mu > 0.0 AND ABS(ac) > 0.0 AND ABS(ac) <= 1.0
+                  THEN -SIGN(ac) * LN(1.0 - ABS(ac)) / mu
+                  ELSE -1.0 END AS thickness
+      FROM a
+    ),
+    s AS (
+      SELECT ymd, batch, configuration,
+             CAST(SUM(CAST(transmission_corrected AS DECIMAL(30,10)))
+                  AS DOUBLE) AS su,
+             CAST(SUM(CAST(transmission_corrected * transmission_corrected
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS t_count,
+             MAX(transmission_corrected) AS t_max,
+             MIN(transmission_corrected) AS t_min,
+             CAST(SUM(CAST(direct_flux AS DECIMAL(30,10))) AS DOUBLE)
+               AS flux_sum,
+             CAST(SUM(CAST(thickness AS DECIMAL(30,10))) AS DOUBLE)
+               AS thick_sum,
+             MAX(max_scatter_prob) AS max_scatter_prob
+      FROM th GROUP BY 1, 2, 3
+    )
+    SELECT ymd, batch, configuration, t_count, t_max, t_min,
+           max_scatter_prob,
+           {stable_round_sql('su / CAST(t_count AS DOUBLE)')} AS t_mean,
+           CASE WHEN t_count > 1 THEN {stable_round_sql('''
+                   SQRT(GREATEST((sq - (su * su) / CAST(t_count AS DOUBLE))
+                        / (CAST(t_count AS DOUBLE) - 1.0), 0.0))''')}
+                END AS t_std,
+           {stable_round_sql('flux_sum')} AS flux_sum,
+           {stable_round_sql('thick_sum / CAST(t_count AS DOUBLE)')}
+             AS thickness_mean
+    FROM s
+    """,
+    doc="End-to-end watcher program (watcher.py:78-89 ordering) as one "
+        "lazy plan: logbook join -> energy -> flux/transmission -> TCF "
+        "propagation -> gated correction -> background thickness -> "
+        "stacked statistics. Exercises pipeline.full_program.",
+)
+def m05_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark import pipeline as P
+
+    m = measurements(spark, sf_dir).withColumns({
+        "bg_ymd": F.col("ymd"),
+        "bg_batch": (F.col("batch").cast("bigint") / 10).cast("bigint") * 10,
+    })
+    logbook = m.select("ymd", "batch").distinct().withColumn(
+        "sample_name", F.concat_ws("_", F.lit("S"), F.col("batch")))
+    out = P.full_program(logbook)(m)
+    return out.select(
+        "ymd", "batch", "configuration", "t_count", "t_max", "t_min",
+        "max_scatter_prob",
+        stable_round(F.col("t_mean")).alias("t_mean"),
+        stable_round(F.col("t_std")).alias("t_std"),
+        stable_round(F.col("flux_sum")).alias("flux_sum"),
+        stable_round(F.col("thickness_mean")).alias("thickness_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: the as-of mask join — nearest mask dated <= the measurement, per
+# configuration, via the union+carry-forward asof_join operator (single
+# shuffle, no pair explosion).
+# --------------------------------------------------------------------------
+_MASKS_SQL = """
+      SELECT p_partkey AS mask_id,
+             CAST(p_partkey % 3 AS INT) AS configuration,
+             strftime(DATE '1994-01-01'
+                      + INTERVAL (p_partkey % 2500) DAY, '%Y%m%d') AS mask_ymd,
+             'masks/' || CAST(p_partkey AS VARCHAR) || '.nxs' AS mask_path
+      FROM part WHERE p_partkey < 300
+"""
+
+
+@register(
+    "m06_asof_mask",
+    oracle=f"""
+    WITH m AS ({_MEASUREMENT_SQL_CTE}),
+    masks AS ({_MASKS_SQL}),
+    ranked AS (
+      SELECT m.batch, m.repetition, m.configuration, m.ymd,
+             masks.mask_id, masks.mask_path,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.batch, m.repetition
+               ORDER BY masks.mask_ymd DESC, masks.mask_id DESC,
+                        masks.mask_path DESC) AS rn
+      FROM m JOIN masks
+        ON m.configuration = masks.configuration
+       AND masks.mask_ymd <= m.ymd
+    )
+    SELECT m.batch, m.repetition, m.configuration, m.ymd,
+           r.mask_id AS mask_id_asof, r.mask_path AS mask_path_asof
+    FROM m LEFT JOIN ranked r
+      ON m.batch = r.batch AND m.repetition = r.repetition AND r.rn = 1
+    """,
+    doc="J2: as-of mask join (processstep_add_mask_file.py:34-81) — "
+        "latest mask with mask_ymd <= measurement ymd per configuration; "
+        "no eligible mask -> NULL columns (step skipped).",
+)
+def m06_asof_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = measurements(spark, sf_dir).select(
+        "batch", "repetition", "configuration", "ymd")
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    masks = part.select(
+        F.col("p_partkey").alias("mask_id"),
+        (F.col("p_partkey") % 3).cast("int").alias("configuration"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1994-01-01")),
+                       (F.col("p_partkey") % 2500).cast("int")),
+            "yyyyMMdd").alias("mask_ymd"),
+        F.concat(F.lit("masks/"), F.col("p_partkey").cast("string"),
+                 F.lit(".nxs")).alias("mask_path"),
+    )
+    out = joins.asof_join(
+        m, masks, ["configuration"], "ymd", "mask_ymd",
+        ["mask_id", "mask_path"])
+    return out.select("batch", "repetition", "configuration", "ymd",
+                      "mask_id_asof", "mask_path_asof")
