@@ -136,11 +136,19 @@ def background_self_join(df: DataFrame, keys: Sequence[str],
     """
     keys, bg_keys = list(keys), list(bg_keys)
     if order_col is not None:
+        # One min_by over a composite (order, values...) struct: picks a
+        # single row deterministically even when order_col ties (the
+        # values themselves break the tie) — independent min_bys per
+        # column could mix rows.
+        picked = F.min_by(
+            F.struct(*[F.col(v) for v in value_cols]),
+            F.struct(F.col(order_col), *[F.col(v) for v in value_cols]))
         bg_side = df.groupBy(
             *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)]
-        ).agg(*[
-            F.min_by(F.col(v), F.col(order_col)).alias(f"{v}{suffix}")
-            for v in value_cols])
+        ).agg(picked.alias("__pick")).select(
+            *bg_keys,
+            *[F.col(f"__pick.{v}").alias(f"{v}{suffix}")
+              for v in value_cols])
     else:
         bg_side = df.select(
             *[F.col(k).alias(b) for k, b in zip(keys, bg_keys)],

@@ -100,6 +100,13 @@ def background_thickness(bg_key: Sequence[str] = ("bg_ymd", "bg_batch")) -> Step
         # df carries pointer columns named per bg_key (J4 dispersant
         # variants pass different names); keys (ymd, batch) are the
         # measurement's own identity.
+        #
+        # The background aggregation and the join's left side both
+        # consume df, so the upstream window chain executes twice.
+        # Measured: recomputing the (cheap, expression-only) chain beats
+        # materializing the full intermediate — do NOT checkpoint here;
+        # only materialize when the upstream is expensive relative to
+        # its size (see s03_minhash_lsh for the opposite call).
         joined = joins.background_self_join(
             df, ["ymd", "batch"], list(bg_key),
             ["transmission_corrected"], order_col="repetition")

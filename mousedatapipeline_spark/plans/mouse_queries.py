@@ -335,8 +335,12 @@ def m04_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bg AS (
       SELECT ymd AS bg_ymd, batch AS bg_batch,
-             MIN_BY(transmission_corrected, repetition) AS tc_bg
-      FROM corr GROUP BY 1, 2
+             transmission_corrected AS tc_bg
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY ymd, batch
+              ORDER BY repetition, transmission_corrected) AS rn
+            FROM corr)
+      WHERE rn = 1
     ),
     jb AS (
       SELECT c.*, bg.tc_bg,
@@ -433,20 +437,24 @@ _MASKS_SQL = """
     WITH m AS ({_MEASUREMENT_SQL_CTE}),
     masks AS ({_MASKS_SQL}),
     ranked AS (
+      -- (batch, repetition) is NOT unique in the synthetic data; ymd
+      -- joins the rank back to the measurement row that produced it.
       SELECT m.batch, m.repetition, m.configuration, m.ymd,
              masks.mask_id, masks.mask_path,
              ROW_NUMBER() OVER (
-               PARTITION BY m.batch, m.repetition
+               PARTITION BY m.batch, m.repetition, m.ymd
                ORDER BY masks.mask_ymd DESC, masks.mask_id DESC,
                         masks.mask_path DESC) AS rn
-      FROM m JOIN masks
+      FROM (SELECT DISTINCT batch, repetition, configuration, ymd FROM m) m
+      JOIN masks
         ON m.configuration = masks.configuration
        AND masks.mask_ymd <= m.ymd
     )
     SELECT m.batch, m.repetition, m.configuration, m.ymd,
            r.mask_id AS mask_id_asof, r.mask_path AS mask_path_asof
     FROM m LEFT JOIN ranked r
-      ON m.batch = r.batch AND m.repetition = r.repetition AND r.rn = 1
+      ON m.batch = r.batch AND m.repetition = r.repetition
+     AND m.ymd = r.ymd AND r.rn = 1
     """,
     doc="J2: as-of mask join (processstep_add_mask_file.py:34-81) — "
         "latest mask with mask_ymd <= measurement ymd per configuration; "
@@ -471,3 +479,117 @@ def m06_asof_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["mask_id", "mask_path"])
     return out.select("batch", "repetition", "configuration", "ymd",
                       "mask_id_asof", "mask_path_asof")
+
+
+# --------------------------------------------------------------------------
+# J4: the optional dispersant-background join — a second null-safe left
+# join; a NULL pointer (the reference's 'None' sentinel) means no join.
+# --------------------------------------------------------------------------
+@register(
+    "m07_dispersant_background",
+    oracle=f"""
+    WITH m0 AS ({_MEASUREMENT_SQL_CTE}),
+    m AS (
+      SELECT *,
+             CAST(FLOOR(batch / 10.0) AS BIGINT) * 10 AS bg_batch,
+             CASE WHEN batch % 4 = 0
+                  THEN CAST(FLOOR(batch / 20.0) AS BIGINT) * 20
+                  END AS dbg_batch
+      FROM m0
+    ),
+    bg AS (
+      SELECT batch AS k, transmission AS t_first
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY batch
+              ORDER BY repetition, transmission) AS rn
+            FROM m0)
+      WHERE rn = 1
+    )
+    SELECT m.batch, m.repetition, m.configuration,
+           CAST(m.dbg_batch IS NULL AS INT) AS no_dispersant,
+           {stable_round_sql('b1.t_first')} AS transmission_bg,
+           {stable_round_sql('b2.t_first')} AS transmission_dbg
+    FROM m
+    LEFT JOIN bg b1 ON m.bg_batch = b1.k
+    LEFT JOIN bg b2 ON m.dbg_batch = b2.k
+    """,
+    doc="J4: dispersant background as a second null-safe left join "
+        "(processstep_metadata_update.py:134-150, add_background_files.py:74-80); "
+        "real NULL replaces the reference's 'None' string sentinel.",
+)
+def m07_dispersant_background(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = measurements(spark, sf_dir).withColumns({
+        "bg_batch": (F.col("batch").cast("bigint") / 10).cast("bigint") * 10,
+        "dbg_batch": F.when(
+            F.col("batch") % 4 == 0,
+            (F.col("batch").cast("bigint") / 20).cast("bigint") * 20),
+    })
+    # (batch, repetition) is NOT unique in the synthetic data: break
+    # min_by ties with the value itself or the pick is engine-dependent.
+    bg = m.groupBy(F.col("batch").alias("k")).agg(
+        F.min_by("transmission",
+                 F.struct("repetition", "transmission")).alias("t_first"))
+    b1 = bg.select(F.col("k").alias("bg_batch"),
+                   F.col("t_first").alias("t_bg"))
+    b2 = bg.select(F.col("k").alias("dbg_batch"),
+                   F.col("t_first").alias("t_dbg"))
+    out = (m.join(F.broadcast(b1), "bg_batch", "left")
+           .join(F.broadcast(b2), "dbg_batch", "left"))
+    return out.select(
+        "batch", "repetition", "configuration",
+        F.col("dbg_batch").isNull().cast("int").alias("no_dispersant"),
+        stable_round(F.col("t_bg")).alias("transmission_bg"),
+        stable_round(F.col("t_dbg")).alias("transmission_dbg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P3: average->counts array rescale — multiply data arrays by the frame
+# count, skip when it is zero; pure higher-order array expressions.
+# --------------------------------------------------------------------------
+@register(
+    "m08_average_to_counts",
+    oracle=f"""
+    WITH arr AS (
+      SELECT l_orderkey AS batch, l_linenumber AS repetition,
+             CAST(l_orderkey % 3 AS INT) AS configuration,
+             CAST(l_orderkey % 4 AS BIGINT) AS n_frames,
+             [l_quantity, l_extendedprice / 100.0, l_discount] AS data_arr
+      FROM lineitem
+    )
+    SELECT batch, repetition, configuration, n_frames,
+           list_transform(data_arr, x ->
+             {stable_round_sql(
+                 'CASE WHEN n_frames = 0 THEN x ELSE x * n_frames END')})
+             AS counts_arr,
+           {stable_round_sql(
+               "CASE WHEN n_frames = 0 THEN 1.0 ELSE 1.0 * n_frames END")}
+             AS count_time_factor
+    FROM arr
+    """,
+    doc="P3: average-to-counts rescale (processstep_average_to_counts.py:47-74) "
+        "— data arrays x frame count, skipped when n_frames == 0; "
+        "higher-order transform, no UDF.",
+)
+def m08_average_to_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    arr = li.select(
+        F.col("l_orderkey").alias("batch"),
+        F.col("l_linenumber").alias("repetition"),
+        (F.col("l_orderkey") % 3).cast("int").alias("configuration"),
+        (F.col("l_orderkey") % 4).cast("bigint").alias("n_frames"),
+        F.array(F.col("l_quantity"),
+                F.col("l_extendedprice") / 100.0,
+                F.col("l_discount")).alias("data_arr"),
+    )
+    n = F.col("n_frames")
+    rescaled = F.transform(
+        F.col("data_arr"),
+        lambda x: stable_round(F.when(n == 0, x).otherwise(x * n)))
+    return arr.select(
+        "batch", "repetition", "configuration", "n_frames",
+        rescaled.alias("counts_arr"),
+        stable_round(
+            F.when(n == 0, F.lit(1.0)).otherwise(F.lit(1.0) * n))
+        .alias("count_time_factor"),
+    )

@@ -196,6 +196,12 @@ def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.transform("ss", S.shingle_hash).alias("hs")))
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = S.band_signatures_wide(sig, ["doc_id", "lang"])
+    # Materialize the (small) bands table once: both sides of the
+    # self-join read it, and Spark does not reliably reuse the subtree
+    # (different pushed-down projections defeat exchange reuse) — the
+    # whole per-row signature pipeline would run twice. On a cluster
+    # persist(MEMORY_AND_DISK) serves the same role.
+    bands = bands.localCheckpoint(eager=False)
     # Bucket pairing via self-join, NOT blocked_pairs: LSH buckets are
     # skewed (one 925-doc bucket at sf0.1 => 427k pairs), and the
     # array-based pair generator would materialize a whole bucket's
@@ -446,3 +452,34 @@ def s06_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "cid", "bucket", "rank", "cosine")
     )
+
+
+@register(
+    "s07_label_centroids",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS.replace("embeddings", "embeddings").strip()}
+    ),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {stable_round_sql(
+               'CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) '
+               '/ CAST(COUNT(*) AS DOUBLE)')} AS centroid_v
+    FROM labeled GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids (the IVF coarse-quantizer "
+        "training step): one groupBy on (label, dim) with exact decimal "
+        "means — the uniform dim key makes the shuffle skew-free.",
+)
+def s07_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    return labeled.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        stable_round(
+            F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double")).alias("centroid_v"))

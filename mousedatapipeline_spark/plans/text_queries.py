@@ -200,3 +200,62 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.content_hash(F.col("text")).alias("content_hash"),
         T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
     )
+
+
+@register(
+    "t05_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, UNNEST({_SQL_TOKENS}) AS u(t)
+      GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tok.doc_id, tok.term, tok.tf, df.df,
+             CAST(tok.tf AS DOUBLE)
+               * LN((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tok JOIN df ON tok.term = df.term
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY {stable_round_sql('tfidf')} DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, CAST(rn AS INT) AS rank,
+           {stable_round_sql('tfidf')} AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF: per-doc term frequencies x corpus inverse document "
+        "frequency, top-3 terms per document. Two shuffles (doc-term "
+        "counts, term df) + a broadcast of the tiny df table.",
+)
+def t05_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = float(d.count())  # driver-side scalar: one tiny job
+    tok = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    df_tbl = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tok.join(F.broadcast(df_tbl), "term")
+        .withColumn("tfidf",
+                    F.col("tf").cast("double")
+                    * F.log(F.lit(n_docs) / F.col("df").cast("double"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        stable_round(F.col("tfidf")).desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank",
+                stable_round(F.col("tfidf")).alias("tfidf"))
+    )
