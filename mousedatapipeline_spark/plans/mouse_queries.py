@@ -81,8 +81,9 @@ def measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Flagship: the minimum end-to-end slice of SURVEY §7.2.2 — expressions ->
 # window propagation -> gated correction -> grouped stack statistics.
-# One window shuffle on batch, one agg shuffle on (batch, configuration);
-# at scale both are map-side-combined and AQE-coalesced.
+# ONE shuffle total: the window partitions on batch, and Spark accepts
+# that partitioning as satisfying the (batch, configuration) clustering
+# of the downstream groupBy (asserted in tests/test_plan_shapes.py).
 # --------------------------------------------------------------------------
 @register(
     "m01_stacked_summary",

@@ -1,0 +1,137 @@
+"""Physical-plan assertions: the scale properties the engine is
+designed around must be visible in the executed plan, not just claimed
+in docstrings — broadcast joins for dimensions, column pruning into the
+parquet scan, bounded shuffle counts, whole-stage codegen coverage.
+
+These tests run the planner only (explain), not the queries, so they
+are cheap and catch plan regressions (a lost broadcast hint, a new
+accidental shuffle) immediately.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from mousedatapipeline_spark.plans import catalog
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+_needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"no test data at {SF_DIR}")
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = catalog.all_queries()[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = catalog.all_queries()[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _count_shuffles(plan: str) -> int:
+    # Exchange nodes that move data between stages (not broadcasts,
+    # not AQE re-reads of an already-shuffled stage).
+    return len(re.findall(r"Exchange (?:hash|range|rangepartitioning|"
+                          r"RoundRobinPartitioning|hashpartitioning)",
+                          plan))
+
+
+@_needs_data
+def test_m01_has_exactly_one_data_shuffle(spark):
+    """Window on batch THEN groupBy (batch, configuration): Spark
+    recognizes that hash partitioning on `batch` already satisfies
+    clustering on the superset key, so the whole query is ONE shuffle —
+    any second Exchange is a regression."""
+    plan = _plan(spark, "m01_stacked_summary")
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_m03_scan_prunes_columns(spark):
+    """The metrics projection reads 6 of lineitem's 16 columns; the
+    pruned schema must reach the parquet scan."""
+    plan = _plan(spark, "m03_flux_thickness_table")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in read_cols
+    assert read_cols <= {"l_orderkey", "l_linenumber", "l_shipdate",
+                         "l_extendedprice", "l_discount", "l_tax",
+                         "l_quantity", "l_suppkey"}
+
+
+@_needs_data
+def test_m02_background_join_is_broadcast(spark):
+    plan = _plan(spark, "m02_background_thickness")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_t05_df_table_join_is_broadcast(spark):
+    plan = _plan(spark, "t05_tfidf")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_s05_knn_query_side_is_broadcast(spark):
+    plan = _plan(spark, "s05_knn_cosine")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_filter_pushdown_reaches_scan(spark):
+    """m06 filters part to p_partkey < 300; the predicate must appear as
+    a parquet PushedFilters entry, not a post-scan Filter only."""
+    plan = _plan(spark, "m06_asof_mask")
+    assert re.search(r"PushedFilters: \[.*LessThan\(p_partkey,300\)",
+                     plan), plan
+
+
+@_needs_data
+def test_text_queries_have_no_shuffle(spark):
+    """Per-document text analysis is a narrow projection — any Exchange
+    is a regression."""
+    for name in ("t01_token_stats", "t02_language_id",
+                 "t03_quality_score", "t04_fingerprint"):
+        plan = _plan(spark, name)
+        assert _count_shuffles(plan) == 0, (name, plan)
+
+
+@_needs_data
+def test_simhash_signatures_no_shuffle_before_blocking(spark):
+    """s04: exactly one data shuffle (the block groupBy) + the pair
+    redistribution; signature computation itself must not shuffle."""
+    plan = _plan(spark, "s04_simhash")
+    assert _count_shuffles(plan) <= 2, plan
+
+
+@_needs_data
+def test_whole_stage_codegen_covers_physics(spark):
+    """The physics expression chain must run inside WholeStageCodegen
+    (no interpreted projections in the hot path)."""
+    plan = _plan(spark, "q09_thickness_physics")
+    # codegen stages are marked `*(n)` in the executed-plan string
+    assert "*(1)" in plan, plan
+
+
+@_needs_data
+def test_asof_join_single_shuffle(spark):
+    """The union+carry-forward as-of join is one window shuffle (plus
+    the tiny mask-side scan) — never a pair-exploding join."""
+    plan = _plan(spark, "m06_asof_mask")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@_needs_data
+def test_no_query_uses_cartesian_or_nested_loop(spark):
+    for name, spec in catalog.all_queries().items():
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): the guard/sentinel semantics and
+cross-engine determinism hold over the whole input domain, not just
+hand-picked cases. Spark expressions are exercised through a single
+cached session; each property batches its examples into ONE DataFrame
+so hypothesis's many examples cost one Spark job."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions import physics
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e12, max_value=1e12)
+small = st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(finite, min_size=1, max_size=30))
+def test_stable_round_cross_engine(spark, xs):
+    rows = spark.createDataFrame([(x,) for x in xs], "v double").select(
+        stable_round(F.col("v")).alias("r")).collect()
+    con = duckdb.connect()
+    sql = stable_round_sql("?::DOUBLE")
+    n_params = sql.count("?")
+    for x, row in zip(xs, rows):
+        d = con.execute(f"SELECT {sql}", [x] * n_params).fetchone()[0]
+        s = row["r"]
+        assert s == d or (math.isnan(s) and math.isnan(d)), (x, s, d)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(small, small), min_size=1, max_size=30))
+def test_thickness_guard_domain(spark, pairs):
+    """P8: invalid inputs give EXACTLY the -1.0 sentinel; valid inputs
+    give the closed form t = -sign(a)·ln(1-|a|)/mu — including the
+    reference's own overflow behavior (subnormal mu -> +inf passes the
+    mu > 0 guard there too; defensive PARITY, not extra safety)
+    (src/processstep_thickness_from_absorption.py:36-52)."""
+    df = spark.createDataFrame(pairs, "a double, mu double")
+    rows = df.select(
+        "a", "mu",
+        physics.thickness_from_absorption(F.col("a"), F.col("mu"))
+        .alias("t")).collect()
+    for r in rows:
+        t, a, mu = r["t"], r["a"], r["mu"]
+        valid = mu > 0 and 0 < abs(a) <= 1
+        if not valid:
+            assert t == -1.0, (a, mu, t)
+        else:
+            expect = -math.copysign(1.0, a) * math.log(1.0 - abs(a)) / mu
+            if math.isfinite(expect):
+                assert t == pytest.approx(expect, rel=1e-9), (a, mu, t)
+            else:
+                assert t == expect, (a, mu, t)  # inf parity
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(small, st.one_of(st.none(), small)),
+                min_size=1, max_size=30))
+def test_apply_tcf_gate(spark, pairs):
+    """P13: transmission changes iff tcf > 1; NULL tcf is a no-op."""
+    df = spark.createDataFrame(pairs, "t double, tcf double")
+    rows = df.select(
+        "t", "tcf",
+        physics.apply_tcf(F.col("t"), F.col("tcf")).alias("out")).collect()
+    for r in rows:
+        if r["tcf"] is not None and r["tcf"] > 1:
+            assert r["out"] == pytest.approx(r["t"] * r["tcf"])
+        else:
+            assert r["out"] == r["t"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=2, max_size=50))
+def test_stack_stats_matches_numpy_property(spark, vals):
+    import numpy as np
+
+    from mousedatapipeline_spark.operators.aggregates import stack_stats
+
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    row = stack_stats(df, ["k"], "v").collect()[0]
+    assert row["count"] == len(vals)
+    assert row["mean"] == pytest.approx(float(np.mean(vals)), rel=1e-9,
+                                        abs=1e-9)
+    expected_std = float(np.std(vals, ddof=1))
+    assert row["std"] == pytest.approx(expected_std, rel=1e-6, abs=1e-6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10), min_size=1,
+                max_size=40),
+       st.integers(min_value=1, max_value=5))
+def test_sessionize_session_count_invariant(spark, gaps, gap_limit):
+    """Session count == 1 + number of gaps exceeding the limit,
+    regardless of partitioning."""
+    from datetime import datetime, timedelta
+
+    from mousedatapipeline_spark.operators.windows import sessionize
+
+    ts, times = datetime(2024, 1, 1), []
+    for g in gaps:
+        ts += timedelta(seconds=g)
+        times.append(ts)
+    df = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(times)],
+        "user_id int, ts timestamp, eid int").repartition(3)
+    out = sessionize(df, "user_id", "ts", gap_seconds=gap_limit,
+                     tiebreak="eid")
+    n_sessions = out.groupBy("user_id").agg(
+        F.max("session_seq").alias("n")).collect()[0]["n"]
+    expected = 1 + sum(1 for g in gaps[1:] if g > gap_limit)
+    assert n_sessions == expected
