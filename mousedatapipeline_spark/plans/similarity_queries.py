@@ -483,3 +483,127 @@ def s07_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(
             F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
             / F.count(F.lit(1)).cast("double")).alias("centroid_v"))
+
+
+@register(
+    "s08_ann_ivf",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    centroids AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, dim
+    ),
+    cdots AS (
+      SELECT d.vec_id, c.label,
+             CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.label
+    ),
+    assign AS (
+      SELECT vec_id, label AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY {stable_round_sql('dot')} DESC, label) AS rn
+            FROM cdots)
+      WHERE rn = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, q.cell
+      FROM assign q JOIN assign c ON q.cell = c.cell
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    dots AS (
+      SELECT cand.qid, cand.cid, cand.cell,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM cand JOIN dims q ON cand.qid = q.vec_id
+                JOIN dims c ON cand.cid = c.vec_id AND q.dim = c.dim
+      GROUP BY 1, 2, 3
+    ),
+    cos AS (
+      SELECT qid, cid, cell,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN dot / (qn.norm * cn.norm) ELSE 0.0 END AS cosine
+      FROM dots JOIN norms qn ON qid = qn.vec_id
+                JOIN norms cn ON cid = cn.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, cell, {stable_round_sql('cosine')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY {stable_round_sql('cosine')} DESC, cid) AS rank
+      FROM cos
+    )
+    SELECT qid, cid, cell, CAST(rank AS INT) AS rank, cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="ANN via IVF: per-label centroids are the trained coarse "
+        "quantizer (s07); vectors are assigned to their max-dot-product "
+        "cell, queries probe only their own cell, exact cosine re-rank "
+        "inside. The candidate set is bounded by cell size — the "
+        "inverted-file contract that survives corpus growth.",
+)
+def s08_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    norms = S.vector_norms(dims, "vec_id")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    centroids = labeled.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+    # Assignment: dot product against every centroid (the centroid table
+    # is tiny -> broadcast), argmax per vector with a deterministic
+    # tie-break on the rounded dot.
+    cdots = (
+        dims.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") * F.col("cv")).cast("decimal(30,10)"))
+             .cast("double").alias("dot")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        stable_round(F.col("dot")).desc(), F.col("label").asc())
+    assign = (cdots.withColumn("rn", F.row_number().over(w_assign))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", F.col("label").alias("cell")))
+    # Probe: same-cell candidates only; exact cosine re-rank within.
+    assign = assign.localCheckpoint(eager=False)  # consumed by both sides
+    qa = assign.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "cell")
+    ca = assign.select(F.col("vec_id").alias("cid"), "cell")
+    cand = (F.broadcast(qa).join(ca, "cell")
+            .filter(F.col("qid") != F.col("cid")))
+    q_dims = dims.select(F.col("vec_id").alias("qid"), "dim",
+                         F.col("v").alias("qv"))
+    c_dims = dims.select(F.col("vec_id").alias("cid"), "dim",
+                         F.col("v").alias("cv2"))
+    dots = (
+        cand.join(q_dims, "qid").join(c_dims, ["cid", "dim"])
+        .groupBy("qid", "cid", "cell")
+        .agg(F.sum((F.col("qv") * F.col("cv2")).cast("decimal(30,10)"))
+             .cast("double").alias("dot")))
+    q_norms = norms.select(F.col("vec_id").alias("qid"),
+                           F.col("norm").alias("qnorm"))
+    c_norms = norms.select(F.col("vec_id").alias("cid"),
+                           F.col("norm").alias("cnorm"))
+    cos = (
+        dots.join(q_norms, "qid").join(c_norms, "cid")
+        .withColumn(
+            "cosine",
+            stable_round(
+                F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                       F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+                .otherwise(F.lit(0.0)))))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "cell", "rank", "cosine")
+    )

@@ -51,22 +51,25 @@ def stream_manifest(spark: SparkSession, root: str, schema,
     )
 
 
-def dedupe_against_sink(batch: DataFrame, sink_path: str) -> DataFrame:
-    """W3 — idempotence: drop rows whose (ymd, batch, repetition) key is
-    already in the sink (the `already_processed` check, src/watcher.py:34-36,
-    as a left-anti join instead of a filesystem stat)."""
+def dedupe_against_sink(batch: DataFrame, sink_path: str,
+                        keys: Sequence[str] = REPETITION_KEYS) -> DataFrame:
+    """W3 — idempotence: drop rows whose key is already in the sink
+    (the `already_processed` check, src/watcher.py:34-36, as a
+    left-anti join instead of a filesystem stat)."""
     spark = batch.sparkSession
     try:
-        existing = spark.read.parquet(sink_path).select(*REPETITION_KEYS)
+        existing = spark.read.parquet(sink_path).select(*keys)
     except Exception:  # noqa: BLE001 - first batch: sink does not exist yet
         return batch
-    return batch.join(existing.dropDuplicates(list(REPETITION_KEYS)),
-                      list(REPETITION_KEYS), "left_anti")
+    return batch.join(existing.dropDuplicates(list(keys)),
+                      list(keys), "left_anti")
 
 
 def run_watcher(stream: DataFrame, pipeline: PipelineFn, sink_path: str,
                 checkpoint: str, *, available_now: bool = False,
-                trigger_seconds: int = 10) -> StreamingQuery:
+                trigger_seconds: int = 10,
+                dedupe_keys: Sequence[str] | None = REPETITION_KEYS
+                ) -> StreamingQuery:
     """W2–W5 — drive the batch pipeline from the stream.
 
     Each micro-batch: dedupe against the sink (W3), run the *batch*
@@ -75,9 +78,14 @@ def run_watcher(stream: DataFrame, pipeline: PipelineFn, sink_path: str,
     ``available_now=True`` drains the current backlog and stops — the
     mode tests use; the 10 s processing-time trigger mirrors the
     reference's poll interval (src/watcher.py:39).
+
+    ``dedupe_keys=None`` disables the sink-level dedupe — for
+    aggregation sinks (no row identity) where the checkpoint alone
+    provides exactly-once.
     """
     def process(batch: DataFrame, _epoch: int) -> None:
-        fresh = dedupe_against_sink(batch, sink_path)
+        fresh = (dedupe_against_sink(batch, sink_path, dedupe_keys)
+                 if dedupe_keys else batch)
         result = pipeline(fresh)
         result.write.mode("append").parquet(sink_path)
 
