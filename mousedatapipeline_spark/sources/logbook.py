@@ -47,9 +47,22 @@ def load_logbook(spark: SparkSession, path: str) -> DataFrame:
     else:
         pdf = pd.read_csv(path, dtype={"ymd": str, "bg_ymd": str,
                                        "dbg_ymd": str})
-    df = spark.createDataFrame(_normalize(pdf))
+    norm = _normalize(pdf)
+    # Explicit schema: inference fails on all-NULL columns (e.g. no
+    # dispersant background anywhere in the logbook).
+    norm = norm.astype(object).where(pd.notna(norm), None)
+    schema = ("ymd string, batch string, sample_name string, "
+              "project string, samplethickness string, bg_ymd string, "
+              "bg_batch string, dbg_ymd string, dbg_batch string")
+    rows = [tuple(None if v is None else str(v) for v in r)
+            for r in norm.itertuples(index=False)]
+    df = spark.createDataFrame(rows, schema)
     return (
-        df.withColumn("batch", F.col("batch").cast("int"))
+        df.withColumn("batch", F.col("batch").cast("double").cast("int"))
+        .withColumn("bg_batch",
+                    F.col("bg_batch").cast("double").cast("int"))
+        .withColumn("dbg_batch",
+                    F.col("dbg_batch").cast("double").cast("int"))
         .withColumn("samplethickness",
                     F.col("samplethickness").cast("double"))
         # first-match semantics of the reference's linear scan
