@@ -485,6 +485,95 @@ def s07_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")).alias("centroid_v"))
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: the dedup-by-embedding pass (distinct from
+# s05/s06 similarity SEARCH — this emits duplicate PAIRS above a cosine
+# threshold, like s02-s04 do for text). Blocked by label; at 100 TB the
+# block key becomes an LSH bucket (s06) or IVF cell (s08) so the
+# quadratic term stays bounded — the threshold + re-rank shape is
+# identical.
+# --------------------------------------------------------------------------
+_NEARDUP_TAU = 0.35
+
+
+@register(
+    "s09_embedding_neardup",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2, la.label,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM dims a
+      JOIN lab la ON a.vec_id = la.vec_id
+      JOIN lab lb ON la.label = lb.label
+      JOIN dims b ON b.vec_id = lb.vec_id AND a.dim = b.dim
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    cos AS (
+      SELECT d1, d2, label,
+             CASE WHEN x.norm > 0 AND y.norm > 0
+                  THEN dot / (x.norm * y.norm) ELSE 0.0 END AS cosine
+      FROM dots JOIN norms x ON d1 = x.vec_id
+                JOIN norms y ON d2 = y.vec_id
+    )
+    SELECT d1, d2, CAST(label AS INT) AS label,
+           {stable_round_sql('cosine')} AS cosine
+    FROM cos WHERE cosine >= {_NEARDUP_TAU}
+    """,
+    doc="Embedding-cosine near-duplicate pairs: exact decimal dot "
+        "products within label blocks, pairs at cosine >= "
+        f"{_NEARDUP_TAU}. Array-native (zip_with + decimal aggregate "
+        "per pair) — no dim explosion, no shuffle beyond the block "
+        "grouping.",
+)
+def s09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical strategy: unlike s05/s06/s08 (which explode to (vec, dim)
+    # rows because the query side is tiny and broadcast), near-dup is
+    # symmetric all-pairs-within-block — exploding would shuffle
+    # |block|^2 * 64 rows into the dot groupBy. Instead each vector stays
+    # a row-local array: norms are per-row decimal aggregates (zero
+    # shuffles), pairs come from S.blocked_pairs (one groupBy on label),
+    # and each pair's dot product is a JVM-side zip_with evaluated
+    # INSIDE the pair lambda, so pair structs carry three scalars, never
+    # vector copies (see blocked_pairs GC note).
+    dec = "decimal(30,10)"
+
+    def dec_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast(dec), lambda acc, x: (acc + x).cast(dec))
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        F.col("vec_id").alias("doc_id"), "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    withnorm = vecs.select(
+        "doc_id", "label", "v",
+        F.sqrt(dec_sum(F.transform("v", lambda x: (x * x).cast(dec)))
+               .cast("double")).alias("norm"))
+    pairs = S.blocked_pairs(
+        withnorm, ["label"], {"v": "v", "norm": "norm"},
+        redistribute=spark.sparkContext.defaultParallelism,
+        combine=lambda x, y: [
+            dec_sum(F.zip_with(x["v"], y["v"],
+                               lambda a, b: (a * b).cast(dec)))
+            .cast("double").alias("dot"),
+            x["norm"].alias("norm_1"), y["norm"].alias("norm_2"),
+        ])
+    cos = pairs.withColumn(
+        "cosine_raw",
+        F.when((F.col("norm_1") > 0) & (F.col("norm_2") > 0),
+               F.col("dot") / (F.col("norm_1") * F.col("norm_2")))
+        .otherwise(F.lit(0.0)))
+    return (
+        cos.filter(F.col("cosine_raw") >= _NEARDUP_TAU)
+        .select("d1", "d2", F.col("label").cast("int").alias("label"),
+                stable_round(F.col("cosine_raw")).alias("cosine"))
+    )
+
+
 @register(
     "s08_ann_ivf",
     oracle=f"""

@@ -114,3 +114,21 @@ def test_cosine_pairs_unit_vectors(spark):
     assert math.isclose(out[0], 1 / math.sqrt(2), rel_tol=1e-9)
     assert math.isclose(out[1], 1 / math.sqrt(2), rel_tol=1e-9)
     assert math.isclose(out[2], 1.0, rel_tol=1e-9)
+
+
+def test_embedding_neardup_pairs_and_blocking(spark, tmp_path):
+    # doc 0 == doc 1 (cosine 1.0, same label); doc 2 orthogonal to both;
+    # doc 3 identical to 0 but in another label block -> never paired.
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], 7), (1, [2.0, 0.0, 0.0], 7),
+         (2, [0.0, 1.0, 0.0], 7), (3, [1.0, 0.0, 0.0], 8)],
+        "vec_id long, embedding array<float>, label int")
+    e.write.parquet(str(tmp_path / "embeddings.parquet"))
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        s09_embedding_neardup,
+    )
+    rows = s09_embedding_neardup(spark, str(tmp_path)).collect()
+    pairs = {(r["d1"], r["d2"]): r for r in rows}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)]["cosine"] == 1.0
+    assert pairs[(0, 1)]["label"] == 7
