@@ -183,7 +183,15 @@ def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs come from S.blocked_pairs per (lang, band, band_sig)
     # bucket — no self-join, no recomputation of the signature subtree —
     # then one count shuffle keyed (d1, d2).
-    d = load(spark, sf_dir, "documents")
+    # documents.parquet is a single file -> a single input partition;
+    # the per-row signature work below (~|text| shingles x 16 perms per
+    # doc) would otherwise run in ONE task. Spread the (small) doc set
+    # across the cluster first — the shuffle moves raw texts once and
+    # buys full parallelism for the expensive projection. On a real
+    # cluster the source would already be many splits and this is a
+    # no-op cost.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     # Staged selects: ss and hs are materialized columns so the 16
     # minhash projections share them (inline expressions would be
     # duplicated into every column by CollapseProject — measured 8x

@@ -9,6 +9,7 @@ batch aggregation of the same files. That is what the oracle asserts.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -23,7 +24,8 @@ from mousedatapipeline_spark.functions.rounding import (
 )
 from mousedatapipeline_spark.operators.aggregates import dsum
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.streaming import watcher
+from mousedatapipeline_spark.streaming import stateful, watcher
+from mousedatapipeline_spark.tables import load
 
 # events.parquet stores TIMESTAMP(NANOS); the stream reads it as long
 # under the legacy conf and converts (same convention as tables.load).
@@ -86,3 +88,114 @@ def w01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True, dedupe_keys=None)
     q.awaitTermination(300)
     return spark.read.parquet(sink)
+
+
+_SESSION_STREAM_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts_us", T.LongType()),
+])
+
+
+def write_time_chunks(spark: SparkSession, sf_dir: str, landing: Path,
+                      n_chunks: int = 4) -> int:
+    """Split events into ``n_chunks`` contiguous time ranges, one file
+    per chunk, mtimes strictly increasing in time order.
+
+    With ``maxFilesPerTrigger=1`` the file source processes files
+    oldest-mtime-first, so each micro-batch delivers a later time slice
+    than the last — the per-key cross-trigger ordering contract of
+    ``stateful.sessionize_stream``. Range-partitioning by the SAME
+    column the state keys time on is how a real ingestion layout
+    provides this at scale (e.g. hourly landing files).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"))
+    cuts = ev.approxQuantile(
+        "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.001)
+    bounds = [None, *cuts, None]
+    written = 0
+    for i in range(n_chunks):
+        lo, hi = bounds[i], bounds[i + 1]
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts_us") > F.lit(int(lo)))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts_us") <= F.lit(int(hi)))
+        tmp = landing / f"_tmp{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+        written += 1
+    return written
+
+
+def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
+                         n_chunks: int = 4) -> DataFrame:
+    """Run the stateful sessionization stream over time-chunked landing
+    files and return the drained per-trigger emissions (cumulative
+    counters — one row per (user, trigger-with-data))."""
+    landing = work / "landing"
+    landing.mkdir()
+    write_time_chunks(spark, sf_dir, landing, n_chunks)
+    stream = (
+        spark.readStream.schema(_SESSION_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    out = stateful.sessionize_stream(stream, gap_seconds=1800)
+    sink = str(work / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+@register(
+    "w02_stream_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR CAST(epoch(ts) AS BIGINT)
+                     - CAST(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                            AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    doc="Stateful Structured Streaming sessionization "
+        "(applyInPandasWithState): per-user gap-session state carried "
+        "across micro-batch triggers (time-chunked landing files, "
+        "maxFilesPerTrigger=1), reduced idempotently from the append "
+        "sink. Oracle = the BATCH sessionization SQL (e02) — "
+        "streaming/batch parity is the correctness contract.",
+)
+def w02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_sess_stream_"))
+    emissions = drain_sessionization(spark, sf_dir, work)
+    # Counters are monotonic per key, so max() over the append sink is
+    # the exactly-once final answer even under trigger re-delivery.
+    return emissions.groupBy("user_id").agg(
+        F.max("n_sessions").cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("n_events"))

@@ -160,3 +160,55 @@ def test_windowed_event_counts_batch_semantics(spark):
     out = {(r["window_start"].hour, r["event_type"]): r["n_events"]
            for r in watcher.windowed_event_counts(ev).collect()}
     assert out[(10, "click")] == 2 and out[(11, "view")] == 1
+
+
+def test_stateful_sessionization_across_triggers(tmp_path, spark):
+    """applyInPandasWithState carries per-user session state BETWEEN
+    micro-batches: a gap under the threshold that spans the trigger
+    boundary must NOT open a new session (the case stateless
+    per-batch re-aggregation gets wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mousedatapipeline_spark.streaming import stateful
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    chunks = [
+        # trigger 1: user 1 two events 10s apart; user 2 one event
+        {"user_id": [1, 1, 2], "ts_us": [t0, t0 + 10 * us, t0]},
+        # trigger 2: user 1 +20s (same session, across the boundary);
+        # user 2 +4000s (> 1800s gap -> second session)
+        {"user_id": [1, 2], "ts_us": [t0 + 20 * us, t0 + 4000 * us]},
+    ]
+    for i, data in enumerate(chunks):
+        dest = landing / f"chunk{i}.parquet"
+        pq.write_table(
+            pa.table({k: pa.array(v, pa.int64())
+                      for k, v in data.items()}), dest)
+        os.utime(dest, (1_000_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1).parquet(str(landing)))
+    out = stateful.sessionize_stream(stream, gap_seconds=1800)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for r in spark.read.parquet(sink).collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (r["n_sessions"], r["n_events"]))
+    # one emission per (user, trigger): maxFilesPerTrigger=1 really did
+    # split the drain into two stateful micro-batches
+    assert len(per_user[1]) == 2 and len(per_user[2]) == 2
+    final = {u: (max(a for a, _ in v), max(b for _, b in v))
+             for u, v in per_user.items()}
+    assert final[1] == (1, 3)  # state carried: still one session
+    assert final[2] == (2, 2)  # gap across triggers: new session
