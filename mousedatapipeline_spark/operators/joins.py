@@ -175,3 +175,43 @@ def semi_members(manifest: DataFrame, processed: DataFrame,
     src/utilities.py:66-71)."""
     return manifest.join(processed.select(*on).dropDuplicates(list(on)),
                          list(on), "left_semi")
+
+
+def bucketed_range_join(left: DataFrame, right: DataFrame,
+                        keys: Sequence[str], left_ts: str, right_ts: str,
+                        lower_us: int, upper_us: int,
+                        bucket_us: int | None = None,
+                        how: str = "inner") -> DataFrame:
+    """Band (interval) join: match right rows with
+    ``right_ts in (left_ts + lower_us, left_ts + upper_us]``
+    (microsecond longs), equi-keyed on ``keys``.
+
+    Beyond-reference operator (the reference has no temporal join; its
+    closest is the as-of mask lookup, src/processstep_find_mask.py).
+
+    Scale strategy: a theta-join on the time band would be a
+    nested-loop (or an unbounded per-key sort-merge fan-out for hot
+    keys). Instead map each right row to its time bucket and each left
+    row to the 1-2 buckets its window overlaps (``bucket_us`` defaults
+    to the window width, so the fan-out is at most 2), equi-join on
+    ``(*keys, bucket)``, then apply the exact band predicate. The join
+    is a plain shuffle equi-join — AQE can split skewed buckets, and
+    partial pair counts never materialize beyond one bucket's span.
+    Each (left, right) pair meets in exactly one bucket (the right
+    row's), so no dedup is needed.
+
+    ``left_ts``/``right_ts`` must be distinct column names; key columns
+    are coalesced by the equi-join.
+    """
+    if bucket_us is None:
+        bucket_us = max(upper_us - lower_us, 1)
+    lb = F.floor((F.col(left_ts) + F.lit(lower_us) + 1) / F.lit(bucket_us))
+    ub = F.floor((F.col(left_ts) + F.lit(upper_us)) / F.lit(bucket_us))
+    lhs = left.withColumn(
+        "__bucket", F.explode(F.sequence(lb.cast("long"), ub.cast("long"))))
+    rhs = right.withColumn(
+        "__bucket", F.floor(F.col(right_ts) / F.lit(bucket_us)).cast("long"))
+    band = (
+        (F.col(right_ts) > F.col(left_ts) + F.lit(lower_us))
+        & (F.col(right_ts) <= F.col(left_ts) + F.lit(upper_us)))
+    return lhs.join(rhs, [*keys, "__bucket"], how).where(band).drop("__bucket")

@@ -19,6 +19,7 @@ from mousedatapipeline_spark.functions.rounding import (
     stable_round_sql,
 )
 from mousedatapipeline_spark.operators.aggregates import dsum
+from mousedatapipeline_spark.operators.joins import bucketed_range_join
 from mousedatapipeline_spark.operators.windows import sessionize
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
@@ -90,3 +91,57 @@ def e02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         F.max("session_seq").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+
+@register(
+    "e03_range_join_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.event_id, COUNT(p.ts_us) AS n_purchases
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts_us > c.ts_us
+       AND p.ts_us <= c.ts_us + 3600000000::BIGINT
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_pairs
+    FROM j GROUP BY user_id
+    """,
+    doc="Interval/range join: click -> purchase attribution within "
+        "(t, t+1h] per user, via operators.joins.bucketed_range_join "
+        "(time-bucketed equi-join, fan-out <= 2, no nested loop). "
+        "Oracle is the plain theta-join SQL.",
+)
+def e03_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts_us").alias("c_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_ts"))
+    pairs = bucketed_range_join(
+        clicks, purchases, ["user_id"], "c_ts", "p_ts", 0, hour_us)
+    per_click = pairs.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"))
+    # Left join the (click-sized) counts back so zero-match clicks count.
+    out = clicks.join(per_click.select("event_id", "n_purchases"),
+                      "event_id", "left").select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"))
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum((F.col("n_purchases") > 0).cast("int")).cast("bigint")
+            .alias("n_converted"),
+        F.sum("n_purchases").cast("bigint").alias("n_pairs"))

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mousedatapipeline_spark.operators.joins import (
+    bucketed_range_join,
     anti_members,
     asof_join,
     background_self_join,
@@ -82,3 +83,37 @@ def test_semi_anti_partition_manifest(spark):
         == {1, 3}
     assert {r["id"] for r in semi_members(manifest, done, ["id"]).collect()} \
         == {2}
+
+
+def test_bucketed_range_join_band_semantics(spark):
+    """(lower, upper] inclusivity, cross-bucket matches, key isolation,
+    and no duplicate pairs from the bucket fan-out."""
+    us = 1_000_000
+    left = spark.createDataFrame(
+        [(1, 1, 0 * us)], "lid int, k int, lt long")
+    right = spark.createDataFrame(
+        [(1, 0 * us),        # == lower bound (exclusive) -> out
+         (1, 1 * us),        # inside
+         (1, 10 * us),       # == upper bound (inclusive) -> in
+         (1, 11 * us),       # past upper -> out
+         (2, 5 * us)],       # other key -> out
+        "k int, rt long")
+    got = sorted(r["rt"] for r in bucketed_range_join(
+        left, right, ["k"], "lt", "rt", 0, 10 * us,
+        bucket_us=3 * us).collect())
+    assert got == [1 * us, 10 * us]
+
+
+def test_bucketed_range_join_no_dup_across_buckets(spark):
+    # window wider than bucket: each pair still appears exactly once
+    left = spark.createDataFrame([(i, 1, i * 100) for i in range(20)],
+                                 "lid int, k int, lt long")
+    right = spark.createDataFrame([(1, j * 100) for j in range(20)],
+                                  "k int, rt long")
+    out = bucketed_range_join(left, right, ["k"], "lt", "rt",
+                              0, 500, bucket_us=150)
+    pairs = [(r["lid"], r["rt"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    brute = [(l, j * 100) for l in range(20) for j in range(20)
+             if l * 100 < j * 100 <= l * 100 + 500]
+    assert sorted(pairs) == sorted(brute)

@@ -135,3 +135,13 @@ def test_no_query_uses_cartesian_or_nested_loop(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@_needs_data
+def test_e03_range_join_is_equi_not_nested_loop(spark):
+    """The band join must plan as a shuffle/broadcast EQUI-join on
+    (user_id, bucket) — a BroadcastNestedLoopJoin or CartesianProduct
+    would be the O(n^2) plan the bucketing exists to avoid."""
+    plan = _plan(spark, "e03_range_join_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
