@@ -123,3 +123,43 @@ def latest_mtime(df: DataFrame, keys: Sequence[str],
     """A7/F7 — max modification time per group, for freshness checks
     (src/processstep_stacker.py:33-35)."""
     return df.groupBy(*keys).agg(F.max(mtime_col).alias("latest_mtime"))
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str],
+                    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+                    exact: bool = True) -> DataFrame:
+    """Data-profiling summary: one row per numeric column with count /
+    nulls / distinct / min / max / mean / quantiles.
+
+    Beyond-reference operator (training-data QA): unpivot the columns
+    into long format INSIDE the scan stage (explode of an inline struct
+    array — no shuffle), then ONE aggregation keyed by column name.
+
+    Scale: ``exact=True`` uses ``percentile`` (full per-group sort —
+    fine up to memory-per-group); at 100 TB pass ``exact=False`` for
+    ``percentile_approx`` (bounded GK-sketch, single pass, map-side
+    combinable) and drop n_distinct for ``approx_count_distinct``
+    upstream. The long format multiplies rows by len(cols) but each
+    group is a column: parallelism within a group comes from partial
+    aggregation, not group count.
+    """
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(c).cast("double").alias("v")) for c in cols])
+    long = df.select(F.explode(pairs).alias("p")).select("p.col_name", "p.v")
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    pct = (F.percentile("v", qarr) if exact
+           else F.percentile_approx("v", qarr, 10_000))
+    agg = long.groupBy("col_name").agg(
+        F.count("v").cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
+        F.count_distinct(F.col("v")).cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        dsum("v", "__sum"),
+        pct.alias("__q"))
+    out = agg.withColumn(
+        "mean_v", F.col("__sum") / F.col("n").cast("double"))
+    for i, q in enumerate(quantiles):
+        out = out.withColumn(f"p{int(q * 100)}", F.col("__q")[i])
+    return out.drop("__sum", "__q")

@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 
 from mousedatapipeline_spark.functions import physics
 from mousedatapipeline_spark.operators import joins, windows
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
 from mousedatapipeline_spark.operators.aggregates import (
-    DEC, census, dsum, first_by_order, repetition_stack, stack_stats,
+    DEC, census, dsum, first_by_order, profile_columns, repetition_stack,
+    stack_stats,
 )
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
@@ -511,3 +516,43 @@ def q15_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.filter(delay > 60)
             .select("l_orderkey", "l_linenumber",
                     delay.cast("int").alias("ship_delay_days")))
+
+
+@register(
+    "q16_column_profile",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT col_name,
+           CAST(COUNT(v) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           {stable_round_sql('MIN(v)')} AS min_v,
+           {stable_round_sql('MAX(v)')} AS max_v,
+           {stable_round_sql('CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(v)')}
+               AS mean_v,
+           {stable_round_sql('quantile_cont(v, 0.25)')} AS p25,
+           {stable_round_sql('quantile_cont(v, 0.5)')} AS p50,
+           {stable_round_sql('quantile_cont(v, 0.75)')} AS p75,
+           {stable_round_sql('quantile_cont(v, 0.95)')} AS p95
+    FROM u GROUP BY col_name
+    """,
+    doc="Data-profiling summary (beyond-reference, training-data QA): "
+        "count/nulls/exact-distinct/min/max/mean/exact quantiles per "
+        "numeric column in ONE aggregation pass over an in-scan unpivot "
+        "(operators.aggregates.profile_columns). exact=False switches "
+        "to the percentile_approx sketch for the 100 TB path.",
+)
+def q16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = load(spark, sf_dir, "lineitem").select(*cols)
+    prof = profile_columns(li, cols)
+    rounded = [stable_round(F.col(c)).alias(c)
+               for c in ["min_v", "max_v", "mean_v",
+                         "p25", "p50", "p75", "p95"]]
+    return prof.select("col_name", "n", "n_null", "n_distinct", *rounded)

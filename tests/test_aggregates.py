@@ -79,3 +79,22 @@ def test_dsum_is_partition_independent(spark):
     s1 = one.agg(dsum("v").alias("s")).collect()[0]["s"]
     s2 = many.agg(dsum("v").alias("s")).collect()[0]["s"]
     assert s1 == s2 == 10.0  # exact decimal accumulation
+
+
+def test_profile_columns_known_values(spark):
+    from mousedatapipeline_spark.operators.aggregates import profile_columns
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 10.0), (4.0, 40.0)],
+        "a double, b double")
+    out = {r["col_name"]: r for r in
+           profile_columns(df, ["a", "b"], quantiles=(0.5,)).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n"], a["n_null"], a["n_distinct"]) == (4, 0, 4)
+    assert (b["n"], b["n_null"], b["n_distinct"]) == (3, 1, 2)
+    assert a["min_v"] == 1.0 and a["max_v"] == 4.0 and a["mean_v"] == 2.5
+    assert a["p50"] == 2.5          # linear interpolation between 2 and 3
+    assert b["p50"] == 10.0
+    # approx mode (the 100 TB path) agrees on this tiny input
+    approx = {r["col_name"]: r["p50"] for r in profile_columns(
+        df, ["a", "b"], quantiles=(0.5,), exact=False).collect()}
+    assert approx["b"] == 10.0
