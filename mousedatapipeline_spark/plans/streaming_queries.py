@@ -110,25 +110,18 @@ def write_time_chunks(spark: SparkSession, sf_dir: str, landing: Path,
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"))
-    cuts = ev.approxQuantile(
-        "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.001)
-    bounds = [None, *cuts, None]
+    # ONE job: range-repartition on ts_us writes n_chunks part files
+    # whose lexicographic part numbers follow the range order.
+    tmp = landing / "_tmp"
+    ev.repartitionByRange(n_chunks, "ts_us").write.mode(
+        "overwrite").parquet(str(tmp))
     written = 0
-    for i in range(n_chunks):
-        lo, hi = bounds[i], bounds[i + 1]
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.filter(F.col("ts_us") > F.lit(int(lo)))
-        if hi is not None:
-            chunk = chunk.filter(F.col("ts_us") <= F.lit(int(hi)))
-        tmp = landing / f"_tmp{i}"
-        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        part = next(tmp.glob("part-*.parquet"))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
         dest = landing / f"chunk{i:03d}.parquet"
         shutil.move(str(part), str(dest))
-        shutil.rmtree(tmp)
         os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
         written += 1
+    shutil.rmtree(tmp)
     return written
 
 
@@ -147,15 +140,25 @@ def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
     )
     out = stateful.sessionize_stream(stream, gap_seconds=1800)
     sink = str(work / "sink")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", str(work / "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-store partition count is fixed per checkpoint at the
+    # session's shuffle.partitions when the query first starts. Scope it
+    # down for the drain: every trigger pays O(partitions) state-store
+    # open/commit overhead, so oversized values tax EVERY micro-batch.
+    # (On a real cluster you size this to key cardinality, not cores.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink)
 
 
