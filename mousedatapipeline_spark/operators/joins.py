@@ -215,3 +215,31 @@ def bucketed_range_join(left: DataFrame, right: DataFrame,
         (F.col(right_ts) > F.col(left_ts) + F.lit(lower_us))
         & (F.col(right_ts) <= F.col(left_ts) + F.lit(upper_us)))
     return lhs.join(rhs, [*keys, "__bucket"], how).where(band).drop("__bucket")
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, keys: Sequence[str],
+                salt_from: str, n_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-tolerant shuffle equi-join for a non-broadcastable dim.
+
+    A shuffle join on a low-cardinality or hot-keyed column lands every
+    row of a hot key on ONE reducer. Salting spreads it: the fact side
+    derives a deterministic salt from ``salt_from`` (any roughly
+    uniform fact column — its primary key — NOT rand(), so retries and
+    replays stay consistent), the dim side is replicated ``n_salts``
+    times, and the join runs on ``(*keys, salt)`` — n_salts reducers
+    per key instead of one.
+
+    Decision ladder at scale: broadcast if the dim fits in executor
+    memory; AQE skew-join if skew is moderate and AQE is on; salt when
+    the dim is too big to broadcast AND keys are few/hot enough that
+    even split shuffle blocks overwhelm single reducers. Cost: dim is
+    shuffled n_salts times — keep n_salts near (cluster cores / distinct
+    keys).
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)))
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, [*keys, "__salt"], how).drop("__salt")

@@ -19,7 +19,10 @@ from mousedatapipeline_spark.functions.rounding import (
     stable_round_sql,
 )
 from mousedatapipeline_spark.operators.aggregates import dsum
-from mousedatapipeline_spark.operators.joins import bucketed_range_join
+from mousedatapipeline_spark.operators.joins import (
+    bucketed_range_join,
+    salted_join,
+)
 from mousedatapipeline_spark.operators.windows import sessionize
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
@@ -145,3 +148,40 @@ def e03_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_purchases") > 0).cast("int")).cast("bigint")
             .alias("n_converted"),
         F.sum("n_purchases").cast("bigint").alias("n_pairs"))
+
+
+@register(
+    "e04_salted_user_join",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(p.n_purchases) AS BIGINT) AS sum_user_purchases,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+    doc="Skew-tolerant join: events (fact) joined to a per-user profile "
+        "on user_id — a LOW-cardinality key (150 users), the shape "
+        "where a plain shuffle join collapses onto |keys| reducers. "
+        "operators.joins.salted_join salts the fact from event_id and "
+        "replicates the dim 16x. (At this SF the dim is broadcastable; "
+        "the query deliberately pins the salted path, which is the "
+        "giant-dim/hot-key fallback when broadcast and AQE both fail.)",
+)
+def e04_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    prof = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+            .alias("n_purchases"))
+    joined = salted_join(ev, prof, ["user_id"], salt_from="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("n_purchases").cast("bigint").alias("sum_user_purchases"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))

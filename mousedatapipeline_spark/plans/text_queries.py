@@ -259,3 +259,42 @@ def t05_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "rank",
                 stable_round(F.col("tfidf")).alias("tfidf"))
     )
+
+
+@register(
+    "t06_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             UNNEST(list_distinct(list_filter(
+                 string_split(lower(text), ' '), x -> x != ''))) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT lang, token, COUNT(*) AS df FROM tok GROUP BY 1, 2)
+    SELECT lang, token, CAST(df AS BIGINT) AS doc_freq, rk FROM (
+      SELECT lang, token, df,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY df DESC, token) AS INT) AS rk
+      FROM cnt
+    ) WHERE rk <= 10
+    """,
+    doc="Heavy hitters: top-10 tokens per language by document "
+        "frequency. The token explode + count shuffle reduces to the "
+        "distinct vocabulary per language BEFORE the top-k window, so "
+        "the window input is vocab-sized, not corpus-sized; ties break "
+        "on the token for cross-engine determinism.",
+)
+def t06_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = load(spark, sf_dir, "documents").select("lang", "text")
+    tok = d.select(
+        "lang",
+        F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), "token")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "token", F.col("df").cast("bigint").alias("doc_freq"),
+                "rk")
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mousedatapipeline_spark.operators.joins import (
     bucketed_range_join,
+    salted_join,
     anti_members,
     asof_join,
     background_self_join,
@@ -117,3 +118,21 @@ def test_bucketed_range_join_no_dup_across_buckets(spark):
     brute = [(l, j * 100) for l in range(20) for j in range(20)
              if l * 100 < j * 100 <= l * 100 + 500]
     assert sorted(pairs) == sorted(brute)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantics-free: same rows as the unsalted join,
+    each fact row matched exactly once (one replica per salt value)."""
+    fact = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "fid int, k int, payload string")
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "k int, attr string")  # key 2 unmatched
+    got = sorted((r["fid"], r["attr"]) for r in
+                 salted_join(fact, dim, ["k"], "fid", n_salts=4).collect())
+    want = sorted((r["fid"], r["attr"]) for r in
+                  fact.join(dim, ["k"]).collect())
+    assert got == want
+    left = salted_join(fact, dim, ["k"], "fid", n_salts=4, how="left")
+    assert left.count() == 30          # unmatched keys survive a left join
+    assert left.filter(F.col("attr").isNull()).count() == 10
