@@ -315,6 +315,17 @@ def blocked_pairs(sets: DataFrame, block_cols: Sequence[str],
             .select(*blocks, "p.*"))
 
 
+def ddot(a: Column, b: Column) -> Column:
+    """Row-local dot product of two equal-length double arrays: a JVM
+    whole-stage-codegen zip_with + fold, no explode, no shuffle. The
+    summation order is the fixed array order, so the result is
+    deterministic; vs an engine summing in decimal the drift is
+    <= ~1e-13 relative for 64-term dots, inside stable_round's nudge
+    (functions/rounding.py) — use it for anything oracle-compared."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
 def vector_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, dim, v): one row per vector component, dim 1-based, value
     cast float→double (exact) so downstream products match any engine."""

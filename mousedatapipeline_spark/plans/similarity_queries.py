@@ -321,22 +321,34 @@ def s04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact baseline ANN is judged against.",
 )
 def s05_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    dims = S.vector_dims(e, "vec_id", "embedding")
-    norms = S.vector_norms(dims, "vec_id")
-    q_dims = dims.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "dim", F.col("v").alias("qv"))
-    c_dims = dims.select(
-        F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
-    q_norms = norms.select(F.col("vec_id").alias("qid"),
-                           F.col("norm").alias("qnorm"))
-    c_norms = norms.select(F.col("vec_id").alias("cid"),
-                           F.col("norm").alias("cnorm"))
-    cos = (
-        S.cosine_pairs(F.broadcast(q_dims), c_dims, q_norms, c_norms)
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", stable_round(F.col("cosine"))))
+    # Array-native brute force: the <=10 query VECTORS broadcast as
+    # whole arrays against every candidate row; each cosine is one
+    # JVM-side double zip_with (fixed summation order — stable_round
+    # absorbs the sub-ulp drift vs the oracle's decimal sums). The only
+    # shuffle is the final per-query top-k window. The dim-exploded
+    # variant (S.cosine_pairs) shuffled |Q|x|C|x64 rows into a groupBy.
     from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    c = vecs.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                    F.col("norm").alias("cnorm"))
+    cos = (
+        c.join(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("dot", S.ddot(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            stable_round(
+                F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                       F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+                .otherwise(F.lit(0.0)))))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("cid").asc())
     return (
@@ -407,52 +419,52 @@ _SQL_SIGN = ("CASE WHEN ((p * 2654435761 + dim * 40503) % 2147483647) % 2 = 0 "
         "cosine re-rank within the query's bucket.",
 )
 def s06_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-native (see s05/s08): each plane's projection is a
+    # signed fold over the vector array — 8 independent staged columns
+    # (separate select stages so CollapseProject cannot duplicate the
+    # shared subtrees; see minhash_cols note). No dim explosion, no
+    # projection shuffle; the bucket self-match is a broadcast join of
+    # the <=10 query rows. Bucket parity across engines holds because
+    # sign flips need |proj| < ~1e-13, far below the data's scale.
+    from pyspark.sql import Window
+
+    def proj_col(p: int):
+        def signed(x, i):
+            even = ((F.lit(p) * F.lit(2_654_435_761)
+                     + (i + 1) * F.lit(40_503)) % S.MOD) % 2 == 0
+            return F.when(even, x).otherwise(-x)
+        return F.aggregate(F.transform("v", signed),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
     e = load(spark, sf_dir, "embeddings")
-    dims = S.vector_dims(e, "vec_id", "embedding")
-    norms = S.vector_norms(dims, "vec_id")
-    planes = F.explode(F.array(*[
-        F.struct(F.lit(p).alias("p"), F.lit(1 << p).alias("w"))
-        for p in range(8)])).alias("pl")
-    sign = F.when(
-        ((F.col("pl.p") * F.lit(2_654_435_761) + F.col("dim") * 40_503)
-         % S.MOD) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    proj = (
-        dims.select("vec_id", "dim", "v", planes)
-        .select("vec_id", F.col("pl.p").alias("p"), F.col("pl.w").alias("w"),
-                (sign * F.col("v")).alias("sv"))
-        .groupBy("vec_id", "p", "w")
-        .agg(F.sum(F.col("sv").cast("decimal(30,10)")).cast("double")
-             .alias("proj")))
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(F.lit(0)))
-        .cast("bigint").alias("bucket"))
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+    projected = vecs.select(
+        "vec_id", "v", "norm",
+        *[proj_col(p).alias(f"pr{p}") for p in range(8)])
+    bucket_expr = sum(
+        (F.when(F.col(f"pr{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+         for p in range(1, 8)),
+        F.when(F.col("pr0") > 0, F.lit(1)).otherwise(F.lit(0)))
+    buckets = projected.select(
+        "vec_id", "v", "norm", bucket_expr.cast("bigint").alias("bucket"))
     qb = buckets.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "bucket")
-    cb = buckets.select(F.col("vec_id").alias("cid"), "bucket")
+        F.col("vec_id").alias("qid"), "bucket",
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    cb = buckets.select(F.col("vec_id").alias("cid"), "bucket",
+                        F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
     cand = (F.broadcast(qb).join(cb, "bucket")
             .filter(F.col("qid") != F.col("cid")))
-    q_dims = dims.select(F.col("vec_id").alias("qid"), "dim",
-                         F.col("v").alias("qv"))
-    c_dims = dims.select(F.col("vec_id").alias("cid"), "dim",
-                         F.col("v").alias("cv"))
-    dots = (
-        cand.join(q_dims, "qid").join(c_dims, ["cid", "dim"])
-        .groupBy("qid", "cid", "bucket")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(30,10)"))
-             .cast("double").alias("dot")))
-    q_norms = norms.select(F.col("vec_id").alias("qid"),
-                           F.col("norm").alias("qnorm"))
-    c_norms = norms.select(F.col("vec_id").alias("cid"),
-                           F.col("norm").alias("cnorm"))
     cos = (
-        dots.join(q_norms, "qid").join(c_norms, "cid")
+        cand.withColumn("dot", S.ddot(F.col("qv"), F.col("cv")))
         .withColumn(
             "cosine",
             stable_round(
                 F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
                        F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
                 .otherwise(F.lit(0.0)))))
-    from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("cid").asc())
     return (
@@ -647,56 +659,68 @@ def s09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inverted-file contract that survives corpus growth.",
 )
 def s08_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical strategy (v2, array-native like s09): only centroid
+    # TRAINING uses (vec, dim) rows (it must aggregate across vectors
+    # per dim — one explode, one skew-free shuffle, exact decimal means
+    # for cross-engine centroid parity). Assignment and re-rank keep
+    # each vector as a row-local array: the centroid arrays broadcast
+    # against every vector, each dot is a JVM-side double zip_with
+    # (fixed 64-term order — deterministic, and stable_round's nudge
+    # absorbs the <=1e-13-relative drift vs the oracle's decimal sums,
+    # see functions/rounding.py), and the per-vector argmax is ONE
+    # map-side-combinable max-of-struct aggregation that carries the
+    # vector through — no 64x dim explosion, no (cid, dim) shuffle
+    # join, no window over array-carrying rows, no norm join.
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+    # Train the coarse quantizer: per-label mean per dim (same as s07).
+    dec = "decimal(30,10)"
     dims = S.vector_dims(e, "vec_id", "embedding")
-    norms = S.vector_norms(dims, "vec_id")
     labeled = dims.join(e.select("vec_id", "label"), "vec_id")
     centroids = labeled.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
+        (F.sum(F.col("v").cast(dec)).cast("double")
          / F.count(F.lit(1)).cast("double")).alias("cv"))
-    # Assignment: dot product against every centroid (the centroid table
-    # is tiny -> broadcast), argmax per vector with a deterministic
-    # tie-break on the rounded dot.
-    cdots = (
-        dims.join(F.broadcast(centroids), "dim")
-        .groupBy("vec_id", "label")
-        .agg(F.sum((F.col("v") * F.col("cv")).cast("decimal(30,10)"))
-             .cast("double").alias("dot")))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        stable_round(F.col("dot")).desc(), F.col("label").asc())
-    assign = (cdots.withColumn("rn", F.row_number().over(w_assign))
-              .filter(F.col("rn") == 1)
-              .select("vec_id", F.col("label").alias("cell")))
+    cent_arr = centroids.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+    # Assignment: every vector against the broadcast centroid arrays.
+    # argmax = max of (rounded dot, -label, payload) structs: the
+    # ordering fields are unique per vector, so the payload (v, norm)
+    # rides along without ever being compared.
+    cdots = vecs.join(F.broadcast(cent_arr)).withColumn(
+        "dot", S.ddot(F.col("v"), F.col("c")))
+    best = cdots.groupBy("vec_id").agg(
+        F.max(F.struct(
+            stable_round(F.col("dot")).alias("rd"),
+            (-F.col("label")).alias("nl"),
+            F.col("v").alias("v"),
+            F.col("norm").alias("norm"))).alias("b"))
+    assign = best.select(
+        "vec_id", (-F.col("b.nl")).alias("cell"),
+        F.col("b.v").alias("v"), F.col("b.norm").alias("norm"))
+    # The tiny (vec_id, cell, v, norm) table feeds BOTH probe sides;
+    # checkpoint so the training+assignment subtree runs once.
+    assign = assign.localCheckpoint(eager=False)
     # Probe: same-cell candidates only; exact cosine re-rank within.
-    assign = assign.localCheckpoint(eager=False)  # consumed by both sides
     qa = assign.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "cell")
-    ca = assign.select(F.col("vec_id").alias("cid"), "cell")
+        F.col("vec_id").alias("qid"), "cell",
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    ca = assign.select(F.col("vec_id").alias("cid"), "cell",
+                       F.col("v").alias("cv2"), F.col("norm").alias("cnorm"))
     cand = (F.broadcast(qa).join(ca, "cell")
             .filter(F.col("qid") != F.col("cid")))
-    q_dims = dims.select(F.col("vec_id").alias("qid"), "dim",
-                         F.col("v").alias("qv"))
-    c_dims = dims.select(F.col("vec_id").alias("cid"), "dim",
-                         F.col("v").alias("cv2"))
-    dots = (
-        cand.join(q_dims, "qid").join(c_dims, ["cid", "dim"])
-        .groupBy("qid", "cid", "cell")
-        .agg(F.sum((F.col("qv") * F.col("cv2")).cast("decimal(30,10)"))
-             .cast("double").alias("dot")))
-    q_norms = norms.select(F.col("vec_id").alias("qid"),
-                           F.col("norm").alias("qnorm"))
-    c_norms = norms.select(F.col("vec_id").alias("cid"),
-                           F.col("norm").alias("cnorm"))
-    cos = (
-        dots.join(q_norms, "qid").join(c_norms, "cid")
-        .withColumn(
-            "cosine",
-            stable_round(
-                F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
-                       F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
-                .otherwise(F.lit(0.0)))))
+    cos = cand.withColumn(
+        "dot", S.ddot(F.col("qv"), F.col("cv2"))).withColumn(
+        "cosine",
+        stable_round(
+            F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                   F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+            .otherwise(F.lit(0.0))))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("cid").asc())
     return (

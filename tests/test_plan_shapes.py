@@ -80,8 +80,14 @@ def test_t05_df_table_join_is_broadcast(spark):
 
 @_needs_data
 def test_s05_knn_query_side_is_broadcast(spark):
+    """The <=10 query vectors broadcast as whole arrays against the
+    candidate scan (keyless product -> BroadcastNestedLoopJoin with the
+    query side as the build side); the candidate table must NOT
+    shuffle before the final top-k window."""
     plan = _plan(spark, "s05_knn_cosine")
-    assert "BroadcastHashJoin" in plan, plan
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert _count_shuffles(plan) == 1, plan  # only the top-k window
 
 
 @_needs_data
@@ -129,12 +135,20 @@ def test_asof_join_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Queries that INTENTIONALLY broadcast a tiny keyless side (O(10) query
+# vectors / O(10) centroid arrays) against a scan — a broadcast product
+# whose build side is constant-size is scale-safe; the ban below is for
+# ACCIDENTAL nested loops over two big sides.
+_INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf"}
+
+
 @_needs_data
 def test_no_query_uses_cartesian_or_nested_loop(spark):
     for name, spec in catalog.all_queries().items():
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in _INTENTIONAL_BROADCAST_PRODUCT:
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 @_needs_data
