@@ -559,27 +559,21 @@ def s09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and each pair's dot product is a JVM-side zip_with evaluated
     # INSIDE the pair lambda, so pair structs carry three scalars, never
     # vector copies (see blocked_pairs GC note).
-    dec = "decimal(30,10)"
-
-    def dec_sum(arr):
-        return F.aggregate(
-            arr, F.lit(0).cast(dec), lambda acc, x: (acc + x).cast(dec))
-
+    # Dots and norms are double folds (S.ddot): row-local fixed-order
+    # sums, deterministic, and within stable_round's nudge of the
+    # oracle's decimal sums — see the ddot docstring.
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         F.col("vec_id").alias("doc_id"), "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     withnorm = vecs.select(
         "doc_id", "label", "v",
-        F.sqrt(dec_sum(F.transform("v", lambda x: (x * x).cast(dec)))
-               .cast("double")).alias("norm"))
+        F.sqrt(S.ddot(F.col("v"), F.col("v"))).alias("norm"))
     pairs = S.blocked_pairs(
         withnorm, ["label"], {"v": "v", "norm": "norm"},
         redistribute=spark.sparkContext.defaultParallelism,
         combine=lambda x, y: [
-            dec_sum(F.zip_with(x["v"], y["v"],
-                               lambda a, b: (a * b).cast(dec)))
-            .cast("double").alias("dot"),
+            S.ddot(x["v"], y["v"]).alias("dot"),
             x["norm"].alias("norm_1"), y["norm"].alias("norm_2"),
         ])
     cos = pairs.withColumn(
