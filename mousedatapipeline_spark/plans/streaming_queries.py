@@ -202,3 +202,65 @@ def w02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emissions.groupBy("user_id").agg(
         F.max("n_sessions").cast("bigint").alias("n_sessions"),
         F.max("n_events").cast("bigint").alias("n_events"))
+
+
+@register(
+    "w03_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exactly-once under duplicate delivery: the landing "
+        "area receives every event TWICE (two files, two triggers); "
+        "dropDuplicatesWithinWatermark keyed on event_id drops the "
+        "re-delivery with bounded state, so the drained sink equals the "
+        "batch aggregation of the ORIGINAL events — the oracle is "
+        "deliberately blind to the duplication.",
+)
+def w03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_dedup_stream_"))
+    landing = work / "landing"
+    landing.mkdir()
+    # Deliver the whole table twice: the second file is a full replay.
+    for i in range(2):
+        dest = landing / f"delivery{i}.parquet"
+        shutil.copy(f"{sf_dir}/events.parquet", dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - locked conf: the read will surface it
+        pass
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(landing))
+        .select("event_id", "user_id", "event_type",
+                F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                .alias("ts"))
+    )
+    # Data spans ~1 month; a 60-day horizon keeps every key's state
+    # alive for the whole replay, so ALL re-deliveries are dropped.
+    deduped = stateful.dedupe_stream(stream, ["event_id"], "ts",
+                                     watermark="60 days")
+    sink = str(work / "sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))

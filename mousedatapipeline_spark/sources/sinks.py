@@ -60,3 +60,59 @@ def write_quarantine(rejected: DataFrame, path: str) -> None:
     append (replaces the `.stacking_error_list` text file)."""
     rejected.withColumn("quarantined_at", F.current_timestamp()) \
         .write.mode("append").parquet(path)
+
+
+def upsert_partitions(df: DataFrame, path: str,
+                      partition_cols: Sequence[str]) -> None:
+    """Idempotent partition-level upsert: rewrite exactly the partitions
+    present in ``df``, leave every other partition untouched.
+
+    This is the reprocessing primitive the reference implements as
+    in-place HDF5 mutation (SURVEY S10): re-running a (ymd, batch)
+    replaces that day's output atomically per partition. Uses dynamic
+    partition overwrite — ``mode("overwrite")`` under
+    ``partitionOverwriteMode=dynamic`` only clears partitions the write
+    produces. Safe to re-run (idempotent) and safe at 100 TB: the job
+    touches |changed partitions|, never the whole table.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact(spark, path: str, target_rows_per_file: int = 1_000_000,
+            partition_cols: Sequence[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(rows / target_rows_per_file) files (per partition when
+    ``partition_cols`` is given), preserving data and partitioning.
+
+    Long-running ingestion (per-trigger appends, per-repetition writes)
+    accretes many small files; at scale the file count — not the byte
+    count — kills scan planning and NameNode/listing costs. Returns the
+    number of files after compaction. The rewrite goes through a temp
+    dir then swaps, so readers never see a half-compacted table.
+    """
+    import math
+    import shutil as _sh
+    import tempfile as _tmp
+    from pathlib import Path as _P
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = _tmp.mkdtemp(prefix="compact_", dir=str(_P(path).parent))
+    if partition_cols:
+        # Cluster by the partition key so each output dir gets ONE file
+        # (hash-colocated), regardless of how many tasks run.
+        out = df.repartition(n_files, *partition_cols)
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(tmp)
+    _sh.rmtree(path)
+    _sh.move(tmp, path)
+    return len(list(_P(path).rglob("part-*.parquet")))

@@ -89,3 +89,19 @@ def sessionize_stream(events: DataFrame, *, gap_seconds: int = 1800,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def dedupe_stream(events: DataFrame, keys: list[str], ts_col: str,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark``: a key's first arrival passes;
+    re-deliveries within the watermark horizon are dropped from the
+    state store, and state for keys older than the watermark is
+    evicted — so state size is O(keys per horizon), not O(all keys
+    ever), which is what lets the operator run forever. (The watcher's
+    sink-anti-join dedup (watcher.py) re-reads the sink per batch —
+    fine for file-batch cadence, wrong for high-rate streams.)
+    """
+    return events.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(keys)

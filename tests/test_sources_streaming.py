@@ -212,3 +212,92 @@ def test_stateful_sessionization_across_triggers(tmp_path, spark):
              for u, v in per_user.items()}
     assert final[1] == (1, 3)  # state carried: still one session
     assert final[2] == (2, 2)  # gap across triggers: new session
+
+
+def test_stream_dedup_drops_cross_trigger_redelivery(tmp_path, spark):
+    """dropDuplicatesWithinWatermark keeps key state ACROSS triggers: a
+    re-delivery arriving in a later micro-batch must be dropped."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mousedatapipeline_spark.streaming import stateful
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    chunks = [
+        {"event_id": [1, 2, 2], "ts": [t(0), t(1), t(1)]},   # in-batch dup
+        {"event_id": [2, 3], "ts": [t(1), t(2)]},            # cross-batch dup
+    ]
+    for i, data in enumerate(chunks):
+        dest = landing / f"chunk{i}.parquet"
+        pq.write_table(pa.table({
+            "event_id": pa.array(data["event_id"], pa.int64()),
+            "ts": pa.array(data["ts"], pa.timestamp("us")),
+        }), dest)
+        os.utime(dest, (1_000_000_000 + i,) * 2)
+
+    stream = (spark.readStream.schema("event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(landing)))
+    deduped = stateful.dedupe_stream(stream, ["event_id"], "ts", "1 hour")
+    sink = str(tmp_path / "sink")
+    q = (deduped.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]
+
+
+def test_upsert_partitions_rewrites_only_changed(tmp_path, spark):
+    path = str(tmp_path / "table")
+    day1 = spark.createDataFrame(
+        [("20240101", 1, 1.0), ("20240102", 1, 2.0)],
+        "ymd string, batch int, v double")
+    sinks.upsert_partitions(day1, path, ["ymd"])
+    # Reprocess day 2 only: day 1 must survive, day 2 must be replaced.
+    day2_fixed = spark.createDataFrame(
+        [("20240102", 1, 99.0), ("20240102", 2, 98.0)],
+        "ymd string, batch int, v double")
+    sinks.upsert_partitions(day2_fixed, path, ["ymd"])
+    # Partition values come back type-inferred (int here) — normalize.
+    got = {(str(r["ymd"]), r["batch"]): r["v"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("20240101", 1): 1.0,
+                   ("20240102", 1): 99.0, ("20240102", 2): 98.0}
+    # Idempotent: re-running the same upsert changes nothing.
+    sinks.upsert_partitions(day2_fixed, path, ["ymd"])
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_compact_reduces_file_count(tmp_path, spark):
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "id long, part int")
+    # Fragment: 50 writer tasks -> many small files.
+    df.repartition(50).write.mode("overwrite").parquet(path)
+    from pathlib import Path
+    before = len(list(Path(path).rglob("part-*.parquet")))
+    assert before >= 40
+    n_after = sinks.compact(spark, path, target_rows_per_file=200)
+    assert n_after <= 2
+    out = spark.read.parquet(path)
+    assert out.count() == 300
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(300))
+
+
+def test_compact_partitioned_one_file_per_dir(tmp_path, spark):
+    path = str(tmp_path / "fragp")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "id long, part int")
+    df.repartition(20).write.mode("overwrite").partitionBy("part") \
+        .parquet(path)
+    from pathlib import Path
+    assert len(list(Path(path).rglob("part-*.parquet"))) >= 30
+    sinks.compact(spark, path, target_rows_per_file=1000,
+                  partition_cols=["part"])
+    for d in Path(path).glob("part=*"):
+        assert len(list(d.glob("part-*.parquet"))) == 1
+    assert spark.read.parquet(path).count() == 300
