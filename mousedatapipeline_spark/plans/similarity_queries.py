@@ -722,3 +722,112 @@ def s08_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "cid", "cell", "rank", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative k-means (Lloyd) refinement of the IVF coarse quantizer: the
+# canonical iterative-algorithm-on-Spark shape. Each round broadcasts
+# the (tiny) centroid arrays, assigns every vector with a row-local
+# distance fold + map-side-combinable argmin, and re-estimates centroids
+# with one (cell, dim) shuffle. Rounds are driver-unrolled (2 here);
+# at scale the loop runs until movement < eps with the same per-round
+# plan — state between rounds is only k x dim doubles on the driver.
+# --------------------------------------------------------------------------
+def _km_assign(vecs: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """argmin_cell ||v - c||^2 per vector; ties break on cell id."""
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = vecs.join(F.broadcast(cent_arr)).withColumn("dist", d2)
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct(
+            stable_round(F.col("dist")).alias("rd"),
+            F.col("cell").alias("cell"),
+            F.col("v").alias("v"))).alias("b"))
+    return best.select("vec_id", F.col("b.cell").alias("cell"),
+                       F.col("b.v").alias("v"))
+
+
+def _km_centroids(assigned: DataFrame) -> DataFrame:
+    """Exact decimal per-(cell, dim) means of the assigned vectors."""
+    dims = assigned.select(
+        "cell", F.posexplode("v").alias("pos", "val"))
+    return dims.groupBy("cell", (F.col("pos") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+
+
+def _km_to_arrays(cent: DataFrame) -> DataFrame:
+    return cent.groupBy("cell").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+
+
+_KM_SQL_ASSIGN = """
+    dist{i} AS (
+      SELECT d.vec_id, c.cell,
+             CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS dist
+      FROM dims d JOIN c{j} c ON d.dim = c.dim GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {rd} ASC, cell ASC) AS rn
+        FROM dist{i})
+      WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cell, d.dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM dims d JOIN a{i} a ON d.vec_id = a.vec_id GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "s10_kmeans_ivf",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    c0 AS (
+      SELECT e.label AS cell, d.dim,
+             CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM dims d JOIN embeddings e ON d.vec_id = e.vec_id GROUP BY 1, 2
+    ),
+    {_KM_SQL_ASSIGN.format(i=1, j=0, rd=stable_round_sql('dist'))},
+    {_KM_SQL_ASSIGN.format(i=2, j=1, rd=stable_round_sql('dist'))}
+    SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n,
+           {stable_round_sql('cv')} AS centroid_v
+    FROM c2
+    """,
+    doc="Iterative k-means (2 Lloyd rounds, label-mean init) refining "
+        "the IVF coarse quantizer: per-round broadcast-centroid "
+        "assignment (row-local distance folds, argmin via min-of-"
+        "struct) + one (cell, dim) shuffle for re-estimation. "
+        "Deterministic: exact decimal centroid means, stable-rounded "
+        "distances, cell-id tie-breaks.",
+)
+def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    init = e.select("vec_id", F.col("label").alias("cell")) \
+        .join(vecs, "vec_id")
+    cent = _km_centroids(init).drop("n")
+    for _ in range(2):
+        # Checkpoint the k x dim centroid table each round: without it
+        # round N's plan embeds rounds 1..N-1 (lineage doubles per
+        # iteration — the classic iterative-Spark trap).
+        arrays = _km_to_arrays(cent).localCheckpoint(eager=False)
+        assigned = _km_assign(vecs, arrays)
+        full = _km_centroids(assigned)
+        cent = full.drop("n")
+    return full.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dim").cast("int").alias("dim"), "n",
+        stable_round(F.col("cv")).alias("centroid_v"))

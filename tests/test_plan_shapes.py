@@ -139,7 +139,8 @@ def test_asof_join_single_shuffle(spark):
 # vectors / O(10) centroid arrays) against a scan — a broadcast product
 # whose build side is constant-size is scale-safe; the ban below is for
 # ACCIDENTAL nested loops over two big sides.
-_INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf"}
+_INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
+                                  "s10_kmeans_ivf"}
 
 
 @_needs_data
