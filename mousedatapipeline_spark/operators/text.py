@@ -152,3 +152,49 @@ def rolling_fingerprint(text: Column) -> Column:
 def content_hash(text: Column) -> Column:
     """Exact-identity fingerprint (md5 hex — engine-portable)."""
     return F.md5(text)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (beyond-reference: training-data scrubbing).
+# Patterns are restricted to the Java-regex ∩ RE2 subset (no lookaround,
+# no backreferences) so Spark and the DuckDB oracle agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One bigint hit-count column per PII pattern, named n_<tag>."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), idx=0))
+        .cast("bigint").alias(f"n_{tag.lower()}")
+        for tag, pat in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its [TAG]; order matters (emails
+    first so their digit runs are never half-eaten by the phone rule)."""
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+def pii_counts_sql(text_sql: str) -> list[str]:
+    return [
+        f"CAST(len(regexp_extract_all({text_sql}, '{pat}')) AS BIGINT)"
+        f" AS n_{tag.lower()}"
+        for tag, pat in PII_PATTERNS
+    ]
+
+
+def redact_pii_sql(text_sql: str) -> str:
+    out = text_sql
+    for tag, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '[{tag}]', 'g')"
+    return out

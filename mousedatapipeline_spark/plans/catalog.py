@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "mousedatapipeline_spark.plans.mouse_queries",
     "mousedatapipeline_spark.plans.text_queries",
     "mousedatapipeline_spark.plans.similarity_queries",
+    "mousedatapipeline_spark.plans.curation_queries",
     "mousedatapipeline_spark.plans.events_queries",
     "mousedatapipeline_spark.plans.image_queries",
     "mousedatapipeline_spark.plans.streaming_queries",

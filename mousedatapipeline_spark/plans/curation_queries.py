@@ -1,0 +1,191 @@
+"""Training-data curation catalog: deterministic stratified sampling
+(data mixing), train/val/test splitting, PII redaction, and context-
+window sequence packing — the ops between "deduped corpus" and "ready
+to train" at 100 TB.
+
+All four are pure column expressions / single-window shapes: the
+sampling and split predicates evaluate in the scan stage (no shuffle),
+redaction is a per-row regex chain (JVM codegen, no UDF), and packing
+is one window over (lang). Parity with the DuckDB oracle comes from
+sharing the md5-bucket thresholds and regex patterns via
+operators/sampling.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import sampling as SA
+from mousedatapipeline_spark.operators import text as T
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+# Mixing rates: rebalance the synthetic corpus toward under-represented
+# languages (en is ~44% of documents; see TESTDATA.md).
+MIX_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 1.0}
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+PACK_BUDGET = 512  # tokens per context window
+
+
+def _mix_sql_keep() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{s}' THEN {SA.keep_predicate_sql('doc_id', r)}"
+        for s, r in MIX_RATES.items())
+    return f"CASE {arms} ELSE FALSE END"
+
+
+def _mix_sql_weight() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{s}' THEN {1.0 / r!r}"
+        for s, r in MIX_RATES.items() if r > 0)
+    return f"CASE {arms} END"
+
+
+# --------------------------------------------------------------------------
+# s12: stratified deterministic sampling (data mixing).
+# --------------------------------------------------------------------------
+@register(
+    "s12_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_mix_sql_weight()} AS DOUBLE) AS weight
+    FROM documents
+    WHERE {_mix_sql_keep()}
+    """,
+    doc="Deterministic per-language Bernoulli downsampling with "
+        "inverse-rate weights (training-data mixing). Membership is a "
+        "pure function of md5(doc_id) — reproducible across re-runs, "
+        "partitionings and engines; evaluated in the scan stage "
+        "(zero shuffles).",
+)
+def s12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = SA.stratified_sample(d, key="doc_id", stratum="lang",
+                               rates=MIX_RATES)
+    return out.select("doc_id", "lang", "source", "weight")
+
+
+# --------------------------------------------------------------------------
+# s13: train/val/test split census.
+# --------------------------------------------------------------------------
+@register(
+    "s13_dataset_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {SA.split_sql_case('doc_id', SPLIT_FRACTIONS)} AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic train/val/test assignment via consecutive "
+        "md5-bucket ranges (a new row never moves an existing one "
+        "between splits), plus a per-(split, lang) census.",
+)
+def s13_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = SA.dataset_split(d, key="doc_id", fractions=SPLIT_FRACTIONS)
+    return (s.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+# --------------------------------------------------------------------------
+# t07: PII redaction. The synthetic corpus is PII-free, so both engines
+# splice a deterministic contact line (email + ip + phone derived from
+# doc_id) into the text before scrubbing — the patterns fire on every
+# row and the hash check covers the full redacted string.
+# --------------------------------------------------------------------------
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.org at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) || ' tel 555-123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _aug_spark() -> F.Column:
+    return F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.org at 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" tel 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+
+
+@register(
+    "t07_pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {', '.join(T.pii_counts_sql('t'))},
+           CAST(length({T.redact_pii_sql('t')}) AS BIGINT) AS redacted_len,
+           md5({T.redact_pii_sql('t')}) AS redacted_hash
+    FROM aug
+    """,
+    doc="PII scrubbing: email/IPv4/phone regex redaction + per-pattern "
+        "hit counts. Patterns live in the Java-regex ∩ RE2 subset so "
+        "both engines replace identical spans; pure regexp_replace "
+        "chain — JVM codegen, no UDF, no shuffle.",
+)
+def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _aug_spark().alias("t"))
+    red = T.redact_pii(F.col("t"))
+    return aug.select(
+        "doc_id", *T.pii_counts(F.col("t")),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_hash"))
+
+
+# --------------------------------------------------------------------------
+# t08: sequence packing (concat-then-chunk context windows).
+# --------------------------------------------------------------------------
+_SQL_NTOK = ("len(list_filter(string_split(lower(text), ' '), "
+             "x -> x <> ''))")
+
+
+@register(
+    "t08_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST({_SQL_NTOK} AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS tok_start
+      FROM toks
+    )
+    SELECT lang, CAST(tok_start // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM placed GROUP BY lang, chunk_id
+    """,
+    doc=f"Sequence packing for LLM pretraining: documents laid end-to-"
+        f"end per language, chunked into {PACK_BUDGET}-token context "
+        f"windows (concat-then-chunk, GPT-loader style). One window "
+        f"over (lang) + one aggregate — no driver loop, deterministic "
+        f"at any parallelism.",
+)
+def t08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang",
+                    T.token_count(F.col("text")).alias("n_tok"))
+    placed = SA.pack_sequences(toks, group=["lang"], order="doc_id",
+                               tokens="n_tok", budget=PACK_BUDGET)
+    return (placed.groupBy("lang", "chunk_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("chunk_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

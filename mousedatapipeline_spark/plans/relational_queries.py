@@ -556,3 +556,57 @@ def q16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                for c in ["min_v", "max_v", "mean_v",
                          "p25", "p50", "p75", "p95"]]
     return prof.select("col_name", "n", "n_null", "n_distinct", *rounded)
+
+
+# --------------------------------------------------------------------------
+# Multi-level aggregation (ROLLUP): region -> nation -> grand total in ONE
+# pass. Reference has only flat groupBys; this is the OLAP rollup shape a
+# reporting layer needs. Scale: Spark expands the rollup into a single
+# Expand + hash aggregate — one shuffle regardless of level count; dims
+# are broadcast so the fact table is scanned once.
+# --------------------------------------------------------------------------
+@register(
+    "q17_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r.r_name, '<all>') AS region_name,
+           CASE WHEN r.r_name IS NULL THEN '<all>'
+                ELSE COALESCE(n.n_name, '<all>') END AS nation_name,
+           {rr} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """.format(rr=stable_round_sql('CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)')),
+    doc="Hierarchical ROLLUP aggregation (region, nation, grand total) "
+        "in one Expand+aggregate pass; NULL grouping slots rendered as "
+        "'<all>' on both engines.",
+)
+def q17_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    # grouping() distinguishes "NULL because rolled up" from a genuine
+    # NULL key, so the '<all>' rendering is exact on both engines.
+    rolled = (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("o_totalprice").alias("revenue_d"),
+             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.grouping("r_name").alias("_gr"),
+             F.grouping("n_name").alias("_gn"))
+    )
+    return rolled.select(
+        F.when(F.col("_gr") == 1, F.lit("<all>"))
+         .otherwise(F.col("r_name")).alias("region_name"),
+        F.when((F.col("_gr") == 1) | (F.col("_gn") == 1), F.lit("<all>"))
+         .otherwise(F.col("n_name")).alias("nation_name"),
+        stable_round(F.col("revenue_d").cast("double")).alias("revenue"),
+        "n_orders")

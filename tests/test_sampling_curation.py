@@ -1,0 +1,109 @@
+"""Unit semantics for operators/sampling.py and the PII redaction ops:
+determinism, stratum rates, split partition/stability, packing layout,
+and redaction on synthetic PII (the catalog corpus is PII-free, so
+hits are exercised here with hand-written rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import sampling as SA
+from mousedatapipeline_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", f"word{i % 7} " * (i % 9 + 1))
+            for i in range(400)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_stratified_sample_is_deterministic_and_rate_shaped(docs):
+    rates = {"en": 0.5, "de": 1.0}
+    a = SA.stratified_sample(docs, "doc_id", "lang", rates)
+    b = SA.stratified_sample(docs.repartition(7), "doc_id", "lang", rates)
+    ra = sorted(r.doc_id for r in a.collect())
+    rb = sorted(r.doc_id for r in b.collect())
+    assert ra == rb  # partitioning-independent membership
+    per = {r["lang"]: r["n"] for r in
+           a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per["de"] == 200  # rate 1.0 keeps everything
+    assert 60 <= per["en"] <= 140  # ~100 expected at rate .5, md5-uniform
+    w = {r["lang"]: r["weight"] for r in a.select("lang", "weight")
+         .distinct().collect()}
+    assert w == {"en": 2.0, "de": 1.0}
+
+
+def test_stratified_sample_unknown_stratum_dropped_or_defaulted(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
+    assert SA.stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 0
+    kept = SA.stratified_sample(df, "doc_id", "lang", {"en": 1.0},
+                                default_rate=1.0)
+    assert kept.count() == 2
+    assert kept.select("weight").distinct().collect()[0][0] == 1.0
+
+
+def test_dataset_split_partitions_everything_exactly_once(docs):
+    s = SA.dataset_split(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.filter(F.col("split").isNull()).count() == 0
+    n = {r["split"]: r["n"] for r in
+         s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(n.values()) == 400
+    assert n["train"] > n["val"] and n["train"] > n["test"]
+
+
+def test_dataset_split_membership_stable_under_growth(spark, docs):
+    """Adding rows never moves an existing row between splits."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    first = {r["doc_id"]: r["split"]
+             for r in SA.dataset_split(docs.limit(100), "doc_id", fr)
+             .collect()}
+    grown = {r["doc_id"]: r["split"]
+             for r in SA.dataset_split(docs, "doc_id", fr).collect()}
+    assert all(grown[k] == v for k, v in first.items())
+
+
+def test_split_fractions_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        SA.dataset_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_pack_sequences_chunk_layout(spark):
+    # tokens: 3,4,5 in one group with budget 6 ->
+    # starts 0,3,7 -> chunks 0,0,1
+    df = spark.createDataFrame(
+        [("g", 1, 3), ("g", 2, 4), ("g", 3, 5)], ["g", "i", "n"])
+    out = SA.pack_sequences(df, ["g"], "i", "n", budget=6) \
+        .orderBy("i").collect()
+    assert [(r.tok_start, r.chunk_id) for r in out] == \
+        [(0, 0), (3, 0), (7, 1)]
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 600), ("b", 1, 600)], ["g", "i", "n"])
+    out = SA.pack_sequences(df, ["g"], "i", "n", budget=512).collect()
+    assert all(r.chunk_id == 0 and r.tok_start == 0 for r in out)
+
+
+def test_redact_pii_hits_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk ip 192.168.0.1 tel 555-123-4567 x"),
+         (2, "no pii here 1234")],
+        ["i", "t"])
+    out = df.select("i", T.redact_pii(F.col("t")).alias("r"),
+                    *T.pii_counts(F.col("t"))).orderBy("i").collect()
+    assert out[0].r == "mail [EMAIL] ip [IP] tel [PHONE] x"
+    assert (out[0].n_email, out[0].n_ip, out[0].n_phone) == (1, 1, 1)
+    assert out[1].r == "no pii here 1234"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (0, 0, 0)
+
+
+def test_redaction_order_email_before_phone(spark):
+    # digits inside an email local part must not be phone-matched
+    df = spark.createDataFrame([("x 555-123-4567@corp.io y",)], ["t"])
+    r = df.select(T.redact_pii(F.col("t")).alias("r")).collect()[0].r
+    assert r == "x [EMAIL] y"
