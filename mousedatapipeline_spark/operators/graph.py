@@ -1,0 +1,113 @@
+"""Distributed connected components for dedup clustering.
+
+Near-dup pair generation (s02/s03/s09) emits *edges*; an actual dedup
+pass needs *clusters*: the transitive closure of "is a near-dup of",
+one canonical document per component. The reference has nothing like
+this (its dedup surface is zero); this is the beyond-reference
+training-data mandate.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Each round every node takes the minimum label over itself and its
+neighbors (one shuffle: edge-join + groupBy), then compresses paths by
+replacing its label with its label's label (one self-join). The
+neighbor step alone needs O(diameter) rounds; the pointer-jumping step
+halves label-chain depth each round, giving O(log n) rounds total —
+the same convergence bound as the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14). Near-dup components are dense and shallow in practice, so
+convergence is typically 2-3 rounds.
+
+Scale notes (100 TB):
+- The edge list is localCheckpoint-ed once up front: every round joins
+  it, and without materialization the (expensive) pair-generation
+  subtree would re-run per round. On a cluster, persist(MEMORY_AND_DISK)
+  or a checkpoint to the shuffle service plays the same role.
+- Labels are localCheckpoint-ed each round to cut lineage — an
+  iterative plan otherwise grows by two joins per round and chokes the
+  optimizer (same pattern as the k-means loop in operators/vector.py).
+- Convergence is detected by the sum of labels: min-label updates are
+  monotone non-increasing, so an unchanged sum (one lightweight agg
+  action per round) proves a fixpoint. No row-level diff join needed.
+- Each round is two shuffles on the node id; AQE handles the skew of
+  popular labels. Component count and sizes are unbounded in general,
+  but label state is exactly one row per node — never per edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str, src: str, dst: str,
+                         max_iter: int = 25) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``nodes`` must contain every vertex (isolated nodes become their
+    own singleton component); ``edges`` is undirected input given in
+    one direction. Returns ``(node_col, component_id)``.
+    """
+    # Both edge directions from ONE pass over the (possibly expensive)
+    # edge subtree: a union of two selects would evaluate the pair-
+    # generation plan twice — Spark does not share non-materialized
+    # subtrees between union branches.
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+               F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
+           .alias("e"))
+           .select("e.u", "e.v")
+           .localCheckpoint(eager=True))
+    # Only nodes with at least one edge enter the loop: isolated nodes
+    # (the vast majority of a deduped corpus) are their own component
+    # by definition and would just pad every per-round shuffle. At
+    # 100 TB this shrinks the iterated state from |corpus| to |docs
+    # with a near-dup|.
+    # Initialization doubles as round one: lbl = min(self, neighbors)
+    # comes out of the same shuffle that dedups the active-node set.
+    labels = (und.groupBy("u")
+              .agg(F.least(F.col("u"), F.min("v")).alias("lbl"))
+              .withColumnRenamed("u", "id")
+              .localCheckpoint(eager=False))
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (und.join(labels, und.v == labels.id)
+                 .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        stepped = (labels.join(neigh, labels.id == neigh.u, "left")
+                   .select(labels.id,
+                           F.least(labels.lbl,
+                                   F.coalesce("nlbl", labels.lbl))
+                           .alias("lbl")))
+        # Pointer jump against the PREVIOUS (checkpointed) label table,
+        # not against `stepped`: a stepped-vs-stepped self-join would
+        # recompute the whole neighbor-min subtree on both sides (Spark
+        # does not share non-materialized subtrees between join
+        # branches). prev(x) <= x for every node id x, so the jump is
+        # still a monotone improvement and the fixpoint is unchanged:
+        # stable labels mean both edge endpoints agree, and the common
+        # label is a member id <= the member min, i.e. the min itself.
+        parent = labels.select(F.col("id").alias("pid"),
+                               F.col("lbl").alias("plbl"))
+        jumped = (stepped.join(parent, stepped.lbl == parent.pid)
+                  .select(stepped.id,
+                          F.least(stepped.lbl, F.col("plbl"))
+                          .alias("lbl")))
+        # Lazy checkpoint + the convergence agg as its materializing
+        # action: one job per round, and the lineage is still cut.
+        labels = jumped.localCheckpoint(eager=False)
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    looped = labels.select(F.col("id").alias(node_col),
+                           F.col("lbl").alias("component_id"))
+    singletons = (nodes.join(labels, nodes[node_col] == labels.id,
+                             "left_anti")
+                  .select(F.col(node_col),
+                          F.col(node_col).alias("component_id")))
+    return looped.union(singletons)

@@ -831,3 +831,64 @@ def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("int").alias("cell"),
         F.col("dim").cast("int").alias("dim"), "n",
         stable_round(F.col("cv")).alias("centroid_v"))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the s02 pair graph.
+# The step between "pairs found" and "corpus deduped": transitive
+# closure of near-dup edges, one canonical doc (min doc_id) per
+# component. Spark side is iterative min-label propagation with
+# pointer jumping (O(log n) rounds; see operators/graph.py); the
+# oracle is a recursive-CTE reachability closure.
+# --------------------------------------------------------------------------
+@register(
+    "s14_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1, d2 FROM common JOIN sz x ON d1 = x.doc_id
+                                JOIN sz y ON d2 = y.doc_id
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6
+    ),
+    und AS (SELECT d1 AS u, d2 AS v FROM edges
+            UNION ALL SELECT d2, d1 FROM edges),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lbl FROM und e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY u)
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS n_members,
+           CAST(doc_id = component_id AS INT) AS is_canonical
+    FROM comp
+    """,
+    doc="Near-dup clustering: connected components of the 3-gram "
+        "Jaccard >= 0.6 pair graph (transitive closure), canonical doc "
+        "= min(doc_id) per component, singletons included. Iterative "
+        "min-label propagation + pointer jumping, label state one row "
+        "per node, edges checkpointed once (operators/graph.py).",
+)
+def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.graph import connected_components
+    d = load(spark, sf_dir, "documents")
+    edges = s02_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    cc = connected_components(d.select("doc_id"), edges,
+                              "doc_id", "d1", "d2")
+    sizes = cc.groupBy("component_id") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (cc.join(sizes, "component_id")
+            .select("doc_id", "component_id", "n_members",
+                    (F.col("doc_id") == F.col("component_id"))
+                    .cast("int").alias("is_canonical")))

@@ -1,0 +1,56 @@
+"""Connected-components semantics: path graphs (pointer-jumping
+exercise), isolated nodes, multi-component graphs, and determinism
+under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    edf = spark.createDataFrame(edges or [(None, None)],
+                                "a: bigint, b: bigint")
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    out = connected_components(ndf, edf, "id", "a", "b", **kw)
+    return {r.id: r.component_id for r in out.collect()}
+
+
+def test_path_graph_collapses_to_min(spark):
+    # 1-2-3-4-5-6-7-8: diameter 7, pointer jumping needs ~log2(8) rounds
+    edges = [(i, i + 1) for i in range(1, 8)]
+    got = _cc(spark, range(1, 9), edges)
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_two_components_and_singletons(spark):
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (2, 3), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [5, 6, 7], [])
+    assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i, i + 1) for i in range(1, 40, 2)]  # 20 two-node comps
+    ndf = spark.createDataFrame([(n,) for n in range(1, 41)], ["id"]) \
+        .repartition(13)
+    edf = spark.createDataFrame(edges, "a: bigint, b: bigint") \
+        .repartition(7)
+    out = connected_components(ndf, edf, "id", "a", "b")
+    got = {r.id: r.component_id for r in out.collect()}
+    assert got == {i: i - (1 - i % 2) for i in range(1, 41)}
+
+
+def test_nonconvergence_raises(spark):
+    ndf = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    edf = spark.createDataFrame([(i, i + 1) for i in range(1, 8)],
+                                "a: bigint, b: bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ndf, edf, "id", "a", "b", max_iter=1)
