@@ -243,3 +243,50 @@ def salted_join(fact: DataFrame, dim: DataFrame, keys: Sequence[str],
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return f.join(d, [*keys, "__salt"], how).drop("__salt")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare: Sequence[str]) -> DataFrame:
+    """CDC extraction: diff two snapshots of a keyed table into
+    insert / delete / update rows (unchanged rows are dropped).
+
+    The incremental-refresh primitive the reference approximates with
+    filesystem mtime checks (`src/processstep_stacker.py:21-39`): at
+    100 TB you never recompute the world — you diff the new snapshot
+    against the old and propagate only the changes.
+
+    Shape: ONE full-outer equi-join on the key. With both snapshots
+    bucketed/partitioned by the key this is a co-located sort-merge
+    join with no shuffle at all; change detection is a null-safe
+    column comparison (no row-fingerprint strings, so no cross-engine
+    float-formatting hazards and Catalyst can prune every column not
+    in ``keys + compare``).
+
+    Returns ``keys + action + old_<c>/new_<c>`` for each compare col.
+    """
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    for c in list(keys) + list(compare):
+        o = o.withColumnRenamed(c, f"_o_{c}")
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    cond = None
+    for k in keys:
+        eq = o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"])
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare:
+        ne = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = ne if changed is None else changed | ne
+    action = (
+        F.when(F.col(f"_o_{keys[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"_n_{keys[0]}").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update")))
+    out_keys = [F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+                for k in keys]
+    out_vals = [e for c in compare
+                for e in (F.col(f"_o_{c}").alias(f"old_{c}"),
+                          F.col(f"_n_{c}").alias(f"new_{c}"))]
+    return (j.withColumn("action", action)
+            .filter(F.col("action").isNotNull())
+            .select(*out_keys, "action", *out_vals))

@@ -610,3 +610,63 @@ def q17_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("n_name")).alias("nation_name"),
         stable_round(F.col("revenue_d").cast("double")).alias("revenue"),
         "n_orders")
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff / CDC extraction: the incremental-refresh primitive.
+# Two deterministic snapshots are derived from orders (old drops keys
+# %89==0 and perturbs price for %13==0; new drops keys %97==0), so the
+# diff contains all three action kinds with exactly known membership.
+# --------------------------------------------------------------------------
+@register(
+    "q18_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'update' END AS action,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'update' END) IS NOT NULL
+    """,
+    doc="Snapshot diff / CDC extraction: one full-outer equi-join of "
+        "two keyed snapshots -> insert/delete/update rows; null-safe "
+        "column compare (no row-fingerprint strings). Co-located "
+        "sort-merge join with zero shuffle when snapshots are bucketed "
+        "by key (operators.joins.snapshot_diff).",
+)
+def q18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.joins import snapshot_diff
+    orders = load(spark, sf_dir, "orders")
+    old_snap = (orders.filter(F.col("o_orderkey") % 89 != 0)
+                .select("o_orderkey",
+                        F.when(F.col("o_orderkey") % 13 == 0,
+                               F.col("o_totalprice") + 1.0)
+                        .otherwise(F.col("o_totalprice"))
+                        .alias("o_totalprice"),
+                        "o_orderstatus"))
+    new_snap = (orders.filter(F.col("o_orderkey") % 97 != 0)
+                .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    return snapshot_diff(old_snap, new_snap, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])

@@ -1,0 +1,55 @@
+"""snapshot_diff semantics: action classification, unchanged-row
+elision, NULL-safe value compare, composite keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators.joins import snapshot_diff
+
+
+def test_actions_and_unchanged_elision(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, 30.0), (4, 40.0)], ["k", "v"])
+    got = {r.k: (r.action, r.old_v, r.new_v)
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: ("delete", 10.0, None),
+                   2: ("update", 20.0, 21.0),
+                   4: ("insert", None, 40.0)}  # 3 unchanged -> dropped
+
+
+def test_null_safe_value_compare(spark):
+    old = spark.createDataFrame([(1, None), (2, None), (3, 5.0)],
+                                "k: bigint, v: double")
+    new = spark.createDataFrame([(1, None), (2, 2.0), (3, None)],
+                                "k: bigint, v: double")
+    got = {r.k: r.action
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # NULL == NULL is "unchanged" under eqNullSafe; NULL vs value is update
+    assert got == {2: "update", 3: "update"}
+
+
+def test_composite_keys(spark):
+    old = spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")],
+                                ["g", "i", "v"])
+    new = spark.createDataFrame([("a", 1, "x"), ("b", 1, "z")],
+                                ["g", "i", "v"])
+    out = snapshot_diff(old, new, ["g", "i"], ["v"]) \
+        .orderBy("g", "i").collect()
+    assert [(r.g, r.i, r.action) for r in out] == \
+        [("a", 2, "delete"), ("b", 1, "insert")]
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """Only keys + compare columns may be read from the source."""
+    p = str(tmp_path / "snap")
+    spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"),
+        F.lit("wide-unused-payload").alias("payload")).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = snapshot_diff(df, df, ["k"], ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("payload" not in ln for ln in reads)
