@@ -160,3 +160,31 @@ def test_e03_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "e03_range_join_attribution")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@_needs_data
+def test_s12_sampling_filter_is_scan_stage(spark):
+    """The stratified-sample membership predicate is a plain column
+    expression: it must evaluate in the scan stage — zero Exchanges in
+    the whole plan, no shuffle at any rate/stratum combination."""
+    plan = _plan(spark, "s12_stratified_sample")
+    assert _count_shuffles(plan) == 0, plan
+
+
+@_needs_data
+def test_q17_rollup_is_single_expand_aggregate(spark):
+    """ROLLUP compiles to one Expand + hash aggregate: exactly one
+    data shuffle (the agg), every dimension join broadcast."""
+    plan = _plan(spark, "q17_rollup_revenue")
+    assert plan.count("Expand") >= 1, plan
+    assert _count_shuffles(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_q18_diff_joins_without_broadcast_nor_extra_shuffle(spark):
+    """CDC diff = one full-outer join: two scan-side Exchanges (one per
+    snapshot) and nothing else; change-compare adds no shuffle."""
+    plan = _plan(spark, "q18_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert _count_shuffles(plan) == 2, plan
