@@ -146,3 +146,65 @@ def frame_indices(n_frames_col, every_k: int = 2):
     return F.filter(
         F.sequence(F.lit(0), n_frames_col - 1),
         lambda i: i % every_k == 0)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+
+def materialize_frame(d: dict, frame_idx: int) -> np.ndarray:
+    """Deterministic (height, width) uint8 frame from a decoded payload:
+    body bytes cycled with a per-frame offset. Stands in for the pixel
+    plane a real codec would emit; everything downstream (resize,
+    checksum) operates on it exactly as it would on real pixels."""
+    h, w = d["height"], d["width"]
+    body = d["body"]
+    idx = (frame_idx * 31 + np.arange(h * w)) % max(len(body), 1)
+    return body[idx].reshape(h, w)
+
+
+def resize_nearest(frame: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index mapping — pure numpy,
+    no codec dependency, exact and deterministic."""
+    h, w = frame.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return frame[ys][:, xs]
+
+
+def resize_frames(media: DataFrame, out_w: int, out_h: int,
+                  every_k: int = 2) -> DataFrame:
+    """Decode -> frame-sample (every k-th frame) -> nearest-neighbor
+    resize -> per-frame stats, one Arrow batch at a time.
+
+    Output is one row per SAMPLED frame: at 100 TB the payload column
+    never shuffles (mapInPandas is narrow); only the small per-frame
+    stat rows continue downstream. The frame loop lives inside the
+    kernel so a video's frames never materialize simultaneously."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = decode_payload(bytes(rec.payload))
+                for f in range(0, d["n_frames"], every_k):
+                    out = resize_nearest(materialize_frame(d, f),
+                                         out_w, out_h)
+                    rows.append({
+                        "media_id": rec.media_id,
+                        "frame_idx": f,
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "mean_px": float(out.mean()),
+                        "frame_md5": hashlib.md5(
+                            out.tobytes()).hexdigest(),
+                    })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RESIZE_SCHEMA])
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)

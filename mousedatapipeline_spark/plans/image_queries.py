@@ -102,3 +102,18 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 4).alias("mean_byte"),
         F.round(F.element_at("histogram", 1), 6).alias("hist_bin0"),
     )
+
+
+@register(
+    "mm02_resized_frames",
+    oracle=None,  # binary payload kernel: rows-only; tested in tests/
+    doc="Multimodal frame pipeline: decode stub -> every-2nd-frame "
+        "sampling -> nearest-neighbor resize to 8x8 -> per-frame stats, "
+        "all inside one narrow mapInPandas pass (payloads never "
+        "shuffle; only small stat rows continue).",
+)
+def mm02_resized_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import resize_frames
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    media = attach_synthetic_media(docs, "doc_id")
+    return resize_frames(media, out_w=8, out_h=8, every_k=2)

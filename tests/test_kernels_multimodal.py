@@ -113,3 +113,38 @@ def test_frame_indices_jvm_side(spark):
     df = spark.createDataFrame([(10,)], "n int")
     row = df.select(M.frame_indices(F.col("n"), 3).alias("idx")).collect()[0]
     assert row["idx"] == [0, 3, 6, 9]
+
+
+def test_resize_nearest_exact_index_mapping():
+    import numpy as np
+    from mousedatapipeline_spark.operators import multimodal as MM
+    # 2x2 -> 4x4 upscale: each source pixel becomes a 2x2 block
+    f = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = MM.resize_nearest(f, 4, 4)
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2],
+                           [3, 3, 4, 4], [3, 3, 4, 4]]
+    # 4x4 -> 2x2 downscale picks rows/cols 0 and 2
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    dn = MM.resize_nearest(g, 2, 2)
+    assert dn.tolist() == [[0, 2], [8, 10]]
+
+
+def test_resize_frames_samples_and_checksums(spark):
+    import hashlib
+    from mousedatapipeline_spark.operators import multimodal as MM
+    df = spark.createDataFrame([(4,), (7,)], ["doc_id"])
+    media = MM.attach_synthetic_media(df, "doc_id")
+    out = MM.resize_frames(media, out_w=8, out_h=8, every_k=2).collect()
+    # every_k=2: media 4 (type=audio? id%3=1 -> audio, frames 4+4%9=8)
+    # and media 7 (id%3=1 audio, frames 4+7%9=11) -> 4 and 6 frames
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert sorted(len(v) for v in by_id.values()) == [4, 6]
+    assert all(r.frame_idx % 2 == 0 for r in out)
+    # checksum matches a direct numpy recomputation (kernel parity)
+    r0 = sorted(by_id[4], key=lambda r: r.frame_idx)[0]
+    d = MM.decode_payload(MM.synth_payload(4)[0])
+    expect = MM.resize_nearest(MM.materialize_frame(d, 0), 8, 8)
+    assert r0.frame_md5 == hashlib.md5(expect.tobytes()).hexdigest()
+    assert abs(r0.mean_px - float(expect.mean())) < 1e-12
