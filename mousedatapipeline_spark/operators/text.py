@@ -198,3 +198,41 @@ def redact_pii_sql(text_sql: str) -> str:
     for tag, pat in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '[{tag}]', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters, Rae et al. 2021):
+# duplicate-word fraction and top-n-gram fraction. All row-local array
+# expressions — zero shuffles; callers must stage token/gram arrays as
+# materialized columns (CollapseProject would otherwise duplicate the
+# whole tokenization into every consumer — see README scale notes).
+# ---------------------------------------------------------------------------
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from a materialized token array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(toks: Column) -> Column:
+    """1 - distinct/total: the fraction of repeated words."""
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def top_freq_fraction(grams: Column) -> Column:
+    """Fraction of all grams taken by the single most frequent gram.
+    O(distinct x total) per row — row-local, no shuffle; the scale
+    alternative (explode + count) trades that for a per-gram shuffle."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda x: F.size(F.filter(grams, lambda y: y == x)))
+    return F.when(
+        F.size(grams) > 0,
+        F.array_max(counts).cast("double") / F.size(grams)) \
+        .otherwise(F.lit(0.0))

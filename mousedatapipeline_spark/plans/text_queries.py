@@ -298,3 +298,64 @@ def t06_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "token", F.col("df").cast("bigint").alias("doc_freq"),
                 "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# t09: repetition signals (Gopher-style). Everything is a row-local
+# array expression over staged token/gram columns — zero shuffles.
+# --------------------------------------------------------------------------
+_SQL_BIGRAMS = ("list_transform(range(1, greatest(len(toks), 1)), "
+                "i -> toks[i] || ' ' || toks[i+1])")
+_SQL_TRIGRAMS = ("list_transform(range(1, greatest(len(toks) - 1, 1)), "
+                 "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+
+
+def _sql_top_frac(g: str) -> str:
+    return (f"CASE WHEN len({g}) > 0 THEN "
+            f"CAST(list_aggregate(list_transform(list_distinct({g}), "
+            f"x -> len(list_filter({g}, y -> y = x))), 'max') AS DOUBLE) "
+            f"/ CAST(len({g}) AS DOUBLE) ELSE 0.0 END")
+
+
+@register(
+    "t09_repetition_signals",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, toks,
+             {_SQL_BIGRAMS} AS g2, {_SQL_TRIGRAMS} AS g3
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           {stable_round_sql(
+               "CASE WHEN len(toks) > 0 THEN "
+               "1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)"
+               " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")}
+             AS dup_word_frac,
+           {stable_round_sql(_sql_top_frac('g2'))} AS top_bigram_frac,
+           {stable_round_sql(_sql_top_frac('g3'))} AS top_trigram_frac
+    FROM grams
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021): "
+        "duplicate-word fraction and top-bigram/trigram fractions, "
+        "all row-local array expressions over staged token/gram "
+        "columns — zero shuffles at any corpus size.",
+)
+def t09_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
+    grams = tok.select(
+        "doc_id", "lang", "toks",
+        T.ngrams_from_tokens(F.col("toks"), 2).alias("g2"),
+        T.ngrams_from_tokens(F.col("toks"), 3).alias("g3"))
+    return grams.select(
+        "doc_id", "lang",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        stable_round(T.dup_fraction(F.col("toks"))).alias("dup_word_frac"),
+        stable_round(T.top_freq_fraction(F.col("g2")))
+        .alias("top_bigram_frac"),
+        stable_round(T.top_freq_fraction(F.col("g3")))
+        .alias("top_trigram_frac"))

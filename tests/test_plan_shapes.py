@@ -188,3 +188,11 @@ def test_q18_diff_joins_without_broadcast_nor_extra_shuffle(spark):
     plan = _plan(spark, "q18_snapshot_diff")
     assert "FullOuter" in plan, plan
     assert _count_shuffles(plan) == 2, plan
+
+
+@_needs_data
+def test_t09_repetition_is_zero_shuffle(spark):
+    """Repetition signals are row-local array expressions: the whole
+    query must plan as a single scan stage with no Exchange."""
+    plan = _plan(spark, "t09_repetition_signals")
+    assert _count_shuffles(plan) == 0, plan

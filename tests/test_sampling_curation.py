@@ -107,3 +107,23 @@ def test_redaction_order_email_before_phone(spark):
     df = spark.createDataFrame([("x 555-123-4567@corp.io y",)], ["t"])
     r = df.select(T.redact_pii(F.col("t")).alias("r")).collect()[0].r
     assert r == "x [EMAIL] y"
+
+
+def test_ngrams_and_repetition_fractions(spark):
+    rows = [(1, "a b a b a"),   # toks 5, distinct 2; bigrams: ab ba ab ba
+            (2, "x"),           # too short for bigrams
+            (3, "")]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    toks = T.tokens(F.col("t"))
+    staged = df.select(
+        "i", toks.alias("toks"),
+        T.ngrams_from_tokens(toks, 2).alias("g2"))
+    out = {r.i: r for r in staged.select(
+        "i", "toks", "g2",
+        T.dup_fraction(F.col("toks")).alias("dw"),
+        T.top_freq_fraction(F.col("g2")).alias("tb")).collect()}
+    assert out[1].g2 == ["a b", "b a", "a b", "b a"]
+    assert abs(out[1].dw - (1 - 2 / 5)) < 1e-12
+    assert abs(out[1].tb - 0.5) < 1e-12
+    assert out[2].g2 == [] and out[2].dw == 0.0 and out[2].tb == 0.0
+    assert out[3].g2 == [] and out[3].dw == 0.0 and out[3].tb == 0.0
