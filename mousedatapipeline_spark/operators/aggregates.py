@@ -184,3 +184,50 @@ def profile_columns(df: DataFrame, cols: Sequence[str],
     for i, q in enumerate(quantiles):
         out = out.withColumn(f"p{int(q * 100)}", F.col("__q")[i])
     return out.drop("__sum", "__q")
+
+
+def incremental_agg_merge(old_snap: DataFrame, new_snap: DataFrame,
+                          row_key: str, group_key: str,
+                          value: str) -> DataFrame:
+    """Incremental view maintenance for a (count, sum) group aggregate.
+
+    Computes the old snapshot's aggregate, the CDC diff between the
+    snapshots (operators.joins.snapshot_diff), folds the diff into a
+    per-group delta (insert:+new, delete:-old, update:+new-old) and
+    merges: ``new_agg = old_agg (+) delta``; groups whose count reaches
+    zero are retired. All accumulation is decimal — the result is
+    bit-identical to aggregating the new snapshot from scratch, at a
+    cost proportional to the delta.
+
+    Returns ``(group_key, n_rows bigint, sum_value decimal)``.
+    """
+    from mousedatapipeline_spark.operators.joins import snapshot_diff
+
+    old_agg = old_snap.groupBy(group_key).agg(
+        F.sum(F.col(value).cast(DEC)).alias("_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+
+    diff = snapshot_diff(old_snap, new_snap, [row_key],
+                         [value, group_key])
+    a = F.col("action")
+    contrib = diff.select(
+        F.coalesce(f"new_{group_key}", f"old_{group_key}")
+        .alias(group_key),
+        F.when(a == "insert", F.col(f"new_{value}").cast(DEC))
+         .when(a == "delete", -F.col(f"old_{value}").cast(DEC))
+         .otherwise(F.col(f"new_{value}").cast(DEC)
+                    - F.col(f"old_{value}").cast(DEC)).alias("_drev"),
+        F.when(a == "insert", F.lit(1)).when(a == "delete", F.lit(-1))
+         .otherwise(F.lit(0)).cast("bigint").alias("_dn"))
+    delta = contrib.groupBy(group_key).agg(
+        F.sum("_drev").alias("_ddrev"), F.sum("_dn").alias("_ddn"))
+
+    zero = F.lit(0).cast(DEC)
+    return (old_agg.join(delta, group_key, "full_outer")
+            .select(group_key,
+                    (F.coalesce("_n", F.lit(0))
+                     + F.coalesce("_ddn", F.lit(0)))
+                    .cast("bigint").alias("n_rows"),
+                    (F.coalesce("_rev", zero)
+                     + F.coalesce("_ddrev", zero)).alias("sum_value"))
+            .filter(F.col("n_rows") > 0))

@@ -670,3 +670,60 @@ def q18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("o_orderkey", "o_totalprice", "o_orderstatus"))
     return snapshot_diff(old_snap, new_snap, ["o_orderkey"],
                          ["o_totalprice", "o_orderstatus"])
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: q18's companion. new_agg =
+# old_agg (+) delta(CDC diff) — the oracle computes the new snapshot's
+# aggregate DIRECTLY, so a hash match proves incremental maintenance
+# is exactly equivalent to full recomputation. Exactness relies on
+# decimal accumulators end-to-end: sums stay decimal(30,10)-based
+# until one final cast, so old+delta is bit-identical to a full
+# re-sum regardless of partitioning or merge order.
+# At 100 TB: the old aggregate and the CDC feed are materialized
+# tables; the refresh cost is proportional to the DELTA, never to the
+# fact table. Here both are simulated from `orders` in one plan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q19_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rr} AS revenue
+    FROM orders WHERE o_orderkey % 97 <> 0
+    GROUP BY o_custkey
+    """.format(rr=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Incremental view maintenance: per-customer (count, revenue) "
+        "maintained by merging the CDC delta into the old aggregate "
+        "(insert:+new, delete:-old, update:+new-old); groups whose "
+        "count reaches zero are retired. Oracle computes the new "
+        "snapshot's aggregate directly — the hash match proves "
+        "incremental == full recompute, exactly (decimal "
+        "accumulators).",
+)
+def q19_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import (
+        incremental_agg_merge,
+    )
+    orders = load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    old_snap = (orders.filter(F.col("o_orderkey") % 89 != 0)
+                .select("o_orderkey", "o_custkey",
+                        F.when(F.col("o_orderkey") % 13 == 0,
+                               F.col("o_totalprice") + 1.0)
+                        .otherwise(F.col("o_totalprice"))
+                        .alias("o_totalprice")))
+    new_snap = orders.filter(F.col("o_orderkey") % 97 != 0)
+
+    merged = incremental_agg_merge(old_snap, new_snap,
+                                   row_key="o_orderkey",
+                                   group_key="o_custkey",
+                                   value="o_totalprice")
+    return merged.select(
+        "o_custkey",
+        F.col("n_rows").alias("n_orders"),
+        stable_round(F.col("sum_value").cast("double")).alias("revenue"))

@@ -53,3 +53,27 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert reads and all("payload" not in ln for ln in reads)
+
+
+def test_incremental_agg_merge_matches_direct_and_retires_groups(spark):
+    from mousedatapipeline_spark.operators.aggregates import (
+        incremental_agg_merge,
+    )
+    # groups: g1 updated, g2 fully deleted (retired), g3 unchanged,
+    # g4 newly inserted
+    old = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 5.0), (3, "g2", 7.0), (4, "g3", 1.0)],
+        ["k", "g", "v"])
+    new = spark.createDataFrame(
+        [(1, "g1", 12.5), (2, "g1", 5.0), (4, "g3", 1.0), (5, "g4", 9.0)],
+        ["k", "g", "v"])
+    got = {r.g: (r.n_rows, float(r.sum_value))
+           for r in incremental_agg_merge(old, new, "k", "g", "v")
+           .collect()}
+    direct = {r.g: (r.n, float(r.s)) for r in
+              new.groupBy("g").agg(
+                  F.count("*").alias("n"),
+                  F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
+              .collect()}
+    assert got == direct
+    assert "g2" not in got  # count reached zero -> retired
