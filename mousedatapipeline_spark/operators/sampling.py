@@ -174,3 +174,22 @@ def pack_sequences(df: DataFrame, group: Sequence[str], order: str,
     return (df.withColumn("tok_start", start)
             .withColumn("chunk_id",
                         F.floor(F.col("tok_start") / budget).cast("bigint")))
+
+
+def exact_k_per_stratum(df: DataFrame, key: str, stratum: str,
+                        k: int) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    Rows are ranked inside each stratum by md5(key) — a uniform random
+    order that is a pure function of the data — and the first k kept.
+    Unlike rate-based sampling (:func:`stratified_sample`) the output
+    size is exact, and unlike reservoir sampling it needs no stateful
+    pass: one window shuffle on the stratum key. Ties are impossible
+    on the full 32-hex digest unless keys collide md5, so membership
+    is stable across partitionings and engines.
+    """
+    w = Window.partitionBy(stratum) \
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))

@@ -189,3 +189,32 @@ def t08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("chunk_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+# --------------------------------------------------------------------------
+# s15: exact-k per-stratum sample census.
+# --------------------------------------------------------------------------
+SAMPLE_K = 40
+
+
+@register(
+    "s15_exact_k_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= {SAMPLE_K}
+    """,
+    doc=f"Exact-size per-language sample: every language contributes "
+        f"exactly min({SAMPLE_K}, n) documents, ranked by md5(doc_id) "
+        f"— a deterministic uniform order. One window shuffle; "
+        f"membership is engine- and partitioning-independent.",
+)
+def s15_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return SA.exact_k_per_stratum(d, key="doc_id", stratum="lang",
+                                  k=SAMPLE_K).select("doc_id", "lang")

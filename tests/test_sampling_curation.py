@@ -127,3 +127,16 @@ def test_ngrams_and_repetition_fractions(spark):
     assert abs(out[1].tb - 0.5) < 1e-12
     assert out[2].g2 == [] and out[2].dw == 0.0 and out[2].tb == 0.0
     assert out[3].g2 == [] and out[3].dw == 0.0 and out[3].tb == 0.0
+
+
+def test_exact_k_per_stratum_sizes_and_determinism(docs):
+    out = SA.exact_k_per_stratum(docs, "doc_id", "lang", k=30)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"en": 30, "de": 30}
+    small = SA.exact_k_per_stratum(docs, "doc_id", "lang", k=10**6)
+    assert small.count() == 400  # k > |stratum| keeps everything
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in SA.exact_k_per_stratum(
+        docs.repartition(11), "doc_id", "lang", k=30).collect())
+    assert a == b  # membership independent of partitioning
