@@ -210,24 +210,41 @@ def incremental_agg_merge(old_snap: DataFrame, new_snap: DataFrame,
     diff = snapshot_diff(old_snap, new_snap, [row_key],
                          [value, group_key])
     a = F.col("action")
-    contrib = diff.select(
-        F.coalesce(f"new_{group_key}", f"old_{group_key}")
-        .alias(group_key),
-        F.when(a == "insert", F.col(f"new_{value}").cast(DEC))
-         .when(a == "delete", -F.col(f"old_{value}").cast(DEC))
-         .otherwise(F.col(f"new_{value}").cast(DEC)
-                    - F.col(f"old_{value}").cast(DEC)).alias("_drev"),
-        F.when(a == "insert", F.lit(1)).when(a == "delete", F.lit(-1))
-         .otherwise(F.lit(0)).cast("bigint").alias("_dn"))
+    og, ng = F.col(f"old_{group_key}"), F.col(f"new_{group_key}")
+    ov = F.col(f"old_{value}").cast(DEC)
+    nv = F.col(f"new_{value}").cast(DEC)
+    one, neg = F.lit(1).cast("bigint"), F.lit(-1).cast("bigint")
+    sub = F.struct(og.alias("g"), (-ov).alias("d"), neg.alias("n"))
+    add = F.struct(ng.alias("g"), nv.alias("d"), one.alias("n"))
+    # An update whose GROUP KEY changed must touch both groups:
+    # retract from the old, insert into the new. Same-group updates
+    # fold into one net contribution.
+    contribs = (
+        F.when(a == "insert", F.array(add))
+        .when(a == "delete", F.array(sub))
+        .when(og.eqNullSafe(ng),
+              F.array(F.struct(og.alias("g"), (nv - ov).cast(DEC)
+                               .alias("d"),
+                               F.lit(0).cast("bigint").alias("n"))))
+        .otherwise(F.array(sub, add)))
+    contrib = diff.select(F.explode(contribs).alias("c")) \
+        .select(F.col("c.g").alias(group_key),
+                F.col("c.d").alias("_drev"), F.col("c.n").alias("_dn"))
     delta = contrib.groupBy(group_key).agg(
         F.sum("_drev").alias("_ddrev"), F.sum("_dn").alias("_ddn"))
 
+    # Both sum operands are decimal(38,10) (Spark's sum caps precision
+    # at 38); adding them as-is would need decimal(39,10), and the
+    # precision-loss rule silently REDUCES THE SCALE to 9 — a real
+    # lost digit. Narrow both back to decimal(30,10) first (group sums
+    # fit comfortably), so the merge addition stays exact.
     zero = F.lit(0).cast(DEC)
     return (old_agg.join(delta, group_key, "full_outer")
             .select(group_key,
                     (F.coalesce("_n", F.lit(0))
                      + F.coalesce("_ddn", F.lit(0)))
                     .cast("bigint").alias("n_rows"),
-                    (F.coalesce("_rev", zero)
-                     + F.coalesce("_ddrev", zero)).alias("sum_value"))
+                    (F.coalesce("_rev", zero).cast(DEC)
+                     + F.coalesce("_ddrev", zero).cast(DEC))
+                    .alias("sum_value"))
             .filter(F.col("n_rows") > 0))

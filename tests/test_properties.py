@@ -128,3 +128,68 @@ def test_sessionize_session_count_invariant(spark, gaps, gap_limit):
         F.max("session_seq").alias("n")).collect()[0]["n"]
     expected = 1 + sum(1 for g in gaps[1:] if g > gap_limit)
     assert n_sessions == expected
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=0, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed CC == a driver-side union-find on the same graph."""
+    from mousedatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    nodes = list(range(25))
+    parent = list(nodes)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id: bigint")
+    edf = spark.createDataFrame(edges or [(0, 0)], "a: bigint, b: bigint")
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    got = {r.id: r.component_id
+           for r in connected_components(ndf, edf, "id", "a", "b")
+           .collect()}
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 4),
+                          st.floats(-100, 100, allow_nan=False)),
+                min_size=0, max_size=40, unique_by=lambda t: t[0]),
+       st.lists(st.tuples(st.integers(0, 30), st.integers(0, 4),
+                          st.floats(-100, 100, allow_nan=False)),
+                min_size=0, max_size=40, unique_by=lambda t: t[0]))
+def test_incremental_agg_merge_equals_direct(spark, old_rows, new_rows):
+    """old_agg (+) cdc_delta == direct aggregation of the new snapshot,
+    for arbitrary keyed snapshots (incl. empty ones)."""
+    from mousedatapipeline_spark.operators.aggregates import (
+        incremental_agg_merge,
+    )
+    schema = "k: bigint, g: bigint, v: double"
+    old = spark.createDataFrame(old_rows or [(0, 0, 0.0)], schema)
+    new = spark.createDataFrame(new_rows or [(0, 0, 0.0)], schema)
+    if not old_rows:
+        old = old.filter(F.lit(False))
+    if not new_rows:
+        new = new.filter(F.lit(False))
+    got = {r.g: (r.n_rows, float(r.sum_value)) for r in
+           incremental_agg_merge(old, new, "k", "g", "v").collect()}
+    direct = {r.g: (r.n, float(r.s)) for r in
+              new.groupBy("g").agg(
+                  F.count("*").alias("n"),
+                  F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
+              .collect()}
+    assert got == direct

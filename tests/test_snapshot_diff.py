@@ -77,3 +77,19 @@ def test_incremental_agg_merge_matches_direct_and_retires_groups(spark):
               .collect()}
     assert got == direct
     assert "g2" not in got  # count reached zero -> retired
+
+
+def test_incremental_agg_merge_handles_group_migration(spark):
+    """A row whose group key changes must retract from the old group
+    and insert into the new one (caught by the property test)."""
+    from mousedatapipeline_spark.operators.aggregates import (
+        incremental_agg_merge,
+    )
+    old = spark.createDataFrame([(1, "a", 10.0), (2, "a", 3.0)],
+                                ["k", "g", "v"])
+    new = spark.createDataFrame([(1, "b", 10.0), (2, "a", 3.0)],
+                                ["k", "g", "v"])
+    got = {r.g: (r.n_rows, float(r.sum_value))
+           for r in incremental_agg_merge(old, new, "k", "g", "v")
+           .collect()}
+    assert got == {"a": (1, 3.0), "b": (1, 10.0)}
