@@ -116,3 +116,25 @@ def compact(spark, path: str, target_rows_per_file: int = 1_000_000,
     _sh.rmtree(path)
     _sh.move(tmp, path)
     return len(list(_P(path).rglob("part-*.parquet")))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by join keys.
+
+    THE co-location primitive for 100 TB joins: two tables bucketed by
+    the same keys into the same bucket count join with ZERO exchanges —
+    every bucket pair meets on one executor, and with sort_cols the
+    sort-merge join skips its sort too. Worth it for any fact table
+    joined repeatedly on the same key (measurements by (ymd, batch),
+    documents by doc_id, ...). Bucketing metadata lives in the catalog,
+    so this writes a managed table (`saveAsTable`), not a bare path.
+    """
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

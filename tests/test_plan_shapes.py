@@ -196,3 +196,27 @@ def test_t09_repetition_is_zero_shuffle(spark):
     query must plan as a single scan stage with no Exchange."""
     plan = _plan(spark, "t09_repetition_signals")
     assert _count_shuffles(plan) == 0, plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count
+    must sort-merge join with NO Exchange at all — the co-location
+    contract write_bucketed exists for."""
+    from mousedatapipeline_spark.sources.sinks import write_bucketed
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bt_a", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "bt_a"))
+    write_bucketed(b, "bt_b", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "bt_b"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
