@@ -36,7 +36,7 @@ from mousedatapipeline_spark.tables import load
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            {stable_round_sql(
-               'CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)')} AS value_sum
+               'CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)')} AS value_sum
     FROM events
     GROUP BY 1, 2
     """,

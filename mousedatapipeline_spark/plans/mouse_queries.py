@@ -101,13 +101,13 @@ def measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM prop
     ), s AS (
       SELECT batch, configuration,
-             CAST(SUM(CAST(transmission_corrected AS DECIMAL(30,10))) AS DOUBLE) AS su,
-             CAST(SUM(CAST(transmission_corrected * transmission_corrected
-                           AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(transmission_corrected AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS su,
+             CAST(CAST(SUM(CAST(transmission_corrected * transmission_corrected
+                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sq,
              CAST(COUNT(*) AS BIGINT) AS t_count,
              MAX(transmission_corrected) AS t_max,
              MIN(transmission_corrected) AS t_min,
-             CAST(SUM(CAST(direct_flux AS DECIMAL(30,10))) AS DOUBLE) AS flux_sum,
+             CAST(CAST(SUM(CAST(direct_flux AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS flux_sum,
              MAX(max_scatter_prob) AS max_scatter_prob
       FROM corr GROUP BY batch, configuration
     )
@@ -165,7 +165,7 @@ def m01_stacked_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS ({_MEASUREMENT_SQL_CTE}),
     bg AS (
       SELECT batch AS bg_batch,
-             CAST(SUM(CAST(transmission AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(transmission AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS transmission_bg
       FROM m GROUP BY batch
     ), j AS (
@@ -366,16 +366,15 @@ def m04_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT ymd, batch, configuration,
-             CAST(SUM(CAST(transmission_corrected AS DECIMAL(30,10)))
-                  AS DOUBLE) AS su,
-             CAST(SUM(CAST(transmission_corrected * transmission_corrected
-                           AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(transmission_corrected AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS su,
+             CAST(CAST(SUM(CAST(transmission_corrected * transmission_corrected
+                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sq,
              CAST(COUNT(*) AS BIGINT) AS t_count,
              MAX(transmission_corrected) AS t_max,
              MIN(transmission_corrected) AS t_min,
-             CAST(SUM(CAST(direct_flux AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(direct_flux AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                AS flux_sum,
-             CAST(SUM(CAST(thickness AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(thickness AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                AS thick_sum,
              MAX(max_scatter_prob) AS max_scatter_prob
       FROM th GROUP BY 1, 2, 3

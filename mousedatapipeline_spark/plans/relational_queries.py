@@ -49,13 +49,13 @@ from mousedatapipeline_spark.tables import load
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 6) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
+           ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_charge,
+           ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+           ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -122,7 +122,7 @@ def q02_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_region_revenue",
     oracle="""
     SELECT r.r_name,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 6) AS revenue,
+           ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -363,8 +363,8 @@ def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS su,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS su,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sq,
              CAST(COUNT(l_extendedprice) AS BIGINT) AS price_count,
              MAX(l_extendedprice) AS price_max,
              MIN(l_extendedprice) AS price_min
@@ -534,7 +534,7 @@ def q15_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
            {stable_round_sql('MIN(v)')} AS min_v,
            {stable_round_sql('MAX(v)')} AS max_v,
-           {stable_round_sql('CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(v)')}
+           {stable_round_sql('CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(v)')}
                AS mean_v,
            {stable_round_sql('quantile_cont(v, 0.25)')} AS p25,
            {stable_round_sql('quantile_cont(v, 0.5)')} AS p50,

@@ -35,7 +35,7 @@ _SQL_DIMS = """
 
 _SQL_NORMS = """
       SELECT vec_id,
-             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)) AS norm
+             SQRT(CAST(CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)) AS norm
       FROM dims GROUP BY vec_id
 """
 
@@ -295,7 +295,7 @@ def s04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms AS ({_SQL_NORMS}),
     dots AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
-             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
       FROM dims q JOIN dims c ON q.dim = c.dim
       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
       GROUP BY 1, 2
@@ -376,8 +376,7 @@ _SQL_SIGN = ("CASE WHEN ((p * 2654435761 + dim * 40503) % 2147483647) % 2 = 0 "
     norms AS ({_SQL_NORMS}),
     proj AS (
       SELECT vec_id, p, w,
-             CAST(SUM(CAST(({_SQL_SIGN}) * v AS DECIMAL(30,10)))
-                  AS DOUBLE) AS proj
+             CAST(CAST(SUM(CAST(({_SQL_SIGN}) * v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS proj
       FROM dims, {_SQL_PLANES}
       GROUP BY 1, 2, 3
     ),
@@ -393,7 +392,7 @@ _SQL_SIGN = ("CASE WHEN ((p * 2654435761 + dim * 40503) % 2147483647) % 2 = 0 "
     ),
     dots AS (
       SELECT cand.qid, cand.cid, cand.bucket,
-             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
       FROM cand JOIN dims q ON cand.qid = q.vec_id
                 JOIN dims c ON cand.cid = c.vec_id AND q.dim = c.dim
       GROUP BY 1, 2, 3
@@ -486,7 +485,7 @@ def s06_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, dim,
            CAST(COUNT(*) AS BIGINT) AS n,
            {stable_round_sql(
-               'CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) '
+               'CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) '
                '/ CAST(COUNT(*) AS DOUBLE)')} AS centroid_v
     FROM labeled GROUP BY label, dim
     """,
@@ -524,7 +523,7 @@ _NEARDUP_TAU = 0.35
     lab AS (SELECT vec_id, label FROM embeddings),
     dots AS (
       SELECT a.vec_id AS d1, b.vec_id AS d2, la.label,
-             CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
       FROM dims a
       JOIN lab la ON a.vec_id = la.vec_id
       JOIN lab lb ON la.label = lb.label
@@ -599,13 +598,13 @@ def s09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     centroids AS (
       SELECT label, dim,
-             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS cv
       FROM labeled GROUP BY label, dim
     ),
     cdots AS (
       SELECT d.vec_id, c.label,
-             CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
       FROM dims d JOIN centroids c ON d.dim = c.dim
       GROUP BY d.vec_id, c.label
     ),
@@ -624,7 +623,7 @@ def s09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
       SELECT cand.qid, cand.cid, cand.cell,
-             CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
       FROM cand JOIN dims q ON cand.qid = q.vec_id
                 JOIN dims c ON cand.cid = c.vec_id AND q.dim = c.dim
       GROUP BY 1, 2, 3
@@ -767,8 +766,7 @@ def _km_to_arrays(cent: DataFrame) -> DataFrame:
 _KM_SQL_ASSIGN = """
     dist{i} AS (
       SELECT d.vec_id, c.cell,
-             CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv) AS DECIMAL(30,10)))
-                  AS DOUBLE) AS dist
+             CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist
       FROM dims d JOIN c{j} c ON d.dim = c.dim GROUP BY 1, 2
     ),
     a{i} AS (
@@ -782,7 +780,7 @@ _KM_SQL_ASSIGN = """
     c{i} AS (
       SELECT a.cell, d.dim,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS cv
       FROM dims d JOIN a{i} a ON d.vec_id = a.vec_id GROUP BY 1, 2
     )"""
@@ -794,7 +792,7 @@ _KM_SQL_ASSIGN = """
     WITH dims AS ({_SQL_DIMS}),
     c0 AS (
       SELECT e.label AS cell, d.dim,
-             CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS cv
       FROM dims d JOIN embeddings e ON d.vec_id = e.vec_id GROUP BY 1, 2
     ),

@@ -61,7 +61,7 @@ def _hourly_counts(batch: DataFrame) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            {stable_round_sql(
-               'CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)')} AS value_sum
+               'CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)')} AS value_sum
     FROM events
     GROUP BY 1, 2
     """,
