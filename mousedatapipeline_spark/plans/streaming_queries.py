@@ -264,3 +264,97 @@ def w03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# w04: streaming incremental aggregate maintenance. Each micro-batch
+# folds its (tiny) delta into a persisted running aggregate — the
+# streaming face of q19's IVM story: per-trigger cost is proportional
+# to the delta plus the aggregate's cardinality, never to history.
+# The running state is written to a NEW versioned directory per batch
+# (atomic pointer-bump semantics, like a table-format commit), so a
+# crashed batch never corrupts the previous version.
+# --------------------------------------------------------------------------
+_DEC = "decimal(30,10)"
+
+
+def _merge_batch_into_state(batch: DataFrame, batch_id: int,
+                            state_dir: Path) -> None:
+    spark = batch.sparkSession
+    b = batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("value_dec"))
+    versions = sorted(state_dir.glob("v*"))
+    if versions:
+        prev = spark.read.parquet(str(versions[-1]))
+        b = (prev.unionByName(b)
+             .groupBy("event_type")
+             .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                  # narrow the decimal(38,10) sum-of-sums back down so
+                  # later merges never hit the precision-loss scale cut
+                  F.sum("value_dec").cast(_DEC).alias("value_dec")))
+    b.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id:06d}"))
+
+
+@register(
+    "w04_stream_incremental_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(value AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming incremental view maintenance: events drain through "
+        "a file source one chunk per trigger; foreachBatch merges each "
+        "batch's per-type delta into a versioned running aggregate "
+        "(decimal accumulators, atomic version-bump writes). The final "
+        "state must equal the batch aggregation of all events — "
+        "incremental streaming == full recompute, exactly.",
+)
+def w04_stream_incremental_agg(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_w04_"))
+    landing = work / "landing"
+    landing.mkdir()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts"), "user_id",
+        "event_type", "value", "props")
+    tmp = work / "_tmp"
+    ev.repartitionByRange(3, "event_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+
+    state_dir = work / "state"
+    state_dir.mkdir()
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(landing))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream
+            .foreachBatch(lambda b, i: _merge_batch_into_state(
+                b, i, state_dir))
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = sorted(state_dir.glob("v*"))[-1]
+    return spark.read.parquet(str(final)).select(
+        "event_type", "n_events",
+        stable_round(F.col("value_dec").cast("double"))
+        .alias("value_sum"))

@@ -301,3 +301,30 @@ def test_compact_partitioned_one_file_per_dir(tmp_path, spark):
     for d in Path(path).glob("part=*"):
         assert len(list(d.glob("part-*.parquet"))) == 1
     assert spark.read.parquet(path).count() == 300
+
+
+def test_merge_batch_into_state_versions_and_running_totals(spark, tmp_path):
+    """w04's foreachBatch merge: each call writes a NEW version whose
+    totals are the running (count, decimal sum) over all batches."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _merge_batch_into_state,
+    )
+    state = Path(tmp_path / "state")
+    state.mkdir()
+    b1 = spark.createDataFrame([("a", 1.5), ("a", 2.5), ("b", 1.0)],
+                               ["event_type", "value"])
+    b2 = spark.createDataFrame([("a", 4.0), ("c", 7.0)],
+                               ["event_type", "value"])
+    _merge_batch_into_state(b1, 0, state)
+    _merge_batch_into_state(b2, 1, state)
+    assert sorted(p.name for p in state.glob("v*")) == \
+        ["v000000", "v000001"]
+    final = {r.event_type: (r.n_events, float(r.value_dec))
+             for r in spark.read.parquet(str(state / "v000001")).collect()}
+    assert final == {"a": (3, 8.0), "b": (1, 1.0), "c": (1, 7.0)}
+    # previous version untouched (atomic pointer-bump semantics)
+    v0 = {r.event_type: r.n_events
+          for r in spark.read.parquet(str(state / "v000000")).collect()}
+    assert v0 == {"a": 2, "b": 1}
