@@ -185,3 +185,45 @@ def e04_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("n_purchases").cast("bigint").alias("sum_user_purchases"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# e05: schema-on-read JSON extraction. Semi-structured props parse
+# into typed columns with from_json (malformed rows degrade to NULL,
+# counted, never fail the job — the PERMISSIVE contract a 100 TB
+# ingest needs). Parsing is a row-local projection (no UDF, no
+# shuffle); the only shuffle is the final aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "e05_json_extraction",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_parsed,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+    doc="Schema-on-read over semi-structured JSON props: from_json "
+        "with a declared schema (PERMISSIVE — malformed rows become "
+        "NULL and are counted, never kill the job), then a typed "
+        "aggregate. Parse is a row-local JVM projection; one shuffle "
+        "total.",
+)
+def e05_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_parsed"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"))

@@ -83,3 +83,15 @@ def test_valid_pixels_zeroes_out_of_range(spark):
                                "px array<double>")
     row = df.select(valid_pixels(F.col("px")).alias("v")).collect()[0]
     assert row["v"] == [1.0, 0.0, 0.0, 100.0]
+
+
+def test_json_schema_on_read_permissive_nulls(spark):
+    """Malformed / missing-key JSON degrades to NULL (counted, never
+    fatal) — the e05 parse contract."""
+    df = spark.createDataFrame(
+        [('{"k": 5}',), ('{"k": "not-a-number"}',), ("not json",),
+         ('{"other": 1}',), (None,)], ["props"])
+    out = df.select(
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k")
+    ).collect()
+    assert [r.k for r in out] == [5, None, None, None, None]
