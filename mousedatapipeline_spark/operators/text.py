@@ -217,6 +217,21 @@ def ngrams_from_tokens(toks: Column, n: int) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
+def chunk_hashes(toks: Column, n: int) -> Column:
+    """md5 hashes of consecutive NON-overlapping ``n``-token chunks
+    (the unit of span-level dedup, CCNet/RefinedWeb-style). Trailing
+    tokens that don't fill a chunk are dropped; fewer than ``n`` tokens
+    yields an empty array. Row-local — zero shuffles."""
+    n_chunks = F.floor(F.size(toks) / n).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.md5(F.concat_ws(" ", F.slice(toks, j * n + 1, n))))
+    # Guard: Spark's sequence(0, -1) counts DOWN ([0,-1]); the when()
+    # keeps the empty-doc branch off that path entirely.
+    return F.when(n_chunks > 0, chunks) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def dup_fraction(toks: Column) -> Column:
     """1 - distinct/total: the fraction of repeated words."""
     return F.when(

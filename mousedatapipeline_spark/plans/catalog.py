@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "mousedatapipeline_spark.plans.relational_queries",
     "mousedatapipeline_spark.plans.mouse_queries",
     "mousedatapipeline_spark.plans.text_queries",
+    "mousedatapipeline_spark.plans.decontam_queries",
     "mousedatapipeline_spark.plans.similarity_queries",
     "mousedatapipeline_spark.plans.curation_queries",
     "mousedatapipeline_spark.plans.events_queries",

@@ -218,3 +218,116 @@ def s15_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return SA.exact_k_per_stratum(d, key="doc_id", stratum="lang",
                                   k=SAMPLE_K).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# s16: temperature-scaled source mixing weights (alpha = 0.5).
+# --------------------------------------------------------------------------
+MIX_ALPHA_SQRT = True  # weight ∝ n^0.5 (UL2/PaLM-style temperature mix)
+
+
+@register(
+    "s16_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5001)
+                  / 1000000.0 AS DECIMAL(18,6)) AS w6,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs
+      FROM c
+    )
+    SELECT source, n_docs,
+           CAST(w6 AS DOUBLE) AS w_raw,
+           FLOOR(CAST(w6 AS DOUBLE)
+                 / CAST(SUM(w6) OVER () AS DOUBLE) * 1000000.0 + 0.5001)
+             / 1000000.0 AS mix_prob,
+           FLOOR(CAST(w6 AS DOUBLE) / CAST(SUM(w6) OVER () AS DOUBLE)
+                 * CAST(total_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1000000.0 + 0.5001) / 1000000.0 AS boost
+    FROM w
+    """,
+    doc="Temperature-scaled data mixing: per-source sampling weight "
+        "∝ sqrt(n_docs), normalized to a probability, plus the "
+        "up/down-sampling boost vs natural frequency. The sqrt weights "
+        "are rounded to 6 decimals and summed as DECIMAL so the "
+        "normalizer is exact and order-independent — the property that "
+        "makes the result reproducible on any partitioning (and any "
+        "engine). One groupBy(source); windows run on the handful of "
+        "source rows.",
+)
+def s16_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.functions.rounding import stable_round
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # Round each sqrt weight to 6 decimals, then sum as DECIMAL: the
+    # normalizer is exact, so its value cannot depend on summation
+    # order (doubles would differ between engines/partitionings here).
+    w6 = stable_round(F.sqrt(F.col("n_docs").cast("double"))) \
+        .cast("decimal(18,6)")
+    win = Window.partitionBy()
+    w = c.select(
+        "source", "n_docs", w6.alias("w6"),
+        F.sum("n_docs").over(win).cast("bigint").alias("total_docs"))
+    tot_w = F.sum("w6").over(win).cast("double")
+    prob_raw = F.col("w6").cast("double") / tot_w
+    return w.select(
+        "source", "n_docs",
+        F.col("w6").cast("double").alias("w_raw"),
+        stable_round(prob_raw).alias("mix_prob"),
+        stable_round(prob_raw * F.col("total_docs").cast("double")
+                     / F.col("n_docs").cast("double")).alias("boost"))
+
+
+# --------------------------------------------------------------------------
+# s17: deterministic global shuffle into interleaved training shards.
+# --------------------------------------------------------------------------
+N_SHARDS = 16  # one per md5 first-nibble
+
+
+@register(
+    "s17_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    p AS (
+      SELECT doc_id, substr(hx, 1, 1) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id)
+               AS BIGINT) AS pos
+      FROM h
+    )
+    SELECT doc_id, shard, pos,
+           CAST((pos - 1) * 16
+                + strpos('0123456789abcdef', shard) - 1 AS BIGINT)
+             AS interleaved_pos
+    FROM p
+    """,
+    doc="Deterministic global shuffle for training-order assignment: "
+        "shard = first md5 nibble (16 shards), position = rank of the "
+        "full md5 within the shard, plus the round-robin interleaved "
+        "read position. No global sort — each shard sorts "
+        "independently after one hash partition, which is how the "
+        "shuffle scales to 100 TB (shard count becomes O(files), the "
+        "per-shard sort stays distributed).",
+)
+def s17_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id",
+                 F.md5(F.col("doc_id").cast("string")).alias("hx"))
+    p = h.select(
+        "doc_id", F.substring("hx", 1, 1).alias("shard"),
+        F.row_number().over(
+            Window.partitionBy(F.substring("hx", 1, 1))
+            .orderBy("hx", "doc_id")).cast("bigint").alias("pos"),
+    )
+    return p.select(
+        "doc_id", "shard", "pos",
+        ((F.col("pos") - 1) * N_SHARDS
+         + F.instr(F.lit("0123456789abcdef"), F.col("shard")) - 1)
+        .cast("bigint").alias("interleaved_pos"))

@@ -1,0 +1,192 @@
+"""Corpus-hygiene catalog: benchmark decontamination, span-level dedup,
+and vocabulary coverage — the checks a training corpus goes through
+before anything is tokenized (beyond-reference mandate; the reference
+pipeline has no text path, so semantics follow standard practice:
+n-gram overlap decontamination as in GPT-3/PaLM appendix methodology,
+non-overlapping-span dedup as in CCNet/RefinedWeb).
+
+Scale shapes (the part that matters at 100 TB):
+- t10: the eval-side n-gram set is small by construction (eval suites
+  are MBs, not TBs) -> broadcast it; the train side never shuffles on
+  the gram, only one groupBy(doc_id) whose input is pre-shrunk by the
+  broadcast semi/left join.
+- t11: chunk frequency via a window over the chunk hash, then one
+  groupBy(doc_id) — two shuffles total, both on uniform md5 keys (no
+  skew by construction).
+- t12: explode -> groupBy(token) shrinks 100 TB of text to a
+  vocab-sized table; the single-partition ranking window only ever sees
+  the post-aggregation vocabulary, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
+from mousedatapipeline_spark.operators import text as T
+from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.tables import load
+
+# Docs whose id is divisible by EVAL_MOD stand in for the held-out
+# benchmark set; everything else is the training corpus.
+EVAL_MOD = 10
+NGRAM = 5           # overlap n-gram width (t10)
+CHUNK = 16          # span width in tokens (t11)
+CONTAM_THRESHOLD = 0.5
+VOCAB_TOP = 100
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@register(
+    "t10_decontamination",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM - 1}], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, greatest(len(t) - {NGRAM - 1}, 0)))
+           AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+    per AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM g LEFT JOIN ev ON g.gram = ev.gram
+      WHERE g.doc_id % {EVAL_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           {stable_round_sql(
+               'CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)')}
+             AS contamination,
+           CAST(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                >= {CONTAM_THRESHOLD} AS INT) AS flagged
+    FROM per
+    """,
+    doc="Benchmark decontamination: per training doc, the fraction of "
+        "its distinct 5-grams that also occur in the held-out eval set "
+        "(doc_id % 10 == 0). Eval grams broadcast; one groupBy(doc_id).",
+)
+def t10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
+    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    ev = (ex.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select("gram").distinct()
+          .withColumn("hit", F.lit(1)))
+    train = ex.filter(F.col("doc_id") % EVAL_MOD != 0)
+    per = (train.join(F.broadcast(ev), "gram", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("bigint").alias("n_hit")))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return per.select(
+        "doc_id", "n_grams", "n_hit",
+        stable_round(frac).alias("contamination"),
+        (frac >= CONTAM_THRESHOLD).cast("int").alias("flagged"))
+
+
+@register(
+    "t11_span_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(t[({CHUNK}*j+1):({CHUNK}*j+{CHUNK})], ' '))
+               AS chunk
+      FROM tk, UNNEST(generate_series(0, len(t) // {CHUNK} - 1)) AS u(j)
+    ),
+    fr AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM ch GROUP BY chunk),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+      FROM ch JOIN fr USING (chunk)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           {stable_round_sql(
+               'CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)')}
+             AS dup_span_frac
+    FROM per
+    """,
+    doc="Span-level dedup signal: fraction of a doc's non-overlapping "
+        "16-token chunks whose md5 occurs more than once corpus-wide. "
+        "Chunk frequency by window (no join), then one groupBy(doc_id).",
+)
+def t11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(T.chunk_hashes(T.tokens(F.col("text")), CHUNK))
+        .alias("chunk"))
+    # Window count over the chunk hash instead of groupBy+self-join:
+    # one shuffle on a uniform md5 key, and the doc_id rides along so
+    # the per-doc rollup needs no join back.
+    freq = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    per = (ch.withColumn("freq", freq)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                F.sum((F.col("freq") > 1).cast("int"))
+                .cast("bigint").alias("n_dup_chunks")))
+    return per.select(
+        "doc_id", "n_chunks", "n_dup_chunks",
+        stable_round(F.col("n_dup_chunks").cast("double")
+                     / F.col("n_chunks").cast("double"))
+        .alias("dup_span_frac"))
+
+
+@register(
+    "t12_vocab_coverage",
+    oracle=f"""
+    WITH ex AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ex
+          GROUP BY token),
+    r AS (
+      SELECT token, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_n,
+             CAST(SUM(n) OVER () AS BIGINT) AS total_n
+      FROM c
+    )
+    SELECT token, n, rank, cum_n,
+           {stable_round_sql(
+               'CAST(cum_n AS DOUBLE) / CAST(total_n AS DOUBLE)')}
+             AS cum_coverage
+    FROM r WHERE rank <= {VOCAB_TOP}
+    """,
+    doc="Vocabulary extraction: global top-100 tokens with cumulative "
+        "corpus coverage. The ranking window runs on the vocab-sized "
+        "aggregate, never the corpus.",
+)
+def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = counts.select(
+        "token", "n",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("cum_n"),
+        F.sum("n").over(Window.partitionBy())
+        .cast("bigint").alias("total_n"))
+    return (ranked.filter(F.col("rank") <= VOCAB_TOP)
+            .select("token", "n", "rank", "cum_n",
+                    stable_round(F.col("cum_n").cast("double")
+                                 / F.col("total_n").cast("double"))
+                    .alias("cum_coverage")))

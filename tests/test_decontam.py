@@ -1,0 +1,129 @@
+"""Semantics pins for the corpus-hygiene operators (t10/t11/t12,
+s16/s17): chunking edge cases, decontamination on planted overlaps,
+coverage monotonicity, mixing-weight invariants, and shuffle
+determinism."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import text as T
+from mousedatapipeline_spark.plans import decontam_queries as DQ
+from mousedatapipeline_spark.plans.catalog import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+_needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"no test data at {SF_DIR}")
+
+
+def test_chunk_hashes_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")], ["i", "text"])
+    out = df.select(
+        "i", F.size(T.chunk_hashes(T.tokens(F.col("text")), 2))
+        .alias("n")).collect()
+    got = {r["i"]: r["n"] for r in out}
+    # 5 tokens / chunk=2 -> 2 full chunks, trailing token dropped;
+    # exactly one chunk at size==n; empty text -> no chunks.
+    assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_chunk_hashes_identical_spans_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], ["i", "text"])
+    rows = df.select(
+        T.chunk_hashes(T.tokens(F.col("text")), 4).alias("c")).collect()
+    assert rows[0]["c"] == rows[1]["c"] and len(rows[0]["c"]) == 1
+
+
+def test_decontamination_planted_overlap(spark):
+    # doc 10 is "eval" (10 % 10 == 0); doc 11 copies it verbatim ->
+    # fully contaminated; doc 13 shares nothing -> zero hits.
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [(10, shared), (11, shared),
+            (13, "one two three four five six seven")]
+    spark.createDataFrame(docs, ["doc_id", "text"]) \
+        .createOrReplaceTempView("documents")
+    d = spark.table("documents")
+    grams = F.array_distinct(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), DQ.NGRAM))
+    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    ev = (ex.filter(F.col("doc_id") % DQ.EVAL_MOD == 0)
+          .select("gram").distinct().withColumn("hit", F.lit(1)))
+    per = (ex.filter(F.col("doc_id") % DQ.EVAL_MOD != 0)
+           .join(F.broadcast(ev), "gram", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("hit"), F.lit(0)).alias("hits")))
+    got = {r["doc_id"]: (r["n"], r["hits"]) for r in per.collect()}
+    assert got[11][0] == got[11][1] > 0   # verbatim copy: all grams hit
+    assert got[13] == (3, 0)              # 7 tokens -> 3 grams, 0 hits
+
+
+@_needs_data
+def test_t10_excludes_eval_docs(spark):
+    out = all_queries()["t10_decontamination"].spark(spark, SF_DIR)
+    assert out.filter(F.col("doc_id") % DQ.EVAL_MOD == 0).count() == 0
+    bad = out.filter((F.col("n_hit") > F.col("n_grams"))
+                     | (F.col("contamination") < 0)
+                     | (F.col("contamination") > 1))
+    assert bad.count() == 0
+
+
+@_needs_data
+def test_t11_dup_fraction_bounded_and_consistent(spark):
+    out = all_queries()["t11_span_dedup"].spark(spark, SF_DIR)
+    bad = out.filter((F.col("n_dup_chunks") > F.col("n_chunks"))
+                     | (F.col("n_chunks") <= 0))
+    assert bad.count() == 0
+
+
+@_needs_data
+def test_t12_coverage_monotone_to_one(spark):
+    rows = (all_queries()["t12_vocab_coverage"].spark(spark, SF_DIR)
+            .orderBy("rank").collect())
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cov = [r["cum_coverage"] for r in rows]
+    assert all(b >= a for a, b in zip(cov, cov[1:]))
+    assert cov[-1] <= 1.0 + 1e-9
+    # counts ordered by the ranking key
+    ns = [r["n"] for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+@_needs_data
+def test_s16_mix_invariants(spark):
+    rows = all_queries()["s16_temperature_mix"].spark(spark, SF_DIR) \
+        .collect()
+    probs = [r["mix_prob"] for r in rows]
+    assert abs(sum(probs) - 1.0) < 1e-4
+    # temperature mixing boosts small sources above natural frequency
+    small = min(rows, key=lambda r: r["n_docs"])
+    big = max(rows, key=lambda r: r["n_docs"])
+    assert small["boost"] > big["boost"]
+    for r in rows:
+        assert math.isclose(r["w_raw"], math.sqrt(r["n_docs"]),
+                            rel_tol=1e-5)
+
+
+@_needs_data
+def test_s17_shuffle_deterministic_and_dense(spark):
+    q = all_queries()["s17_shuffle_shards"].spark
+    a = {(r["doc_id"], r["shard"], r["pos"], r["interleaved_pos"])
+         for r in q(spark, SF_DIR).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"], r["interleaved_pos"])
+         for r in q(spark, SF_DIR).repartition(7).collect()}
+    assert a == b  # partitioning-independent
+    # per-shard positions are dense 1..n
+    by_shard: dict[str, list[int]] = {}
+    for _, shard, pos, _ in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # interleaved positions never collide
+    inter = [i for _, _, _, i in a]
+    assert len(set(inter)) == len(inter)
