@@ -27,22 +27,22 @@ from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.streaming import stateful, watcher
 from mousedatapipeline_spark.tables import load
 
-# events.parquet stores TIMESTAMP(NANOS); the stream reads it as long
-# under the legacy conf and converts (same convention as tables.load).
-_EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_file_schema(spark: SparkSession, path: str) -> T.StructType:
+    """File sources need an explicit schema; take it from the file
+    itself so the stream follows whichever ts encoding the generator
+    used (TIMESTAMP(NANOS)-as-long under the legacy conf, or
+    TIMESTAMP_NTZ). Footer-only read — no data scan."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - locked conf: the read will surface it
+        pass
+    return spark.read.parquet(path).schema
 
 
 def _hourly_counts(batch: DataFrame) -> DataFrame:
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    from mousedatapipeline_spark.tables import normalize_events_ts
     return (
-        batch.withColumn("ts", ts)
+        normalize_events_ts(batch)
         .groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")),
                           "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -76,12 +76,10 @@ def w01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", landing / "events.parquet")
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 - locked conf: the read will surface it
-        pass
     stream = watcher.stream_manifest(
-        spark, str(landing), _EVENTS_STREAM_SCHEMA, fmt="parquet")
+        spark, str(landing),
+        _events_file_schema(spark, str(landing / "events.parquet")),
+        fmt="parquet")
     sink = str(work / "sink")
     q = watcher.run_watcher(
         stream, _hourly_counts, sink, str(work / "ckpt"),
@@ -229,19 +227,13 @@ def w03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", dest)
         os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 - locked conf: the read will surface it
-        pass
-    stream = (
+    from mousedatapipeline_spark.tables import normalize_events_ts
+    stream = normalize_events_ts(
         spark.readStream.format("parquet")
-        .schema(_EVENTS_STREAM_SCHEMA)
+        .schema(_events_file_schema(spark, str(landing / "delivery0.parquet")))
         .option("maxFilesPerTrigger", 1)
         .load(str(landing))
-        .select("event_id", "user_id", "event_type",
-                F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                .alias("ts"))
-    )
+    ).select("event_id", "user_id", "event_type", "ts")
     # Data spans ~1 month; a 60-day horizon keeps every key's state
     # alive for the whole replay, so ALL re-deliveries are dropped.
     deduped = stateful.dedupe_stream(stream, ["event_id"], "ts",
@@ -333,9 +325,20 @@ def w04_stream_incremental_agg(spark: SparkSession,
 
     state_dir = work / "state"
     state_dir.mkdir()
+    # The chunk files are self-written above with ts as unix micros
+    # (bigint), so their schema is fixed regardless of the generator's
+    # encoding of the original table.
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
     stream = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_STREAM_SCHEMA)
+        .schema(chunk_schema)
         .option("maxFilesPerTrigger", 1)
         .load(str(landing))
     )

@@ -27,23 +27,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects by default. Read nanos as long
-    (legacy conf) and convert to a microsecond timestamp — truncation,
-    matching DuckDB's second-level formatting downstream."""
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a session-zoned (UTC) TIMESTAMP.
+
+    The driver's generator has emitted ``ts`` as TIMESTAMP(NANOS) (read
+    as bigint under the legacy conf) and as TIMESTAMP_NTZ across
+    versions; downstream operators assume plain TIMESTAMP semantics
+    matching DuckDB's naive timestamps.
+    """
     from pyspark.sql import functions as F
 
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # raw nanos: truncate to micros
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":
+        # Naive micros timestamp: with the session pinned to UTC this cast
+        # is a pure type relabel, keeping wall-clock parity with DuckDB.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet has stored ``ts`` as TIMESTAMP(NANOS) — which
+    Spark's vectorized parquet reader rejects by default — or
+    TIMESTAMP_NTZ. Read nanos as long (legacy conf) and normalize."""
     path = f"{sf_dir}/events.parquet"
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 - conf locked down: fall through, the
         pass           # read below will surface PARQUET_TYPE_ILLEGAL if so
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return normalize_events_ts(spark.read.parquet(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
