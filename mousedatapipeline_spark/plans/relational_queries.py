@@ -727,3 +727,216 @@ def q19_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("n_rows").alias("n_orders"),
         stable_round(F.col("sum_value").cast("double")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# CUBE: all 2^k grouping combinations in ONE pass over the fact table.
+# Spark expands the cube AFTER partial aggregation (Expand above the
+# map-side combine), so the scan cost is identical to a plain groupBy;
+# only the (tiny) expanded key space shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "q20_cube_revenue",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+                ELSE o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rr} AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """.format(rr=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Multidimensional CUBE aggregation (all status x priority "
+        "subtotals plus grand total) in one scan; grouping() separates "
+        "rolled-up NULLs from genuine NULL keys, as in q17's rollup.",
+)
+def q20_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cubed = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             dsum("o_totalprice", "revenue_d"),
+             F.grouping("o_orderstatus").alias("_gs"),
+             F.grouping("o_orderpriority").alias("_gp"))
+    )
+    return cubed.select(
+        F.when(F.col("_gs") == 1, F.lit("<all>"))
+         .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("_gp") == 1, F.lit("<all>"))
+         .otherwise(F.col("o_orderpriority")).alias("priority"),
+        "n_orders",
+        stable_round(F.col("revenue_d")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# PIVOT: long -> wide reshape with a FIXED value list. Pinning the pivot
+# values keeps the plan a single-pass conditional aggregation (no extra
+# distinct-values job, the trap of pivot() without a value list) — at
+# 100 TB the distinct scan would double the query's cost.
+# --------------------------------------------------------------------------
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "q21_pivot_status_counts",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+           CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+           CAST(COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Pivot (long->wide): order counts per market segment with one "
+        "column per order status. Fixed value list => one-pass "
+        "conditional aggregation over the broadcast-joined fact scan.",
+)
+def q21_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
+    wide = (joined.groupBy("c_mktsegment")
+            .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+            .agg(F.count(F.lit(1)).cast("bigint")))
+    out = wide.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0).cast("bigint"))
+          .alias(f"status_{s.lower()}") for s in _PIVOT_STATUSES])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT between keyed snapshots. Spark
+# plans both as hash aggregations + joins on the full row; here the
+# rows are single keys, so each branch is one shuffle on o_custkey.
+# --------------------------------------------------------------------------
+@register(
+    "q22_customer_set_ops",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey, 'both' AS membership
+      FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT o_custkey, 'f_only' AS membership
+      FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT o_custkey, 'o_only' AS membership
+      FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
+    """,
+    doc="Set algebra over customer key-sets: INTERSECT and EXCEPT (both "
+        "directions) between customers with fulfilled ('F') vs open "
+        "('O') orders, each branch labeled and unioned. Exercises "
+        "Spark's intersect/exceptAll physical rewrites (agg + join).",
+)
+def q22_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f_keys = (orders.filter(F.col("o_orderstatus") == "F")
+              .select("o_custkey").distinct())
+    o_keys = (orders.filter(F.col("o_orderstatus") == "O")
+              .select("o_custkey").distinct())
+    both = f_keys.intersect(o_keys) \
+        .withColumn("membership", F.lit("both"))
+    f_only = f_keys.exceptAll(o_keys) \
+        .withColumn("membership", F.lit("f_only"))
+    o_only = o_keys.exceptAll(f_keys) \
+        .withColumn("membership", F.lit("o_only"))
+    return both.unionByName(f_only).unionByName(o_only)
+
+
+# --------------------------------------------------------------------------
+# EXISTS / correlated subquery (TPC-H Q4 shape): orders with at least
+# one slow line (shipped >60 days after order date), counted per
+# priority. The correlation (l_shipdate > o_orderdate + 60d) rides on
+# a LEFT SEMI join: one shuffle on the order key, no fact-fact
+# materialization, duplicate lineitem matches never multiply rows.
+# --------------------------------------------------------------------------
+@register(
+    "q23_exists_slow_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Correlated EXISTS (TPC-H Q4 shape): per-priority count of 1995 "
+        "orders having a line shipped >60 days after the order date. "
+        "Planned as a left-semi equi-join with a residual range "
+        "predicate — the idiomatic decorrelation.",
+)
+def q23_exists_slow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >=
+                       F.lit("1995-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") <
+                         F.lit("1996-01-01").cast("timestamp"))))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate
+               > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")))
+    slow = orders.join(li, cond, "left_semi")
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+# --------------------------------------------------------------------------
+# Window analytics: lag/lead, running totals and moving averages per
+# customer order history. One shuffle on o_custkey serves every window
+# (same partitioning); frame sums use decimal accumulators so running
+# values are bit-identical on both engines under any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "q24_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           o_totalprice AS price,
+           LAG(o_totalprice) OVER w AS prev_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS delta,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w
+                AS VARCHAR) AS DOUBLE) AS running_rev,
+           {avg3} AS avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+           w3 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """.format(avg3=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w3'
+        ' AS VARCHAR) AS DOUBLE)'
+        ' / CAST(COUNT(*) OVER w3 AS DOUBLE)')),
+    doc="Window-function analytics per customer order history: "
+        "row_number sequence, lag, per-order delta, running revenue "
+        "(unbounded preceding) and 3-order moving average. All windows "
+        "share one partitioning (o_custkey) => a single shuffle; the "
+        "order key (o_orderdate, o_orderkey) is a total order, so "
+        "every value is deterministic.",
+)
+def q24_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .alias("delta"),
+        F.sum(price_dec).over(run).cast("double").alias("running_rev"),
+        stable_round(
+            F.sum(price_dec).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3).cast("double")).alias("avg3"))
