@@ -227,3 +227,84 @@ def e05_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_k"),
         F.max("k").cast("bigint").alias("max_k"),
         F.sum("k").cast("bigint").alias("sum_k"))
+
+
+# --------------------------------------------------------------------------
+# e06: funnel analysis — ordered event-sequence matching. The Spark plan
+# is ONE shuffle: groupBy(user_id) collects the (ts, type) sequence,
+# sort_array orders it, and a JVM higher-order aggregate() folds a
+# greedy stage machine over it (no Python UDF, no per-stage self-join).
+# Per-user state is bounded (its own event list), so the plan scales
+# with users, not with funnel depth. The oracle reaches each stage by
+# nested first-match joins — same greedy semantics, relational form.
+# Stage advances use STRICT ts comparisons only, so the result is
+# independent of intra-timestamp tie order on both engines.
+# --------------------------------------------------------------------------
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "e06_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOURS GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN v ON u.user_id = v.user_id
+      LEFT JOIN c ON u.user_id = c.user_id
+      LEFT JOIN p ON u.user_id = p.user_id
+    )
+    SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM stages GROUP BY funnel_stage
+    """,
+    doc="Funnel analysis (view -> click -> purchase, each stage within "
+        "24 hours of the previous): users counted at their deepest greedily-reached "
+        "stage. One shuffle on user_id; the stage machine is a JVM "
+        "aggregate() fold over each user's time-sorted event sequence.",
+)
+def e06_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    seqs = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+        .alias("seq"))
+
+    def step(acc, x):
+        adv = [F.struct(F.lit(i + 1).alias("stage"), x.ts.alias("t"))
+               for i in range(len(_FUNNEL))]
+        out = acc
+        # Build the chain from the last stage down so the first matching
+        # WHEN (lowest stage) wins, mirroring a single greedy pass.
+        for i in reversed(range(len(_FUNNEL))):
+            gate = (acc.stage == i) & (x.event_type == _FUNNEL[i])
+            if i > 0:
+                gate = gate & (x.ts > acc.t) & (
+                    x.ts <= acc.t + F.expr("INTERVAL 24 HOURS"))
+            out = F.when(gate, adv[i]).otherwise(out)
+        return out
+
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"))
+    staged = seqs.select(
+        F.aggregate("seq", init, step).getField("stage")
+        .alias("funnel_stage"))
+    return staged.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
