@@ -220,3 +220,48 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+@_needs_data
+def test_q20_cube_is_single_expand_aggregate(spark):
+    """CUBE must plan as one scan + Expand + aggregation, not a union
+    of per-grouping-set scans: 4 grouping sets, 1 fact scan."""
+    plan = _plan(spark, "q20_cube_revenue")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+@_needs_data
+def test_q21_pivot_single_pass_broadcast(spark):
+    """Pinned pivot values => no extra distinct-values job; the
+    customer dim joins broadcast; one shuffle for the final groupBy."""
+    plan = _plan(spark, "q21_pivot_status_counts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # orders + customer only
+
+
+@_needs_data
+def test_q23_exists_is_semi_join(spark):
+    """The correlated EXISTS must decorrelate to a LeftSemi join (no
+    row multiplication, no cartesian)."""
+    plan = _plan(spark, "q23_exists_slow_orders")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_q24_windows_share_one_shuffle(spark):
+    """All four window expressions partition by o_custkey with the same
+    ordering, so the plan needs exactly ONE exchange."""
+    plan = _plan(spark, "q24_window_analytics")
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_e06_funnel_is_single_data_shuffle(spark):
+    """The funnel fold is groupBy(user_id) + HOF aggregate: one data
+    shuffle for the user grouping plus the tiny final stage-count agg;
+    no joins at all in the Spark plan."""
+    plan = _plan(spark, "e06_funnel_stages")
+    assert "Join" not in plan, plan
+    assert _count_shuffles(plan) <= 2, plan
