@@ -940,3 +940,36 @@ def q24_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(
             F.sum(price_dec).over(w3).cast("double")
             / F.count(F.lit(1)).over(w3).cast("double")).alias("avg3"))
+
+
+# --------------------------------------------------------------------------
+# Exact grouped percentiles. Spark's percentile() aggregates a value->
+# count map per group (partial aggregation works; memory is bounded by
+# per-group DISTINCT values, fine for price-like domains). For
+# unbounded-cardinality columns at 100 TB the sketch path is
+# approx_percentile (exercised in q16's column profiler); this query
+# pins the EXACT path, which interpolates identically to DuckDB's
+# quantile_cont (verified bit-exact on this data).
+# --------------------------------------------------------------------------
+@register(
+    "q25_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact per-group percentiles (median / p90 / p99 of extended "
+        "price per return flag): single shuffle on the group key; "
+        "linear interpolation matches quantile_cont bit-exactly.",
+)
+def q25_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"))
