@@ -308,3 +308,52 @@ def e06_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("funnel_stage"))
     return staged.groupBy("funnel_stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# e07: cohort retention. Cohort = week of the user's first event; each
+# (cohort, week-offset) cell counts users active that week. Two
+# shuffles: the per-user window for the first-event week (user_id),
+# then the distinct + cell aggregation. Week arithmetic stays on
+# week-truncated dates, so the offset is an exact integer on both
+# engines.
+# --------------------------------------------------------------------------
+@register(
+    "e07_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+      FROM events e
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-event week, counted "
+        "in each subsequent active week. Per-user firsts via one "
+        "window over user_id; (user, week) de-dup and the cell "
+        "aggregation ride the same exchange family.",
+)
+def e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    cells = (
+        ev.withColumn("cohort",
+                      F.date_trunc("week", F.min("ts").over(w)))
+        .withColumn("wk", F.date_trunc("week", F.col("ts")))
+        .select("user_id", "cohort", "wk")
+        .distinct()
+    )
+    return (cells.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("wk", "cohort") / 7).cast("bigint")
+        .alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

@@ -973,3 +973,55 @@ def q25_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("p99"))
+
+
+# --------------------------------------------------------------------------
+# Correlated SCALAR subquery (orders beating 1.5x their customer's
+# average), decorrelated to a window over the SAME relation — no
+# second scan, no join. The threshold compare is exact: it is
+# rewritten multiplicatively (price*n*2 > 3*sum) over an exact
+# decimal sum, so no engine-specific division/rounding can flip a
+# boundary row.
+# --------------------------------------------------------------------------
+@register(
+    "q26_above_avg_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                       OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
+               AS sum_d,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           {rev} AS revenue
+    FROM t
+    WHERE o_totalprice * CAST(n AS DOUBLE) * 2.0 > 3.0 * sum_d
+    """.format(rev=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Correlated scalar-aggregate subquery (order price > 1.5x the "
+        "customer's own average), decorrelated to one window over "
+        "o_custkey — a single scan and a single shuffle instead of a "
+        "self-join per correlation. Multiplicative exact-decimal "
+        "threshold keeps the filter boundary engine-independent.",
+)
+def q26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey")
+    t = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+        .cast("double").alias("sum_d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"))
+    hot = t.filter(F.col("o_totalprice") * F.col("n").cast("double")
+                   * F.lit(2.0) > F.lit(3.0) * F.col("sum_d"))
+    return hot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        dsum("o_totalprice", "rev_d")).select(
+        "n_orders", "min_orderkey",
+        stable_round(F.col("rev_d")).alias("revenue"))
