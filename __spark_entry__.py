@@ -17,8 +17,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: grouped pricing summary (A1/A2 shape) at sf0.001."""
-    return catalog.all_queries()["q01_pricing_summary"].spark(spark, SMOKE_SF_DIR)
+    """Flagship query: the MOUSE pipeline end-to-end (m05) at sf0.001 —
+    logbook broadcast join, flux/transmission physics, TCF window
+    propagation, background self-join, and the stacked per-batch
+    summary, in one lazy plan."""
+    return catalog.all_queries()["m05_pipeline_e2e"].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
