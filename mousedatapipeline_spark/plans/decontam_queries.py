@@ -190,3 +190,88 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stable_round(F.col("cum_n").cast("double")
                                  / F.col("total_n").cast("double"))
                     .alias("cum_coverage")))
+
+
+# --------------------------------------------------------------------------
+# s18: bloom-pre-filtered decontamination membership. The 100 TB shape
+# of "which training docs touch the eval set": instead of joining every
+# training gram against the eval grams, a Bloom filter built FROM the
+# eval grams is collected (it is KBs — eval suites are small by
+# construction) and embedded as an array<long> literal, so the first
+# pass is a pure scan-stage expression that discards ~all clean grams
+# with zero shuffle and no join. Only the surviving candidates take the
+# exact broadcast semi-join that removes Bloom false positives, so the
+# result is EXACT — bit-identical to the plain semi-join the oracle
+# runs — while the shuffled/joined volume is the contaminated sliver,
+# not the corpus. (Spark's own runtime bloom filters are not exposed
+# to SQL in OSS builds; this is the same mechanism, hand-rolled.)
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 16   # 64 Kbit -> 1024 longs, ~8 KB broadcast literal
+_BLOOM_K = 5
+
+
+def _bloom_positions(gram, i: int):
+    h = F.xxhash64(gram, F.lit(i))
+    return F.pmod(h, F.lit(_BLOOM_BITS))
+
+
+@register(
+    "s18_bloom_decontam",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM - 1}], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, greatest(len(t) - {NGRAM - 1}, 0)))
+           AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT DISTINCT g.doc_id
+    FROM g JOIN ev ON g.gram = ev.gram
+    WHERE g.doc_id % {EVAL_MOD} <> 0
+    """,
+    doc="Decontamination membership via a scan-stage Bloom pre-filter: "
+        "training docs sharing any 5-gram with the eval set. The Bloom "
+        "filter over eval grams is an 8 KB array<long> literal checked "
+        "entirely inside the scan stage; an exact broadcast semi-join "
+        "confirms survivors, so false positives are removed and the "
+        "output equals the plain exact semi-join.",
+)
+def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
+    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    ev = (ex.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select("gram").distinct())
+
+    # Build phase: k bit positions per eval gram -> per-word OR of the
+    # set bits -> collect the (tiny) word table into a dense literal.
+    pos = ev.select(F.explode(F.array(*[
+        _bloom_positions(F.col("gram"), i) for i in range(_BLOOM_K)
+    ])).alias("pos"))
+    words_df = (pos
+                .select(F.expr("CAST(pos DIV 64 AS INT) AS w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT),"
+                               " CAST(pos % 64 AS INT)) AS mask"))
+                .groupBy("w").agg(F.expr("bit_or(mask) AS bits")))
+    word_map = {r["w"]: r["bits"] for r in words_df.collect()}
+    blit = F.array(*[F.lit(word_map.get(w, 0)).cast("bigint")
+                     for w in range(_BLOOM_BITS >> 6)])
+
+    def might_contain(gram):
+        out = None
+        for i in range(_BLOOM_K):
+            p = _bloom_positions(gram, i)
+            word = F.element_at(blit, (p / 64).cast("int") + F.lit(1))
+            mask = F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pmod(xxhash64(gram, {i}), {_BLOOM_BITS})"
+                f" % 64 AS INT))")
+            check = word.bitwiseAND(mask) != 0
+            out = check if out is None else out & check
+        return out
+
+    train = ex.filter(F.col("doc_id") % EVAL_MOD != 0)
+    candidates = train.filter(might_contain(F.col("gram")))
+    exact = candidates.join(F.broadcast(ev), "gram", "left_semi")
+    return exact.select("doc_id").distinct()
