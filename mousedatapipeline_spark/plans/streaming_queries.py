@@ -95,7 +95,8 @@ _SESSION_STREAM_SCHEMA = T.StructType([
 
 
 def write_time_chunks(spark: SparkSession, sf_dir: str, landing: Path,
-                      n_chunks: int = 4) -> int:
+                      n_chunks: int = 4,
+                      full_rows: bool = False) -> int:
     """Split events into ``n_chunks`` contiguous time ranges, one file
     per chunk, mtimes strictly increasing in time order.
 
@@ -106,8 +107,12 @@ def write_time_chunks(spark: SparkSession, sf_dir: str, landing: Path,
     column the state keys time on is how a real ingestion layout
     provides this at scale (e.g. hourly landing files).
     """
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"))
+    ev = load(spark, sf_dir, "events")
+    if full_rows:
+        ev = ev.select("event_id", "user_id", "event_type",
+                       F.unix_micros("ts").alias("ts_us"))
+    else:
+        ev = ev.select("user_id", F.unix_micros("ts").alias("ts_us"))
     # ONE job: range-repartition on ts_us writes n_chunks part files
     # whose lexicographic part numbers follow the range order.
     tmp = landing / "_tmp"
@@ -361,3 +366,94 @@ def w04_stream_incremental_agg(spark: SparkSession,
         "event_type", "n_events",
         stable_round(F.col("value_dec").cast("double"))
         .alias("value_sum"))
+
+
+# --------------------------------------------------------------------------
+# w05: stream-stream self-join with watermark-bounded state. Clicks and
+# purchases are two filtered branches of ONE file-source stream; the
+# inner join holds click state only until the watermark passes
+# c_ts + 1h, so state is proportional to the join window, never to
+# history. Chunks land in time order (range-partitioned files), which
+# is exactly the layout that lets the watermark advance and evict.
+# The oracle is the equivalent batch theta-join — streaming/batch
+# parity again.
+# --------------------------------------------------------------------------
+@register(
+    "w05_stream_stream_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT c.user_id, c.event_id
+           FROM c JOIN p ON c.user_id = p.user_id
+            AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_converted_clicks
+    FROM pairs GROUP BY user_id
+    """,
+    doc="Stream-stream inner self-join: click -> purchase attribution "
+        "within (t, t+1h] joined AS STREAMS with 90-minute watermarks "
+        "on both branches; joined pairs append to a parquet sink and "
+        "the drained sink must equal the batch theta-join (parity "
+        "oracle). Join state is bounded by the window + watermark, "
+        "independent of stream length.",
+)
+def w05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_w05_"))
+    landing = work / "landing"
+    landing.mkdir()
+    write_time_chunks(spark, sf_dir, landing, n_chunks=4, full_rows=True)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]))
+        .option("maxFilesPerTrigger", 1)
+        .load(str(landing))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("c_event_id"),
+                      F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "90 minutes"))
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "90 minutes"))
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(F.col("c_user_id").alias("user_id"), "c_event_id")
+
+    sink = str(work / "sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.read.parquet(sink)
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("c_event_id").cast("bigint")
+        .alias("n_converted_clicks"))
