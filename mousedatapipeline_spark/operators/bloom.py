@@ -1,0 +1,67 @@
+"""Hand-rolled Bloom filter as pure Spark expressions.
+
+OSS Spark keeps its runtime bloom filters (bloom_filter_agg /
+might_contain) internal to the optimizer, so this module provides the
+same mechanism as library code: build the bit array from a (small)
+key DataFrame, collect it into an ``array<long>`` literal, and test
+membership with scan-stage bit arithmetic — no UDF, no shuffle on the
+probe side.
+
+Guarantees: no false negatives (every inserted key tests positive);
+false positives at the usual Bloom rate, so callers needing exactness
+confirm survivors with an exact (broadcast) semi-join — the pre-filter
+just shrinks the joined volume (see plans/decontam_queries.s18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 1 << 16   # 64 Kbit -> 1024 longs, ~8 KB literal
+DEFAULT_K = 5
+
+
+def _position(col: Column, i: int, bits: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(bits))
+
+
+def bloom_bits_literal(keys: DataFrame, col: str,
+                       bits: int = DEFAULT_BITS,
+                       k: int = DEFAULT_K) -> Column:
+    """Aggregate ``keys[col]`` into a Bloom bit array and return it as
+    a dense ``array<long>`` literal (length ``bits/64``).
+
+    The build is one small aggregation (distinct keys x k positions ->
+    <= bits/64 words) followed by a driver collect of at most
+    ``bits/64`` rows — the same cost class as a broadcast.
+    """
+    pos = keys.select(F.explode(F.array(*[
+        _position(F.col(col), i, bits) for i in range(k)
+    ])).alias("pos"))
+    words = (pos
+             .select(F.expr("CAST(pos DIV 64 AS INT) AS w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(pos % 64 AS INT)) AS mask"))
+             .groupBy("w").agg(F.expr("bit_or(mask) AS bits")))
+    word_map = {r["w"]: r["bits"] for r in words.collect()}
+    return F.array(*[F.lit(word_map.get(w, 0)).cast("bigint")
+                     for w in range(bits >> 6)])
+
+
+def might_contain(blit: Column, col_name: str,
+                  bits: int = DEFAULT_BITS,
+                  k: int = DEFAULT_K) -> Column:
+    """Boolean scan-stage expression: all ``k`` bits set for
+    ``col_name`` in the bloom literal ``blit``."""
+    out = None
+    for i in range(k):
+        p = _position(F.col(col_name), i, bits)
+        word = F.element_at(blit, (p / 64).cast("int") + F.lit(1))
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pmod(xxhash64({col_name}, {i}), {bits})"
+            f" % 64 AS INT))")
+        check = word.bitwiseAND(mask) != 0
+        out = check if out is None else out & check
+    return out

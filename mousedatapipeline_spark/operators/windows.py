@@ -78,3 +78,45 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
             .withColumn("session_seq", F.sum("__new").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .drop("__new"))
+
+
+def funnel_stage(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, chain: Sequence[str],
+                 max_gap: str | None = None) -> DataFrame:
+    """Training-data extension — greedy ordered-sequence matching: one
+    row per user with the deepest funnel stage reached by walking the
+    user's time-sorted events through ``chain`` (each later stage must
+    be STRICTLY later than the previous stage's match, and within
+    ``max_gap`` — a SQL interval string — when given).
+
+    One shuffle (groupBy user) + a JVM ``aggregate()`` fold over each
+    user's sorted (ts, type) sequence: no self-joins, no Python UDF,
+    per-user state is one small struct. Strict-inequality comparisons
+    make the result independent of intra-timestamp tie order.
+    """
+    seqs = df.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))))
+        .alias("seq"))
+
+    def step(acc, x):
+        out = acc
+        # Chain built from the last stage down so the lowest matching
+        # stage wins, mirroring a single greedy pass.
+        for i in reversed(range(len(chain))):
+            gate = (acc.stage == i) & (x.et == chain[i])
+            if i > 0:
+                gate = gate & (x.ts > acc.t)
+                if max_gap is not None:
+                    gate = gate & (
+                        x.ts <= acc.t + F.expr(f"INTERVAL {max_gap}"))
+            out = F.when(gate, F.struct(
+                F.lit(i + 1).alias("stage"), x.ts.alias("t"))).otherwise(out)
+        return out
+
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"))
+    return seqs.select(
+        F.col(user_col),
+        F.aggregate("seq", init, step).getField("stage")
+        .alias("funnel_stage"))

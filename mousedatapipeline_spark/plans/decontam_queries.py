@@ -206,15 +206,6 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not the corpus. (Spark's own runtime bloom filters are not exposed
 # to SQL in OSS builds; this is the same mechanism, hand-rolled.)
 # --------------------------------------------------------------------------
-_BLOOM_BITS = 1 << 16   # 64 Kbit -> 1024 longs, ~8 KB broadcast literal
-_BLOOM_K = 5
-
-
-def _bloom_positions(gram, i: int):
-    h = F.xxhash64(gram, F.lit(i))
-    return F.pmod(h, F.lit(_BLOOM_BITS))
-
-
 @register(
     "s18_bloom_decontam",
     oracle=f"""
@@ -245,33 +236,12 @@ def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("gram").distinct())
 
     # Build phase: k bit positions per eval gram -> per-word OR of the
-    # set bits -> collect the (tiny) word table into a dense literal.
-    pos = ev.select(F.explode(F.array(*[
-        _bloom_positions(F.col("gram"), i) for i in range(_BLOOM_K)
-    ])).alias("pos"))
-    words_df = (pos
-                .select(F.expr("CAST(pos DIV 64 AS INT) AS w"),
-                        F.expr("shiftleft(CAST(1 AS BIGINT),"
-                               " CAST(pos % 64 AS INT)) AS mask"))
-                .groupBy("w").agg(F.expr("bit_or(mask) AS bits")))
-    word_map = {r["w"]: r["bits"] for r in words_df.collect()}
-    blit = F.array(*[F.lit(word_map.get(w, 0)).cast("bigint")
-                     for w in range(_BLOOM_BITS >> 6)])
-
-    def might_contain(gram):
-        out = None
-        for i in range(_BLOOM_K):
-            p = _bloom_positions(gram, i)
-            word = F.element_at(blit, (p / 64).cast("int") + F.lit(1))
-            mask = F.expr(
-                f"shiftleft(CAST(1 AS BIGINT),"
-                f" CAST(pmod(xxhash64(gram, {i}), {_BLOOM_BITS})"
-                f" % 64 AS INT))")
-            check = word.bitwiseAND(mask) != 0
-            out = check if out is None else out & check
-        return out
+    # set bits -> collect the (tiny) word table into a dense literal
+    # (operators/bloom.py).
+    from mousedatapipeline_spark.operators import bloom
+    blit = bloom.bloom_bits_literal(ev, "gram")
 
     train = ex.filter(F.col("doc_id") % EVAL_MOD != 0)
-    candidates = train.filter(might_contain(F.col("gram")))
+    candidates = train.filter(bloom.might_contain(blit, "gram"))
     exact = candidates.join(F.broadcast(ev), "gram", "left_semi")
     return exact.select("doc_id").distinct()

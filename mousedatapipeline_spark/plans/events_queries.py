@@ -282,30 +282,10 @@ _FUNNEL = ("view", "click", "purchase")
         "aggregate() fold over each user's time-sorted event sequence.",
 )
 def e06_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.windows import funnel_stage
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    seqs = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_type")))
-        .alias("seq"))
-
-    def step(acc, x):
-        adv = [F.struct(F.lit(i + 1).alias("stage"), x.ts.alias("t"))
-               for i in range(len(_FUNNEL))]
-        out = acc
-        # Build the chain from the last stage down so the first matching
-        # WHEN (lowest stage) wins, mirroring a single greedy pass.
-        for i in reversed(range(len(_FUNNEL))):
-            gate = (acc.stage == i) & (x.event_type == _FUNNEL[i])
-            if i > 0:
-                gate = gate & (x.ts > acc.t) & (
-                    x.ts <= acc.t + F.expr("INTERVAL 24 HOURS"))
-            out = F.when(gate, adv[i]).otherwise(out)
-        return out
-
-    init = F.struct(F.lit(0).alias("stage"),
-                    F.lit(None).cast("timestamp").alias("t"))
-    staged = seqs.select(
-        F.aggregate("seq", init, step).getField("stage")
-        .alias("funnel_stage"))
+    staged = funnel_stage(ev, "user_id", "ts", "event_type",
+                          _FUNNEL, max_gap="24 HOURS")
     return staged.groupBy("funnel_stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"))
 

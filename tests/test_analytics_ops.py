@@ -1,0 +1,94 @@
+"""Edge-semantics pins for the analytics operators added on top of the
+catalog queries: funnel stage machine (strict ordering, gap limit,
+tie handling), cohort week arithmetic, and the Bloom filter's
+no-false-negative contract."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import bloom
+from mousedatapipeline_spark.operators.windows import funnel_stage
+
+T0 = datetime(2020, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), t) for u, s, t in rows],
+        ["user_id", "ts", "event_type"])
+
+
+def _stages(spark, rows, **kw):
+    df = funnel_stage(_events(spark, rows), "user_id", "ts",
+                      "event_type", ("view", "click", "purchase"), **kw)
+    return {r["user_id"]: r["funnel_stage"] for r in df.collect()}
+
+
+def test_funnel_full_chain(spark):
+    got = _stages(spark, [(1, 0, "view"), (1, 10, "click"),
+                          (1, 20, "purchase")])
+    assert got == {1: 3}
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    # click exactly at the view's timestamp is NOT strictly later.
+    got = _stages(spark, [(1, 0, "view"), (1, 0, "click")])
+    assert got == {1: 1}
+
+
+def test_funnel_out_of_order_chain_stalls(spark):
+    # purchase before click: stage 2 never reached, purchase can't fire.
+    got = _stages(spark, [(2, 0, "view"), (2, 5, "purchase"),
+                          (2, 10, "click")])
+    assert got == {2: 2}
+
+
+def test_funnel_gap_limit_blocks_late_stage(spark):
+    got = _stages(spark, [(3, 0, "view"), (3, 90, "click")],
+                  max_gap="60 SECONDS")
+    assert got == {3: 1}
+    got = _stages(spark, [(3, 0, "view"), (3, 30, "click")],
+                  max_gap="60 SECONDS")
+    assert got == {3: 2}
+
+
+def test_funnel_greedy_first_match_binds(spark):
+    # The FIRST view is the anchor: a click inside the gap of a later
+    # view but outside the first view's gap does not advance.
+    got = _stages(spark, [(4, 0, "view"), (4, 100, "view"),
+                          (4, 120, "click")],
+                  max_gap="60 SECONDS")
+    assert got == {4: 1}
+
+
+def test_funnel_no_matching_events(spark):
+    got = _stages(spark, [(5, 0, "error"), (5, 1, "signup")])
+    assert got == {5: 0}
+
+
+def test_bloom_no_false_negatives_and_filters_misses(spark):
+    keys = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], ["k"])
+    blit = bloom.bloom_bits_literal(keys, "k", bits=1 << 12, k=4)
+    probes = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)]
+        + [(f"outsider-{i}",) for i in range(500)], ["k"])
+    hits = probes.filter(bloom.might_contain(blit, "k", bits=1 << 12, k=4))
+    got = {r["k"] for r in hits.collect()}
+    # Every inserted key must test positive (no false negatives)...
+    assert all(f"member-{i}" in got for i in range(200))
+    # ...and the pre-filter must actually discard most outsiders (the
+    # FP rate at 800/4096 bits, k=4 is a few percent; 50% is a redline).
+    n_fp = sum(1 for k in got if k.startswith("outsider"))
+    assert n_fp < 250, n_fp
+
+
+def test_bloom_empty_keyset_rejects_everything(spark):
+    keys = spark.createDataFrame([], "k string")
+    blit = bloom.bloom_bits_literal(keys, "k", bits=1 << 12, k=4)
+    probes = spark.createDataFrame([("x",), ("y",)], ["k"])
+    assert probes.filter(
+        bloom.might_contain(blit, "k", bits=1 << 12, k=4)).count() == 0
