@@ -1025,3 +1025,52 @@ def q26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "rev_d")).select(
         "n_orders", "min_orderkey",
         stable_round(F.col("rev_d")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Global top-k (TPC-H Q3 shape). ORDER BY + LIMIT must plan as
+# TakeOrderedAndProject: each task keeps its local top-k heap and the
+# driver merges k*tasks rows — no global sort, no single-reducer
+# shuffle. Ties are impossible by construction (unique o_orderkey is
+# the last sort key), so the row set is engine-independent.
+# --------------------------------------------------------------------------
+_TOPK = 10
+
+
+@register(
+    "q27_topk_open_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {{rev}} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT {_TOPK}
+    """.format(rev=stable_round_sql(
+        'CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)'
+        ' AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)')),
+    doc="Global top-k revenue among open orders (TPC-H Q3 shape): "
+        "grouped revenue then ORDER BY + LIMIT planned as "
+        "TakeOrderedAndProject — per-task top-k heaps merged on the "
+        "driver, never a global sort. Unique trailing sort key makes "
+        "the selected rows engine-independent.",
+)
+def q27_topk_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "O")
+              .select("o_orderkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev_expr = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_order = (li.join(orders,
+                         li.l_orderkey == orders.o_orderkey)
+                 .groupBy("o_orderkey", "o_orderdate")
+                 .agg(dsum(rev_expr, "rev_d")))
+    return (per_order.select(
+        "o_orderkey",
+        stable_round(F.col("rev_d")).alias("revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(_TOPK))

@@ -265,3 +265,11 @@ def test_e06_funnel_is_single_data_shuffle(spark):
     plan = _plan(spark, "e06_funnel_stages")
     assert "Join" not in plan, plan
     assert _count_shuffles(plan) <= 2, plan
+
+
+@_needs_data
+def test_q27_topk_is_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-task
+    heaps merged on the driver), never a global Sort + CollectLimit."""
+    plan = _plan(spark, "q27_topk_open_orders")
+    assert "TakeOrderedAndProject" in plan, plan
