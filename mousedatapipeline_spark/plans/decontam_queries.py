@@ -232,8 +232,10 @@ def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    # The eval gram set is consumed twice (bloom build + exact confirm
+    # broadcast); checkpoint it so the eval docs are tokenized once.
     ev = (ex.filter(F.col("doc_id") % EVAL_MOD == 0)
-          .select("gram").distinct())
+          .select("gram").distinct().localCheckpoint(eager=False))
 
     # Build phase: k bit positions per eval gram -> per-word OR of the
     # set bits -> collect the (tiny) word table into a dense literal
