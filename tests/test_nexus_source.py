@@ -1,0 +1,89 @@
+"""The pluggable "nexus" Python DataSource: registration, per-file
+partition planning, key parsing, custom mappings, and the defensive
+degradation contract shared with hdf5.read_h5_value."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mousedatapipeline_spark.sources.nexus_source import (
+    NexusDataSource,
+    NexusReader,
+    _parse_keys,
+)
+
+
+def _write_tree(dirpath, name, tree):
+    p = dirpath / f"{name}.json"
+    p.write_text(json.dumps(tree))
+    return p
+
+
+TREE = {
+    "entry": {
+        "instrument": {"detector00": {"data": [[1.0, 2.0], [3.0, 4.0]]}},
+        "sample": {"transmission": 0.7, "thickness": 0.1,
+                   "mu": 10.0, "name": "demo"},
+        "collection_identifier": "20240101_2",
+    }
+}
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "nexus"
+    d.mkdir()
+    _write_tree(d, "MOUSE_20240101_2_1", TREE)
+    _write_tree(d, "MOUSE_20240101_2_2", TREE)
+    # A sparse tree: every missing float degrades to 0.0, strings to ''.
+    _write_tree(d, "MOUSE_20240102_1_1", {"entry": {}})
+    return d
+
+
+def test_register_and_read(spark, landing):
+    spark.dataSource.register(NexusDataSource)
+    df = (spark.read.format("nexus")
+          .option("path", str(landing)).load())
+    rows = {(r["ymd"], r["batch"], r["repetition"]): r
+            for r in df.collect()}
+    assert set(rows) == {("20240101", 2, 1), ("20240101", 2, 2),
+                         ("20240102", 1, 1)}
+    full = rows[("20240101", 2, 1)]
+    assert full["transmission"] == pytest.approx(0.7)
+    sparse = rows[("20240102", 1, 1)]
+    assert sparse["transmission"] == 0.0  # defensive float degrade
+    assert sparse["sample_name"] == ""    # defensive string degrade
+
+
+def test_partition_per_file(landing):
+    reader = NexusReader.__new__(NexusReader)
+    from mousedatapipeline_spark.sources.hdf5 import MOUSE_SCHEMA
+    reader._schema = MOUSE_SCHEMA
+    reader._files = sorted(str(p) for p in landing.glob("*.json"))
+    assert len(reader.partitions()) == 3
+
+
+def test_custom_mapping_option(spark, landing):
+    spark.dataSource.register(NexusDataSource)
+    mapping = json.dumps([
+        {"source_path": "/entry/sample/mu", "column": "mu"},
+        {"source_path": "/entry/collection_identifier",
+         "column": "cid", "kind": "string"},
+    ])
+    df = (spark.read.format("nexus")
+          .option("path", str(landing))
+          .option("mapping", mapping).load())
+    assert set(df.columns) == {"ymd", "batch", "repetition", "mu", "cid"}
+    got = {r["repetition"]: r for r in
+           df.filter("ymd = '20240101'").collect()}
+    assert got[1]["mu"] == pytest.approx(10.0)
+    assert got[1]["cid"] == "20240101_2"
+
+
+def test_key_parse_tolerates_prefix_and_garbage():
+    assert _parse_keys("/x/MOUSE_20240101_2_3.nxs") == {
+        "ymd": "20240101", "batch": 2, "repetition": 3}
+    assert _parse_keys("/x/20240101_12_0.json")["batch"] == 12
+    assert _parse_keys("/x/not_a_key.json")["batch"] == -1
