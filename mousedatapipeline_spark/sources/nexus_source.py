@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from mousedatapipeline_spark.sources.hdf5 import (
@@ -70,6 +71,34 @@ def _load_tree(path: str):
             f"reading {path} requires h5py; only .json fixture trees "
             "are supported without it") from exc
     return h5py.File(path, "r")  # pragma: no cover
+
+
+def _plain_schema(schema: IngestSchema):
+    """The ingest schema with column metadata stripped.
+
+    PythonStreamingSourceRunner's Arrow handshake asserts schema
+    equality INCLUDING StructField metadata and fails on any non-empty
+    metadata (observed on pyspark 4.1: a source whose schema() carries
+    metadata works in batch but crashes readStream planning with
+    'java.lang.AssertionError' at readArrowRecordBatches). The source
+    therefore serves plain fields; re-attach units/paths afterwards
+    with :func:`attach_metadata`.
+    """
+    from pyspark.sql import types as T
+
+    base = schema.spark_schema()
+    return T.StructType([
+        T.StructField(f.name, f.dataType, f.nullable) for f in base])
+
+
+def attach_metadata(df, schema: IngestSchema = MOUSE_SCHEMA):
+    """Re-attach the hdf5_path/unit column metadata stripped by the
+    source (see _plain_schema)."""
+    for m in schema.mappings:
+        if m.column in df.columns:
+            df = df.withMetadata(m.column,
+                                 m.spark_field().metadata)
+    return df
 
 
 def _schema_from_options(options) -> IngestSchema:
@@ -116,7 +145,63 @@ class NexusDataSource(DataSource):
         return "nexus"
 
     def schema(self):
-        return _schema_from_options(self.options).spark_schema()
+        return _plain_schema(_schema_from_options(self.options))
 
     def reader(self, schema) -> NexusReader:
         return NexusReader(_schema_from_options(self.options), self.options)
+
+    def simpleStreamReader(self, schema) -> "NexusStreamReader":
+        return NexusStreamReader(_schema_from_options(self.options),
+                                 self.options)
+
+
+class NexusStreamReader(SimpleDataSourceStreamReader):
+    """W1 as a pluggable stream: each micro-batch picks up repetition
+    files that appeared since the last offset.
+
+    Offsets are ``{"processed": [sorted file names]}`` — the same
+    idempotence contract as the watcher's `already_processed` check
+    (SURVEY.md §2.8 W3): a file is read exactly once, replays of a
+    committed range re-read exactly the files in that range.
+    """
+
+    def __init__(self, schema: IngestSchema, options):
+        self._schema = schema
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("nexus source requires .option('path', dir)")
+        self._glob = options.get("glob", "*.json")
+
+    def _listing(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._root, self._glob)))
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def read(self, start: dict):
+        done = set(start.get("processed", []))
+        fresh = [f for f in self._listing() if f not in done]
+        end = {"processed": sorted(done | set(fresh))}
+        # Materialize: Spark's prefetch cache copies this iterator, and
+        # generators are neither copyable nor picklable.
+        return iter(list(self._rows(fresh))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fresh = sorted(set(end.get("processed", []))
+                       - set(start.get("processed", [])))
+        return iter(list(self._rows(fresh)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to ack
+
+    def _rows(self, files):
+        fields = [f.name for f in self._schema.spark_schema().fields]
+        for path in files:
+            tree = _load_tree(path)
+            try:
+                row = flatten_tree(tree, self._schema, _parse_keys(path))
+            finally:
+                close = getattr(tree, "close", None)
+                if close:
+                    close()
+            yield tuple(row[name] for name in fields)

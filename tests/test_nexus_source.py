@@ -87,3 +87,48 @@ def test_key_parse_tolerates_prefix_and_garbage():
         "ymd": "20240101", "batch": 2, "repetition": 3}
     assert _parse_keys("/x/20240101_12_0.json")["batch"] == 12
     assert _parse_keys("/x/not_a_key.json")["batch"] == -1
+
+
+def test_stream_reader_incremental_batches(spark, landing, tmp_path):
+    """Batch 0 drains the initial files; a file that lands after the
+    first trigger arrives in a later batch exactly once."""
+    spark.dataSource.register(NexusDataSource)
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def start_drain():
+        return (spark.readStream.format("nexus")
+                .option("path", str(landing)).load()
+                .select("ymd", "batch", "repetition", "transmission")
+                .writeStream.format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start())
+
+    q = start_drain()
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(sink))
+    assert first.count() == 3
+
+    _write_tree(landing, "MOUSE_20240103_5_1", TREE)
+    q = start_drain()
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(sink)).collect()
+    assert len(rows) == 4  # new file exactly once, no replays
+    keys = {(r["ymd"], r["batch"], r["repetition"]) for r in rows}
+    assert ("20240103", 5, 1) in keys
+
+
+def test_attach_metadata_restores_units(spark, landing):
+    from mousedatapipeline_spark.sources.nexus_source import attach_metadata
+    spark.dataSource.register(NexusDataSource)
+    df = (spark.read.format("nexus")
+          .option("path", str(landing)).load())
+    # The source serves plain fields (streaming Arrow handshake chokes
+    # on field metadata); the helper restores unit/path annotations.
+    assert df.schema["wavelength"].metadata == {}
+    df2 = attach_metadata(df)
+    assert df2.schema["wavelength"].metadata["unit"] == "nm"
+    assert df2.schema["transmission"].metadata["hdf5_path"] \
+        == "/entry/sample/transmission"
