@@ -273,3 +273,37 @@ def test_q27_topk_is_take_ordered_not_global_sort(spark):
     heaps merged on the driver), never a global Sort + CollectLimit."""
     plan = _plan(spark, "q27_topk_open_orders")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@_needs_data
+def test_q25_percentiles_single_shuffle(spark):
+    """Exact grouped percentiles: one aggregation exchange on the
+    group key, nothing else."""
+    plan = _plan(spark, "q25_group_percentiles")
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_q26_decorrelated_subquery_has_no_join(spark):
+    """The correlated scalar subquery must decorrelate to a window
+    over the SAME scan: no join, one exchange, one parquet scan."""
+    plan = _plan(spark, "q26_above_avg_orders")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+@_needs_data
+def test_e07_cohort_windows_before_distinct(spark):
+    """Cohort retention: no joins in the Spark plan — the firsts come
+    from a window, not a groupBy+join-back."""
+    plan = _plan(spark, "e07_cohort_retention")
+    assert "Join" not in plan, plan
+
+
+@_needs_data
+def test_s18_bloom_prefilter_is_scan_stage(spark):
+    """The bloom membership test must run BEFORE any exchange: the
+    only join is the exact-confirm broadcast over survivors."""
+    plan = _plan(spark, "s18_bloom_decontam")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
