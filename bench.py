@@ -40,23 +40,36 @@ def main() -> None:
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         best = None
         for _ in range(trials):
             t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite") \
+                    .format("noop").save()
+            except Exception as exc:  # noqa: BLE001 - one bad query must
+                # not lose the whole bench line
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"BENCH ERROR {name}: {errors[name]}",
+                      file=sys.stderr)
+                break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        if best is not None:
+            timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
-    print(json.dumps({
+    out = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
