@@ -23,7 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
     summary, in one lazy plan."""
     qs = catalog.all_queries()
     try:
-        return qs["m05_pipeline_e2e"].spark(spark, SMOKE_SF_DIR)
+        df = qs["m05_pipeline_e2e"].spark(spark, SMOKE_SF_DIR)
+        df.limit(1).count()  # force one tiny execution: DataFrames are
+        # lazy, so plan construction alone would not catch runtime
+        # breakage and the fallback below would never fire
+        return df
     except Exception:  # noqa: BLE001 - smoke must survive a broken
         # flagship; fall back to the simplest grouped scan
         return qs["q01_pricing_summary"].spark(spark, SMOKE_SF_DIR)

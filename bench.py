@@ -53,6 +53,7 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"BENCH ERROR {name}: {errors[name]}",
                       file=sys.stderr)
+                best = None  # a query is timed XOR errored, never both
                 break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -18,48 +18,13 @@ from __future__ import annotations
 
 import argparse
 import sys
-from collections.abc import Callable, Mapping
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from mousedatapipeline_spark import pipeline as P
 
-# Step name -> builder(ctx) -> Step. Mirrors the reference's
-# importlib-by-name step resolution (src/directory_processor.py:126-142)
-# with an explicit registry instead of module import side effects.
-STEP_BUILDERS: Mapping[str, Callable] = {
-    "metadata_update": lambda ctx: P.metadata_update(ctx["logbook"]),
-    "flux_and_transmissions": lambda ctx: P.flux_and_transmissions,
-    "tcf_propagation": lambda ctx: P.tcf_propagation,
-    "apply_tcf": lambda ctx: P.apply_tcf_step,
-    "background_thickness": lambda ctx: P.background_thickness(),
-    "stacker": lambda ctx: P.stack,
-}
-
-PROGRAMS = {
-    # src/directory_processor_multibatch_nostack.sh:17-32
-    "nostack": ("metadata_update", "flux_and_transmissions",
-                "tcf_propagation", "apply_tcf", "background_thickness"),
-    # src/watcher.py:78-89
-    "full": ("metadata_update", "flux_and_transmissions",
-             "tcf_propagation", "apply_tcf", "background_thickness",
-             "stacker"),
-}
-
-
-def build_inputs(spark: SparkSession, sf_dir: str):
-    """Measurements + logbook exactly as the m05 catalog query derives
-    them from the synthetic tables (plans/mouse_queries.py)."""
-    from mousedatapipeline_spark.plans.mouse_queries import measurements
-
-    m = measurements(spark, sf_dir).withColumns({
-        "bg_ymd": F.col("ymd"),
-        "bg_batch": (F.col("batch").cast("bigint") / 10).cast("bigint") * 10,
-    })
-    logbook = m.select("ymd", "batch").distinct().withColumn(
-        "sample_name", F.concat_ws("_", F.lit("S"), F.col("batch")))
-    return m, logbook
+# Canonical orderings and the step registry live in pipeline.py — the
+# CLI is a thin name-resolution layer over them.
+PROGRAMS = {"nostack": P.NOSTACK_STEPS, "full": P.FULL_STEPS}
 
 
 def run(argv: list[str] | None = None,
@@ -67,7 +32,8 @@ def run(argv: list[str] | None = None,
     ap = argparse.ArgumentParser(prog="mousedatapipeline_spark")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--program", choices=sorted(PROGRAMS), default=None)
-    ap.add_argument("--steps", nargs="+", choices=sorted(STEP_BUILDERS),
+    ap.add_argument("--steps", nargs="+",
+                    choices=sorted(P.STEP_BUILDERS),
                     default=None,
                     help="explicit ordered step list (overrides --program)")
     ap.add_argument("--output", default=None,
@@ -82,10 +48,9 @@ def run(argv: list[str] | None = None,
         from mousedatapipeline_spark.session import get_spark
         spark = get_spark("mousedatapipeline_spark_cli")
 
-    m, logbook = build_inputs(spark, args.sf_dir)
-    ctx = {"logbook": logbook}
-    program = P.compose(*[STEP_BUILDERS[n](ctx) for n in step_names])
-    out = program(m)
+    from mousedatapipeline_spark.plans.mouse_queries import pipeline_inputs
+    m, logbook = pipeline_inputs(spark, args.sf_dir)
+    out = P.program_from_names(step_names, logbook)(m)
 
     if args.output:
         writer = out.write.mode("overwrite")

@@ -49,19 +49,31 @@ def bloom_bits_literal(keys: DataFrame, col: str,
                      for w in range(bits >> 6)])
 
 
-def might_contain(blit: Column, col_name: str,
+def _pow2_literal() -> Column:
+    """array<long> of the 64 single-bit masks (bit 63 as the signed
+    long whose two's-complement pattern is 0x8000...0 — identical to
+    SQL shiftleft(1, 63) on the build side)."""
+    vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    return F.array(*[F.lit(v).cast("bigint") for v in vals])
+
+
+def might_contain(blit: Column, col: str | Column,
                   bits: int = DEFAULT_BITS,
                   k: int = DEFAULT_K) -> Column:
-    """Boolean scan-stage expression: all ``k`` bits set for
-    ``col_name`` in the bloom literal ``blit``."""
+    """Boolean scan-stage expression: all ``k`` bits set for ``col``
+    in the bloom literal ``blit``. Pure Column arithmetic — the bit
+    mask is an element_at into a 64-long powers-of-two literal, so the
+    position hash has a single definition shared with the build path
+    (whole-stage codegen's subexpression elimination evaluates it once
+    per probe bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pow2 = _pow2_literal()
     out = None
     for i in range(k):
-        p = _position(F.col(col_name), i, bits)
+        p = _position(c, i, bits)
         word = F.element_at(blit, (p / 64).cast("int") + F.lit(1))
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT),"
-            f" CAST(pmod(xxhash64({col_name}, {i}), {bits})"
-            f" % 64 AS INT))")
+        mask = F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int")
+                            + F.lit(1))
         check = word.bitwiseAND(mask) != 0
         out = check if out is None else out & check
     return out

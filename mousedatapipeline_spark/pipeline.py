@@ -139,21 +139,41 @@ def stack(df: DataFrame) -> DataFrame:
         })
 
 
+# Step name -> builder(ctx) -> Step: the single source of truth shared
+# by the canonical programs below and the CLI (__main__.py). Mirrors
+# the reference's importlib-by-name step resolution
+# (src/directory_processor.py:126-142) with an explicit registry.
+STEP_BUILDERS = {
+    "metadata_update": lambda ctx: metadata_update(ctx["logbook"]),
+    "flux_and_transmissions": lambda ctx: flux_and_transmissions,
+    "tcf_propagation": lambda ctx: tcf_propagation,
+    "apply_tcf": lambda ctx: apply_tcf_step,
+    "background_thickness": lambda ctx: background_thickness(),
+    "stacker": lambda ctx: stack,
+}
+
+# src/directory_processor_multibatch_nostack.sh:17-32
+NOSTACK_STEPS = ("metadata_update", "flux_and_transmissions",
+                 "tcf_propagation", "apply_tcf", "background_thickness")
+# src/watcher.py:78-89
+FULL_STEPS = NOSTACK_STEPS + ("stacker",)
+
+
+def program_from_names(names: Sequence[str], logbook: DataFrame) -> Step:
+    """Build an ordered program from step names (the CLI contract)."""
+    ctx = {"logbook": logbook}
+    return compose(*[STEP_BUILDERS[n](ctx) for n in names])
+
+
 def nostack_program(logbook: DataFrame) -> Step:
     """The multibatch-nostack step ordering
     (src/directory_processor_multibatch_nostack.sh:17-32), minus the
     stacker: metadata -> flux/transmission -> propagate -> apply TCF ->
     background/thickness."""
-    return compose(
-        metadata_update(logbook),
-        flux_and_transmissions,
-        tcf_propagation,
-        apply_tcf_step,
-        background_thickness(),
-    )
+    return program_from_names(NOSTACK_STEPS, logbook)
 
 
 def full_program(logbook: DataFrame) -> Step:
     """The watcher's full program (src/watcher.py:78-89): nostack chain
     then the stacker."""
-    return compose(nostack_program(logbook), stack)
+    return program_from_names(FULL_STEPS, logbook)

@@ -58,8 +58,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+_ATTEMPTED: set[str] = set()
+
+
 def _load_all() -> None:
     for mod in _QUERY_MODULES:
+        # Attempt each module at most once per process: a module that
+        # registered some queries before raising would otherwise hit
+        # the duplicate-name guard on every retry, masking the root
+        # cause and spamming stderr.
+        if mod in _ATTEMPTED:
+            continue
+        _ATTEMPTED.add(mod)
         try:
             importlib.import_module(mod)
         except Exception as exc:  # noqa: BLE001 - one broken module must

@@ -296,6 +296,18 @@ def m04_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_inputs(spark: SparkSession, sf_dir: str):
+    """Measurements (with background keys) + derived logbook — the
+    pipeline's two inputs, shared by m05 and the CLI (__main__.py)."""
+    m = measurements(spark, sf_dir).withColumns({
+        "bg_ymd": F.col("ymd"),
+        "bg_batch": (F.col("batch").cast("bigint") / 10).cast("bigint") * 10,
+    })
+    logbook = m.select("ymd", "batch").distinct().withColumn(
+        "sample_name", F.concat_ws("_", F.lit("S"), F.col("batch")))
+    return m, logbook
+
+
 # --------------------------------------------------------------------------
 # End-to-end pipeline: the watcher's full step program as ONE lazy plan
 # (pipeline.full_program). Three shuffles total: A4 window, J3 broadcast
@@ -399,12 +411,7 @@ def m04_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m05_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark import pipeline as P
 
-    m = measurements(spark, sf_dir).withColumns({
-        "bg_ymd": F.col("ymd"),
-        "bg_batch": (F.col("batch").cast("bigint") / 10).cast("bigint") * 10,
-    })
-    logbook = m.select("ymd", "batch").distinct().withColumn(
-        "sample_name", F.concat_ws("_", F.lit("S"), F.col("batch")))
+    m, logbook = pipeline_inputs(spark, sf_dir)
     out = P.full_program(logbook)(m)
     return out.select(
         "ymd", "batch", "configuration", "t_count", "t_max", "t_min",

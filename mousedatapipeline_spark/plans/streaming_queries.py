@@ -27,6 +27,15 @@ from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.streaming import stateful, watcher
 from mousedatapipeline_spark.tables import load
 
+def _drain(q, seconds: int = 300) -> None:
+    """availableNow drains must COMPLETE: a timed-out query would leave
+    the sink partial and be read back as a silently-wrong answer."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {seconds}s")
+
+
 def _events_file_schema(spark: SparkSession, path: str) -> T.StructType:
     """File sources need an explicit schema; take it from the file
     itself so the stream follows whichever ts encoding the generator
@@ -84,7 +93,7 @@ def w01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = watcher.run_watcher(
         stream, _hourly_counts, sink, str(work / "ckpt"),
         available_now=True, dedupe_keys=None)
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(sink)
 
 
@@ -159,7 +168,7 @@ def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink)
@@ -255,7 +264,7 @@ def w03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink).groupBy("event_type").agg(
@@ -358,7 +367,7 @@ def w04_stream_incremental_agg(spark: SparkSession,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     final = sorted(state_dir.glob("v*"))[-1]
@@ -449,7 +458,7 @@ def w05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     drained = spark.read.parquet(sink)
