@@ -1074,3 +1074,66 @@ def q27_topk_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(_TOPK))
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: suppliers solely responsible for a late multi-supplier
+# order — EXISTS (own late line) + NOT EXISTS (any other supplier
+# late) on the same fact. Instead of two correlated semi/anti joins
+# re-scanning lineitem, both predicates collapse into ONE pass:
+# per-order supplier/late-supplier profiles ride a single groupBy,
+# and the per-(order, supplier) late flag joins against that tiny
+# profile. Late = shipped >90 days after the order date.
+# --------------------------------------------------------------------------
+@register(
+    "q28_sole_late_supplier",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS INT)
+               AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(is_late) AS has_late
+      FROM lines GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_supp,
+             CAST(SUM(has_late) AS BIGINT) AS n_late_supp
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_solely_late_orders
+    FROM per_supp s JOIN per_order o ON s.l_orderkey = o.l_orderkey
+    WHERE s.has_late = 1 AND o.n_supp > 1 AND o.n_late_supp = 1
+    GROUP BY s.l_suppkey
+    """,
+    doc="Suppliers solely responsible for a late multi-supplier order "
+        "(TPC-H Q21 shape, late = shipped >90d after order date). The "
+        "correlated EXISTS + NOT-EXISTS pair is rewritten as one "
+        "aggregation pass: per-(order, supplier) late flags and "
+        "per-order late-supplier counts share a single shuffle family "
+        "on the order key — no second fact scan, no anti-join.",
+)
+def q28_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("int").alias("is_late"))
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("has_late"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+        F.sum("has_late").cast("bigint").alias("n_late_supp"))
+    sole = (per_supp.join(per_order, "l_orderkey")
+            .filter((F.col("has_late") == 1) & (F.col("n_supp") > 1)
+                    & (F.col("n_late_supp") == 1)))
+    return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_solely_late_orders"))
