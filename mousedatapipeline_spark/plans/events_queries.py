@@ -337,3 +337,44 @@ def e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff("wk", "cohort") / 7).cast("bigint")
         .alias("week_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# e08: sliding time-RANGE window frame — "events in my trailing hour".
+# RANGE frames bound by VALUE (here: microseconds of event time), not
+# row count, so ties are included symmetrically on both engines and
+# the result is deterministic without a tiebreaker. One shuffle on
+# user_id serves the frame.
+# --------------------------------------------------------------------------
+@register(
+    "e08_trailing_hour_stats",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+                AS VARCHAR) AS DOUBLE) AS value_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="Per-event trailing-hour activity: count and exact-decimal "
+        "value sum of the same user's events within [t-1h, t]. A "
+        "VALUE-bounded RANGE frame (micros of event time), so "
+        "same-timestamp peers are always in-frame on both engines — "
+        "deterministic with no tiebreak column.",
+)
+def e08_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id",
+                                              "ts", "value")
+    hour_us = 3600 * 1_000_000
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-hour_us, 0))
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint")
+        .alias("n_trailing_hour"),
+        F.sum(F.col("value").cast("decimal(30,10)")).over(w)
+        .cast("double").alias("value_trailing_hour"))
