@@ -28,8 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
         # lazy, so plan construction alone would not catch runtime
         # breakage and the fallback below would never fire
         return df
-    except Exception:  # noqa: BLE001 - smoke must survive a broken
-        # flagship; fall back to the simplest grouped scan
+    except Exception as exc:  # noqa: BLE001 - smoke must survive a
+        # broken flagship; fall back to the simplest grouped scan —
+        # LOUDLY, so the degrade is visible in driver logs
+        import sys
+        import traceback
+        print(f"ENTRY FLAGSHIP ERROR (falling back to q01): {exc}",
+              file=sys.stderr)
+        traceback.print_exc()
         return qs["q01_pricing_summary"].spark(spark, SMOKE_SF_DIR)
 
 

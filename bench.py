@@ -34,9 +34,19 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm the JVM + parquet footer caches once with the cheapest query.
-    warm = next(iter(qs.values()))
-    warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    if not qs:
+        print(json.dumps({"metric": "catalog_total_runtime", "value": -1.0,
+                          "unit": "sec", "queries": {}, "sf": sf,
+                          "errors": {"__catalog__": "no queries registered"}}))
+        return
+
+    # Warm the JVM + parquet footer caches once; a broken warm query
+    # must not kill the bench (the guarded loop will time/record it).
+    try:
+        warm = next(iter(qs.values()))
+        warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH WARMUP ERROR: {exc}", file=sys.stderr)
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     timings: dict[str, float] = {}

@@ -41,10 +41,8 @@ def _events_file_schema(spark: SparkSession, path: str) -> T.StructType:
     itself so the stream follows whichever ts encoding the generator
     used (TIMESTAMP(NANOS)-as-long under the legacy conf, or
     TIMESTAMP_NTZ). Footer-only read — no data scan."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 - locked conf: the read will surface it
-        pass
+    from mousedatapipeline_spark.tables import ensure_nanos_conf
+    ensure_nanos_conf(spark)
     return spark.read.parquet(path).schema
 
 

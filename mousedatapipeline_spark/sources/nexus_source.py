@@ -113,8 +113,13 @@ def _schema_from_options(options) -> IngestSchema:
 
 
 class NexusReader(DataSourceReader):
-    def __init__(self, schema: IngestSchema, options):
+    def __init__(self, schema: IngestSchema, fields: Sequence[str],
+                 options):
         self._schema = schema
+        # Yield order follows the RESOLVED read schema Spark hands the
+        # source (a user-supplied .schema(...) prunes/reorders); values
+        # come from the ingest mapping, unknown fields degrade to NULL.
+        self._fields = list(fields)
         root = options.get("path")
         if not root:
             raise ValueError("nexus source requires .option('path', dir)")
@@ -135,8 +140,7 @@ class NexusReader(DataSourceReader):
             close = getattr(tree, "close", None)
             if close:
                 close()
-        fields = [f.name for f in self._schema.spark_schema().fields]
-        yield tuple(row[name] for name in fields)
+        yield tuple(row.get(name) for name in self._fields)
 
 
 class NexusDataSource(DataSource):
@@ -148,10 +152,12 @@ class NexusDataSource(DataSource):
         return _plain_schema(_schema_from_options(self.options))
 
     def reader(self, schema) -> NexusReader:
-        return NexusReader(_schema_from_options(self.options), self.options)
+        return NexusReader(_schema_from_options(self.options),
+                           [f.name for f in schema.fields], self.options)
 
     def simpleStreamReader(self, schema) -> "NexusStreamReader":
         return NexusStreamReader(_schema_from_options(self.options),
+                                 [f.name for f in schema.fields],
                                  self.options)
 
 
@@ -165,8 +171,10 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
     committed range re-read exactly the files in that range.
     """
 
-    def __init__(self, schema: IngestSchema, options):
+    def __init__(self, schema: IngestSchema, fields: Sequence[str],
+                 options):
         self._schema = schema
+        self._fields = list(fields)  # resolved read-schema order
         self._root = options.get("path")
         if not self._root:
             raise ValueError("nexus source requires .option('path', dir)")
@@ -195,7 +203,6 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
         pass  # offsets are self-contained; nothing external to ack
 
     def _rows(self, files):
-        fields = [f.name for f in self._schema.spark_schema().fields]
         for path in files:
             tree = _load_tree(path)
             try:
@@ -204,4 +211,4 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
                 close = getattr(tree, "close", None)
                 if close:
                     close()
-            yield tuple(row[name] for name in fields)
+            yield tuple(row.get(name) for name in self._fields)

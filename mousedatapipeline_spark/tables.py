@@ -38,9 +38,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":  # raw nanos: truncate to micros
+    if ts_type == "bigint":  # raw nanos: truncate to micros. DIV is
+        # exact integer division — `/` would round-trip through double,
+        # whose ulp at epoch-nanos magnitude (~2^60) is ~256 ns, enough
+        # to land one microsecond low on cast('long') truncation.
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif ts_type == "timestamp_ntz":
         # Naive micros timestamp: with the session pinned to UTC this cast
         # is a pure type relabel, keeping wall-clock parity with DuckDB.
@@ -48,16 +51,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Allow reading TIMESTAMP(NANOS) parquet as long — the single home
+    of the legacy-conf idiom (also used by the streaming file sources)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf locked down: fall through, the
+        pass           # read will surface PARQUET_TYPE_ILLEGAL if so
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet has stored ``ts`` as TIMESTAMP(NANOS) — which
     Spark's vectorized parquet reader rejects by default — or
     TIMESTAMP_NTZ. Read nanos as long (legacy conf) and normalize."""
-    path = f"{sf_dir}/events.parquet"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 - conf locked down: fall through, the
-        pass           # read below will surface PARQUET_TYPE_ILLEGAL if so
-    return normalize_events_ts(spark.read.parquet(path))
+    ensure_nanos_conf(spark)
+    return normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

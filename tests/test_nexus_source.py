@@ -132,3 +132,16 @@ def test_attach_metadata_restores_units(spark, landing):
     assert df2.schema["wavelength"].metadata["unit"] == "nm"
     assert df2.schema["transmission"].metadata["hdf5_path"] \
         == "/entry/sample/transmission"
+
+
+def test_user_schema_prunes_and_reorders(spark, landing):
+    """A user-supplied .schema(...) must bind values by NAME, not by
+    the source's internal field order."""
+    spark.dataSource.register(NexusDataSource)
+    df = (spark.read.format("nexus")
+          .schema("transmission double, ymd string, batch int")
+          .option("path", str(landing)).load())
+    rows = {(r["ymd"], r["batch"]): r["transmission"]
+            for r in df.collect()}
+    assert rows[("20240101", 2)] == pytest.approx(0.7)
+    assert rows[("20240102", 1)] == 0.0
