@@ -378,3 +378,45 @@ def e08_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_trailing_hour"),
         F.sum(F.col("value").cast("decimal(30,10)")).over(w)
         .cast("double").alias("value_trailing_hour"))
+
+
+# --------------------------------------------------------------------------
+# e09: last-observation-carried-forward gap fill. Sensor-style
+# cleaning: error events carry no reading; fill each from the user's
+# most recent good reading. IGNORE NULLS inside last_value does the
+# carry-forward in ONE window pass — no self-join, no groupBy; the
+# (ts, event_id) order key is total so the fill source is unique.
+# --------------------------------------------------------------------------
+@register(
+    "e09_locf_gap_fill",
+    oracle="""
+    SELECT event_id,
+           CAST(value_raw IS NULL AS INT) AS was_gap,
+           LAST_VALUE(value_raw IGNORE NULLS) OVER w AS value_filled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+               AS value_raw
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="LOCF gap filling: error events (reading = NULL) take the "
+        "user's most recent non-null reading via last_value(..., "
+        "ignorenulls) over one (user, time) window — single shuffle, "
+        "no self-join. Leading gaps (no prior reading) stay NULL.",
+)
+def e09_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    raw = F.when(F.col("event_type") == "error", F.lit(None)) \
+        .otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id",
+        raw.isNull().cast("int").alias("was_gap"),
+        F.last_value(raw, ignoreNulls=True).over(w)
+        .alias("value_filled"))

@@ -600,3 +600,82 @@ def m08_average_to_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n == 0, F.lit(1.0)).otherwise(F.lit(1.0) * n))
         .alias("count_time_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# m09: the J2 as-of join AGAIN, this time as a cogrouped-pandas
+# operator — measurements and masks cogrouped on configuration, pandas
+# merge_asof inside each group. Exercises the applyInPandas cogroup
+# API (Arrow-batched, one shuffle per side on the group key); the
+# window-based asof_join (m06) stays the default — this variant is for
+# kernels that genuinely need pandas semantics per group. Same oracle
+# shape as m06 proves both implementations agree with the SQL.
+# --------------------------------------------------------------------------
+@register(
+    "m09_cogroup_asof",
+    oracle=f"""
+    WITH m AS ({_MEASUREMENT_SQL_CTE}),
+    masks AS ({_MASKS_SQL}),
+    md AS (SELECT DISTINCT batch, repetition, configuration, ymd FROM m),
+    ranked AS (
+      SELECT md.batch, md.repetition, md.configuration, md.ymd,
+             masks.mask_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY md.batch, md.repetition, md.configuration,
+                            md.ymd
+               ORDER BY masks.mask_ymd DESC, masks.mask_id DESC) AS rn
+      FROM md JOIN masks
+        ON md.configuration = masks.configuration
+       AND masks.mask_ymd <= md.ymd
+    )
+    SELECT md.batch, md.repetition, md.configuration, md.ymd,
+           r.mask_id AS mask_id_asof
+    FROM md LEFT JOIN ranked r
+      ON md.batch = r.batch AND md.repetition = r.repetition
+     AND md.configuration = r.configuration AND md.ymd = r.ymd
+     AND r.rn = 1
+    """,
+    doc="J2 as-of join via cogrouped applyInPandas: measurements and "
+        "masks cogroup on configuration and pandas merge_asof runs "
+        "per group (backward direction, last-tie = highest mask_id, "
+        "matching m06's window pick). Demonstrates the Arrow cogroup "
+        "path for per-group kernels that need pandas semantics.",
+)
+def m09_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    md = measurements(spark, sf_dir).select(
+        "batch", "repetition", "configuration", "ymd").distinct()
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    masks = part.select(
+        F.col("p_partkey").alias("mask_id"),
+        (F.col("p_partkey") % 3).cast("int").alias("configuration"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1994-01-01")),
+                       (F.col("p_partkey") % 2500).cast("int")),
+            "yyyyMMdd").alias("mask_ymd"))
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.assign(_ymd_i=left["ymd"].astype("int64")) \
+            .sort_values("_ymd_i", kind="mergesort")
+        if right.empty:
+            out = left.assign(mask_id_asof=pd.array(
+                [None] * len(left), dtype="Int64"))
+        else:
+            right = right.assign(
+                _mask_ymd_i=right["mask_ymd"].astype("int64")) \
+                .sort_values(["_mask_ymd_i", "mask_id"], kind="mergesort")
+            out = pd.merge_asof(
+                left, right[["_mask_ymd_i", "mask_id"]],
+                left_on="_ymd_i", right_on="_mask_ymd_i",
+                direction="backward")
+            out = out.rename(columns={"mask_id": "mask_id_asof"})
+            out["mask_id_asof"] = out["mask_id_asof"].astype("Int64")
+        return out[["batch", "repetition", "configuration", "ymd",
+                    "mask_id_asof"]]
+
+    out_schema = ("batch long, repetition int, configuration int, "
+                  "ymd string, mask_id_asof long")
+    return (md.groupby("configuration")
+            .cogroup(masks.groupby("configuration"))
+            .applyInPandas(lambda ldf, rdf: asof(ldf, rdf), out_schema))
