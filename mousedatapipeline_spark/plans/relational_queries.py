@@ -1137,3 +1137,56 @@ def q28_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("n_late_supp") == 1)))
     return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_solely_late_orders"))
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts across every FK edge of
+# the star schema in one result. Each edge is a left-anti join whose
+# build side is the (smaller) referenced key set; the per-edge counts
+# union into a tiny audit table. The data-quality primitive a 100 TB
+# lakehouse runs after every load.
+# --------------------------------------------------------------------------
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+)
+
+
+@register(
+    "q30_fk_orphan_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN r.{rkey} IS NULL THEN 1 END) AS BIGINT)
+                 AS n_orphans
+            FROM {child} c LEFT JOIN {ref} r ON c.{ckey} = r.{rkey}"""
+        for name, child, ckey, ref, rkey in _FK_EDGES),
+    doc="Referential-integrity audit: row and orphan counts for every "
+        "FK edge of the star schema in one result. Each edge probes "
+        "the referenced key set (broadcast for dims); at 100 TB the "
+        "fact-to-fact edges run as shuffle joins with AQE and the "
+        "output stays six rows regardless of input size.",
+)
+def q30_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ckey, ref, rkey in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(ckey)
+        r = load(spark, sf_dir, ref).select(rkey).distinct()
+        joined = c.join(r, c[ckey] == r[rkey], "left")
+        audit = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col(rkey).isNull(), 1)).cast("bigint")
+            .alias("n_orphans")).select(
+            F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        out = audit if out is None else out.unionByName(audit)
+    return out

@@ -359,3 +359,69 @@ def t09_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bigram_frac"),
         stable_round(T.top_freq_fraction(F.col("g3")))
         .alias("top_trigram_frac"))
+
+
+# --------------------------------------------------------------------------
+# t13: the corpus dashboard — per-source rollup of the quality and
+# length signals (what a data curator reads before picking mixture
+# weights). Pure composition of t01/t03's per-doc expressions into one
+# groupBy(source): signal extraction is scan-stage, the aggregate
+# output is sources-sized regardless of corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "t13_source_dashboard",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             CAST({_SQL_NTOK} AS DOUBLE) AS n_tok,
+             CASE WHEN {_SQL_NTOK} > 0 THEN
+               CAST({_sql_marker_count(T.EN_STOPWORDS)} AS DOUBLE)
+               / CAST({_SQL_NTOK} AS DOUBLE) ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0 THEN
+               CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT source, n_tok,
+             LEAST(n_tok / 50.0, 1.0) * 0.4
+               + LEAST(sw_ratio * 4.0, 1.0) * 0.3
+               + alpha_ratio * 0.3 AS quality
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(n_tok AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_tokens,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(quality AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_quality,
+           CAST(COUNT(CASE WHEN quality >= 0.5 THEN 1 END) AS BIGINT)
+             AS n_keep
+    FROM q GROUP BY source
+    """,
+    doc="Corpus curation dashboard: per-source doc count, mean token "
+        "length, mean quality score and keep count — the t01/t03 "
+        "signals rolled up to the mixture-weight decision surface. "
+        "One shuffle on source; signals evaluate in the scan stage.",
+)
+def t13_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+    d = load(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    f = d.select(
+        "source",
+        T.token_count(F.col("text")).cast("double").alias("n_tok"),
+        q.alias("quality"))
+    n = F.count(F.lit(1))
+    return f.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        stable_round(dsum("n_tok") / n.cast("double"))
+        .alias("mean_tokens"),
+        stable_round(dsum("quality") / n.cast("double"))
+        .alias("mean_quality"),
+        F.count(F.when(F.col("quality") >= 0.5, 1)).cast("bigint")
+        .alias("n_keep"))
