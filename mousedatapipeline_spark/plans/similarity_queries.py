@@ -890,3 +890,91 @@ def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "component_id", "n_members",
                     (F.col("doc_id") == F.col("component_id"))
                     .cast("int").alias("is_canonical")))
+
+
+# --------------------------------------------------------------------------
+# s19: the CANONICAL two-stage near-dup pipeline — LSH candidates,
+# then exact-Jaccard verification, in one plan. Stage 1 is s03's
+# banding (pair volume bounded by bucket collisions, never all-pairs);
+# stage 2 joins each surviving pair back to its two shingle sets and
+# computes the exact overlap JVM-side. What survives is exact — the
+# LSH recall loss is visible as pairs the all-pairs s02 finds but s19
+# misses, which is the measured trade of the scale path.
+# --------------------------------------------------------------------------
+VERIFY_JACCARD = 0.5
+# Candidates must collide in >= 2 of the 4 bands: the synthetic text's
+# tiny shingle vocabulary makes single-band buckets nearly all-pairs
+# (650k+ candidates at sf0.1); two-band agreement restores the sparse
+# candidate set the pattern is designed around.
+MIN_SHARED_BANDS = 2
+
+
+@register(
+    "s19_lsh_verified_neardup",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()}),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT m.d1, m.d2, m.n_common,
+           {stable_round_sql(
+               'CAST(m.n_common AS DOUBLE) '
+               '/ CAST(s1.n + s2.n - m.n_common AS DOUBLE)')} AS jaccard
+    FROM common m
+    JOIN sz s1 ON s1.doc_id = m.d1
+    JOIN sz s2 ON s2.doc_id = m.d2
+    WHERE CAST(m.n_common AS DOUBLE)
+          / CAST(s1.n + s2.n - m.n_common AS DOUBLE) >= {VERIFY_JACCARD}
+    """,
+    doc="Two-stage near-dup: LSH band candidates (s03) verified with "
+        "exact shingle-set Jaccard — candidates join back to their two "
+        "shingle sets, overlap is a JVM array_intersect, survivors are "
+        "exact at threshold 0.5. The scale pattern: quadratic work "
+        "only inside hash buckets, exactness restored by the verify "
+        "join.",
+)
+def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = (s03_minhash_lsh(spark, sf_dir)
+             .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
+             .select("d1", "d2"))
+    d = load(spark, sf_dir, "documents")
+    # Verify on HASHED shingle arrays: the base-961^2 ascii hash is
+    # injective on 3-grams (ascii < 961), so intersect counts equal
+    # the string-set counts while the joins shuffle int arrays, not
+    # 3-char strings.
+    sets = (d.select("doc_id", S.shingle_set_col(F.col("text")).alias("ss"))
+            .filter(F.size("ss") > 0)
+            .select("doc_id",
+                    F.transform("ss", S.shingle_hash).alias("hs"),
+                    F.size("ss").cast("bigint").alias("n")))
+    s1 = sets.select(F.col("doc_id").alias("d1"),
+                     F.col("hs").alias("ss1"), F.col("n").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"),
+                     F.col("hs").alias("ss2"), F.col("n").alias("n2"))
+    joined = cands.join(s1, "d1").join(s2, "d2")
+    n_common = F.size(F.array_intersect("ss1", "ss2")).cast("bigint")
+    scored = joined.select(
+        "d1", "d2", n_common.alias("n_common"),
+        (n_common.cast("double")
+         / (F.col("n1") + F.col("n2") - n_common).cast("double"))
+        .alias("jaccard_raw"))
+    return (scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
+            .select("d1", "d2", "n_common",
+                    stable_round(F.col("jaccard_raw")).alias("jaccard")))
