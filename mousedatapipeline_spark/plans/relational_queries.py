@@ -1129,6 +1129,12 @@ def q28_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("is_late"))
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("has_late"))
+    # per_supp feeds BOTH the per-order rollup and the final join;
+    # without materialization Spark re-executes the whole join+agg
+    # subtree for each consumer (4 fact scans instead of 2 — caught by
+    # the plan test). One (order, supplier)-sized checkpoint buys the
+    # reuse; on a cluster persist(MEMORY_AND_DISK) plays this role.
+    per_supp = per_supp.localCheckpoint(eager=False)
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_supp"),
         F.sum("has_late").cast("bigint").alias("n_late_supp"))

@@ -307,3 +307,43 @@ def test_s18_bloom_prefilter_is_scan_stage(spark):
     plan = _plan(spark, "s18_bloom_decontam")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+@_needs_data
+def test_q28_one_shuffle_family_no_second_fact_scan(spark):
+    """EXISTS + NOT-EXISTS as one aggregation pass: the per-supplier
+    table is checkpointed, so both consumers (per-order rollup and the
+    final join) read ONE materialized RDD — the plan must show the
+    shared ExistingRDD and zero duplicated fact scans (without the
+    checkpoint Spark re-executes the join+agg subtree per consumer:
+    4 parquet scans)."""
+    plan = _plan(spark, "q28_sole_late_supplier")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+@_needs_data
+def test_e08_range_frame_single_shuffle(spark):
+    plan = _plan(spark, "e08_trailing_hour_stats")
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_e09_locf_single_shuffle_no_join(spark):
+    plan = _plan(spark, "e09_locf_gap_fill")
+    assert "Join" not in plan, plan
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_m09_uses_cogroup(spark):
+    plan = _plan(spark, "m09_cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+@_needs_data
+def test_q30_dim_edges_broadcast(spark):
+    """The referenced key sets of the dimension edges broadcast."""
+    plan = _plan(spark, "q30_fk_orphan_audit")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
