@@ -80,9 +80,38 @@ def _load_all() -> None:
             traceback.print_exc()
 
 
+# Queries that already earned a fully-green row in CORRECTNESS_r01.json.
+# The driver's per-round correctness gate samples a prefix of the catalog
+# (round 1 stopped after 50 of 86), so ordering is evidence policy:
+# queries WITHOUT a green driver row yet — the round-1 unchecked tail,
+# the two round-1 reds (m02/m08), and anything newly added — register
+# first, and the already-proven ones go last.
+_R01_GREEN = frozenset({
+    "q01_pricing_summary", "q02_order_census", "q03_region_revenue",
+    "q04_asof_view_before_purchase", "q05_window_propagation",
+    "q06_latest_order_per_customer", "q07_customers_without_orders",
+    "q08_active_customers_semi", "q09_thickness_physics", "q10_energy_tcf",
+    "q11_stack_stats", "q12_identifiers", "q13_repetition_stack",
+    "q14_first_file", "q15_date_arith", "q16_column_profile",
+    "q17_rollup_revenue", "q18_snapshot_diff", "q19_incremental_agg",
+    "q20_cube_revenue", "q21_pivot_status_counts", "q22_customer_set_ops",
+    "q23_exists_slow_orders", "q24_window_analytics",
+    "q25_group_percentiles", "q26_above_avg_orders", "q27_topk_open_orders",
+    "q28_sole_late_supplier", "q30_fk_orphan_audit", "m01_stacked_summary",
+    "m03_flux_thickness_table", "m04_completeness", "m05_pipeline_e2e",
+    "m06_asof_mask", "m07_dispersant_background", "m09_cogroup_asof",
+    "t01_token_stats", "t02_language_id", "t03_quality_score",
+    "t04_fingerprint", "t05_tfidf", "t06_top_terms",
+    "t09_repetition_signals", "t10_decontamination", "t11_span_dedup",
+    "t12_vocab_coverage", "t13_source_dashboard", "s18_bloom_decontam",
+})
+
+
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    unproven = {n: s for n, s in _REGISTRY.items() if n not in _R01_GREEN}
+    proven = {n: s for n, s in _REGISTRY.items() if n in _R01_GREEN}
+    return {**unproven, **proven}
 
 
 def spark_queries() -> dict[str, SparkQuery]:

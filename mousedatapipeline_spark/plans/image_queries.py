@@ -22,6 +22,7 @@ from mousedatapipeline_spark.operators.multimodal import (
     attach_synthetic_media,
     extract_features,
 )
+from mousedatapipeline_spark.functions.rounding import stable_round
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
 
@@ -79,11 +80,12 @@ def u01_beam_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = beam_analysis(images)
     return stats.select(
         "batch", "repetition",
-        F.round("com_y", 4).alias("com_y"),
-        F.round("com_x", 4).alias("com_x"),
-        F.round("sigma_minor", 4).alias("sigma_minor"),
-        F.round("sigma_major", 4).alias("sigma_major"),
-        F.round("achieved_coverage", 4).alias("achieved_coverage"),
+        stable_round(F.col("com_y"), 4).alias("com_y"),
+        stable_round(F.col("com_x"), 4).alias("com_x"),
+        stable_round(F.col("sigma_minor"), 4).alias("sigma_minor"),
+        stable_round(F.col("sigma_major"), 4).alias("sigma_major"),
+        stable_round(F.col("achieved_coverage"), 4)
+        .alias("achieved_coverage"),
     )
 
 
@@ -99,8 +101,8 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     return feats.select(
         "media_id", "media_type", "n_bytes",
-        F.round("mean_byte", 4).alias("mean_byte"),
-        F.round(F.element_at("histogram", 1), 6).alias("hist_bin0"),
+        stable_round(F.col("mean_byte"), 4).alias("mean_byte"),
+        stable_round(F.element_at("histogram", 1)).alias("hist_bin0"),
     )
 
 

@@ -184,13 +184,13 @@ def m01_stacked_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT batch, repetition, configuration,
            CAST(same_as_bg AS INT) AS same_as_bg,
-           ROUND(absorption_corrected, 6) AS absorption_corrected,
-           ROUND(CASE WHEN samplethickness >= 0.0 THEN samplethickness
+           {stable_round_sql('absorption_corrected')} AS absorption_corrected,
+           {stable_round_sql('''CASE WHEN samplethickness >= 0.0 THEN samplethickness
                       WHEN mu > 0.0 AND ABS(absorption_corrected) > 0.0
                            AND ABS(absorption_corrected) <= 1.0
                       THEN -SIGN(absorption_corrected)
                            * LN(1.0 - ABS(absorption_corrected)) / mu
-                      ELSE -1.0 END, 6) AS thickness
+                      ELSE -1.0 END''')} AS thickness
     FROM a
     """,
     doc="J3/P9: background self-join keyed batch->batch//10*10 with same-batch "
@@ -220,8 +220,9 @@ def m02_background_thickness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "batch", "repetition", "configuration",
         F.col("same_as_bg").cast("int").alias("same_as_bg"),
-        F.round("absorption_corrected", 6).alias("absorption_corrected"),
-        F.round(thickness, 6).alias("thickness"),
+        stable_round(F.col("absorption_corrected"))
+        .alias("absorption_corrected"),
+        stable_round(thickness).alias("thickness"),
     )
 
 
@@ -233,13 +234,13 @@ def m02_background_thickness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_MEASUREMENT_SQL_CTE})
     SELECT ymd, batch, repetition, configuration,
-           ROUND(direct_flux, 6) AS direct_flux,
-           ROUND(direct_flux * transmission, 6) AS sample_flux,
-           ROUND(transmission, 6) AS transmission,
-           ROUND(CASE WHEN wavelength_nm <= 0.0 THEN 0.0
-                      ELSE 1.2398419843320026 / wavelength_nm END, 6) AS energy_kev,
-           ROUND(samplethickness, 6) AS samplethickness,
-           ROUND(scattering_prob, 6) AS scattering_prob
+           {stable_round_sql('direct_flux')} AS direct_flux,
+           {stable_round_sql('direct_flux * transmission')} AS sample_flux,
+           {stable_round_sql('transmission')} AS transmission,
+           {stable_round_sql('''CASE WHEN wavelength_nm <= 0.0 THEN 0.0
+                      ELSE 1.2398419843320026 / wavelength_nm END''')} AS energy_kev,
+           {stable_round_sql('samplethickness')} AS samplethickness,
+           {stable_round_sql('scattering_prob')} AS scattering_prob
     FROM m
     """,
     doc="S12: per-repetition flux/thickness/transmission metrics row "
@@ -249,14 +250,14 @@ def m03_flux_thickness_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = measurements(spark, sf_dir)
     return m.select(
         "ymd", "batch", "repetition", "configuration",
-        F.round("direct_flux", 6).alias("direct_flux"),
-        F.round(F.col("direct_flux") * F.col("transmission"), 6)
+        stable_round(F.col("direct_flux")).alias("direct_flux"),
+        stable_round(F.col("direct_flux") * F.col("transmission"))
         .alias("sample_flux"),
-        F.round("transmission", 6).alias("transmission"),
-        F.round(physics.energy_kev(F.col("wavelength_nm")), 6)
+        stable_round(F.col("transmission")).alias("transmission"),
+        stable_round(physics.energy_kev(F.col("wavelength_nm")))
         .alias("energy_kev"),
-        F.round("samplethickness", 6).alias("samplethickness"),
-        F.round("scattering_prob", 6).alias("scattering_prob"),
+        stable_round(F.col("samplethickness")).alias("samplethickness"),
+        stable_round(F.col("scattering_prob")).alias("scattering_prob"),
     )
 
 
@@ -565,10 +566,10 @@ def m07_dispersant_background(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT batch, repetition, configuration, n_frames,
-           list_transform(data_arr, x ->
-             {stable_round_sql(
-                 'CASE WHEN n_frames = 0 THEN x ELSE x * n_frames END')})
-             AS counts_arr,
+           array_to_string(list_transform(data_arr, x ->
+             printf('%.6f', {stable_round_sql(
+                 'CASE WHEN n_frames = 0 THEN x ELSE x * n_frames END')})), ',')
+             AS counts_seq,
            {stable_round_sql(
                "CASE WHEN n_frames = 0 THEN 1.0 ELSE 1.0 * n_frames END")}
              AS count_time_factor
@@ -593,9 +594,15 @@ def m08_average_to_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescaled = F.transform(
         F.col("data_arr"),
         lambda x: stable_round(F.when(n == 0, x).otherwise(x * n)))
+    # The raw array<double> column broke the driver's pandas-based
+    # canonicalizer (lists are unhashable) — emit a canonical CSV string
+    # instead, fixed %.6f on both sides so engine double->string
+    # formatting differences can't leak into the hash (q13 pattern).
     return arr.select(
         "batch", "repetition", "configuration", "n_frames",
-        rescaled.alias("counts_arr"),
+        F.array_join(
+            F.transform(rescaled, lambda v: F.format_string("%.6f", v)), ",")
+        .alias("counts_seq"),
         stable_round(
             F.when(n == 0, F.lit(1.0)).otherwise(F.lit(1.0) * n))
         .alias("count_time_factor"),
@@ -679,3 +686,169 @@ def m09_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (md.groupby("configuration")
             .cogroup(masks.groupby("configuration"))
             .applyInPandas(lambda ldf, rdf: asof(ldf, rdf), out_schema))
+
+
+# --------------------------------------------------------------------------
+# P11: beam-mask diameter from the sample-detector distance. det_x /
+# sample_x positions are stored in mm (the reference reads pint
+# quantities and converts `.to('m')`); rows with a non-positive distance
+# exercise the assert-finite-positive guard as degrade-to-NULL.
+# --------------------------------------------------------------------------
+@register(
+    "m10_mask_diameter",
+    oracle=f"""
+    WITH pos AS (
+      SELECT l_orderkey AS batch, l_linenumber AS repetition,
+             CASE WHEN l_returnflag = 'R' THEN -l_quantity * 80.0
+                  ELSE l_quantity * 80.0 END AS det_x_mm,
+             l_tax * 1000.0 AS sample_x_mm
+      FROM lineitem
+    )
+    SELECT batch, repetition,
+           CAST(det_x_mm / 1000.0 - sample_x_mm / 1000.0 > 0.0
+                AS INT) AS distance_valid,
+           {stable_round_sql('''CASE
+              WHEN det_x_mm / 1000.0 - sample_x_mm / 1000.0 > 0.0
+              THEN 600.0 * (det_x_mm / 1000.0 - sample_x_mm / 1000.0) / 2.0
+              END''')} AS mask_diameter_px
+    FROM pos
+    """,
+    doc="P11: mask diameter from distance — 600 px reference diameter at "
+        "2 m scaled linearly (processstep_make_beam_mask.py:19-24), "
+        "mm->m unit conversion and the finite>0 assert of "
+        "processstep_make_beam_mask.py:85-92 as a NULL degrade.",
+)
+def m10_mask_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pos = li.select(
+        F.col("l_orderkey").alias("batch"),
+        F.col("l_linenumber").alias("repetition"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity") * 80.0)
+        .otherwise(F.col("l_quantity") * 80.0).alias("det_x_mm"),
+        (F.col("l_tax") * 1000.0).alias("sample_x_mm"),
+    )
+    diameter = physics.mask_diameter_px(
+        F.col("det_x_mm") / 1000.0, F.col("sample_x_mm") / 1000.0)
+    return pos.select(
+        "batch", "repetition",
+        diameter.isNotNull().cast("int").alias("distance_valid"),
+        stable_round(diameter).alias("mask_diameter_px"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F7/A7/O4: stacker freshness gate — rerun when no stacked output exists
+# or any processed input is newer than it. orders plays the stacked
+# outputs (open status = not yet stacked), lineitem rows the processed
+# inputs, receipt dates the mtimes.
+# --------------------------------------------------------------------------
+@register(
+    "m11_stacker_freshness",
+    oracle="""
+    WITH inputs AS (
+      SELECT l_orderkey AS batch, MAX(l_shipdate) AS latest_mtime
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT i.batch,
+           strftime(i.latest_mtime, '%Y-%m-%d') AS latest_input,
+           CAST(o.o_orderstatus <> 'O' AS INT) AS has_stacked,
+           CAST(CASE WHEN o.o_orderkey IS NULL OR o.o_orderstatus = 'O'
+                     THEN TRUE
+                     ELSE i.latest_mtime > o.o_orderdate END
+                AS INT) AS needs_processing
+    FROM inputs i LEFT JOIN orders o ON i.batch = o.o_orderkey
+    """,
+    doc="F7: freshness check (processstep_stacker.py:21-39) — needs "
+        "processing when the stacked output is absent or "
+        "max(input mtime) is newer than it; latest_mtime operator "
+        "(operators/aggregates.py) + one join against the output table.",
+)
+def m11_stacker_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import latest_mtime
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("batch"), "l_shipdate")
+    inputs = latest_mtime(li, ["batch"], "l_shipdate")
+    stacked = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("batch"), "o_orderdate", "o_orderstatus")
+    j = inputs.join(stacked, "batch", "left")
+    no_output = F.col("o_orderkey").isNull() if "o_orderkey" in j.columns \
+        else F.col("o_orderdate").isNull()
+    needs = F.when(no_output | (F.col("o_orderstatus") == "O"), F.lit(True)) \
+        .otherwise(F.col("latest_mtime") > F.col("o_orderdate"))
+    return j.select(
+        "batch",
+        F.date_format("latest_mtime", "yyyy-MM-dd").alias("latest_input"),
+        (F.col("o_orderstatus") != "O").cast("int").alias("has_stacked"),
+        needs.cast("int").alias("needs_processing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4: canStack checklist — required datasets present and the referenced
+# mask file existing, with the first failing check as the quarantine
+# reason (the reference's .stacking_error_list sideband).
+# --------------------------------------------------------------------------
+@register(
+    "m12_canstack_checklist",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey AS batch, l_linenumber AS repetition,
+             CASE WHEN l_quantity < 3.0 THEN NULL
+                  ELSE l_extendedprice / 100.0 END AS flux,
+             CASE WHEN l_discount > 0.09 THEN NULL
+                  ELSE 1.0 - l_discount END AS transmission,
+             CASE WHEN l_tax <= 0.0 THEN NULL
+                  ELSE l_quantity / 50.0 END AS wavelength,
+             CAST(l_partkey % 350 AS BIGINT) AS mask_ref
+      FROM lineitem
+    ), masks AS (
+      SELECT p_partkey FROM part WHERE p_partkey < 300
+    )
+    SELECT f.batch, f.repetition,
+           CAST(f.flux IS NOT NULL AND f.transmission IS NOT NULL
+                AND f.wavelength IS NOT NULL
+                AND m.p_partkey IS NOT NULL AS INT) AS can_stack,
+           CASE WHEN f.flux IS NULL THEN 'missing:flux'
+                WHEN f.transmission IS NULL THEN 'missing:transmission'
+                WHEN f.wavelength IS NULL THEN 'missing:wavelength'
+                WHEN m.p_partkey IS NULL THEN 'missing:mask_file'
+                END AS reject_reason
+    FROM f LEFT JOIN masks m ON f.mask_ref = m.p_partkey
+    """,
+    doc="F4: canStack (post_translation_operation_hdf5_stacker.py:26-78) "
+        "— required datasets (flux / transmission / wavelength) non-null "
+        "and the referenced mask file present (broadcast membership "
+        "probe instead of a filesystem stat); first failing check "
+        "becomes the sideband reject reason.",
+)
+def m12_canstack_checklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.filters import can_stack
+    li = load(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_orderkey").alias("batch"),
+        F.col("l_linenumber").alias("repetition"),
+        F.when(F.col("l_quantity") < 3.0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_extendedprice") / 100.0).alias("flux"),
+        F.when(F.col("l_discount") > 0.09, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - F.col("l_discount")).alias("transmission"),
+        F.when(F.col("l_tax") <= 0.0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity") / 50.0).alias("wavelength"),
+        (F.col("l_partkey") % 350).cast("bigint").alias("mask_ref"),
+    )
+    # p_partkey is the part table's unique key — no distinct needed, so
+    # the broadcast side is a pure scan with the filter pushed down.
+    masks = load(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 300).select("p_partkey")
+    j = f.join(F.broadcast(masks),
+               f.mask_ref == masks.p_partkey, "left")
+    ok = can_stack(j, ["flux", "transmission", "wavelength"],
+                   mask_ok=F.col("p_partkey").isNotNull())
+    reason = (F.when(F.col("flux").isNull(), "missing:flux")
+              .when(F.col("transmission").isNull(), "missing:transmission")
+              .when(F.col("wavelength").isNull(), "missing:wavelength")
+              .when(F.col("p_partkey").isNull(), "missing:mask_file"))
+    return j.select(
+        "batch", "repetition",
+        ok.cast("int").alias("can_stack"),
+        reason.alias("reject_reason"),
+    )

@@ -47,15 +47,15 @@ from mousedatapipeline_spark.tables import load
 # --------------------------------------------------------------------------
 @register(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_qty,
-           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_base_price,
-           ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_disc_price,
-           ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS sum_charge,
-           ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
-           ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
-           ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")} AS sum_qty,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")} AS sum_base_price,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")} AS sum_disc_price,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")} AS sum_charge,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS avg_qty,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS avg_price,
+           {stable_round_sql("CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -78,13 +78,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("count_order").cast("double")
     return (agg
-            .withColumn("avg_qty", F.round(F.col("sum_qty") / n, 6))
-            .withColumn("avg_price", F.round(F.col("sum_base_price") / n, 6))
-            .withColumn("avg_disc", F.round(F.col("__sum_disc") / n, 6))
-            .withColumn("sum_qty", F.round("sum_qty", 6))
-            .withColumn("sum_base_price", F.round("sum_base_price", 6))
-            .withColumn("sum_disc_price", F.round("sum_disc_price", 6))
-            .withColumn("sum_charge", F.round("sum_charge", 6))
+            .withColumn("avg_qty", stable_round(F.col("sum_qty") / n))
+            .withColumn("avg_price", stable_round(F.col("sum_base_price") / n))
+            .withColumn("avg_disc", stable_round(F.col("__sum_disc") / n))
+            .withColumn("sum_qty", stable_round(F.col("sum_qty")))
+            .withColumn("sum_base_price", stable_round(F.col("sum_base_price")))
+            .withColumn("sum_disc_price", stable_round(F.col("sum_disc_price")))
+            .withColumn("sum_charge", stable_round(F.col("sum_charge")))
             .drop("__sum_disc"))
 
 
@@ -120,9 +120,9 @@ def q02_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q03_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name,
-           ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
+           {stable_round_sql("CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")} AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -146,7 +146,7 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(F.broadcast(dim),
                          orders.o_custkey == dim.c_custkey)
     return joined.groupBy("r_name").agg(
-        F.round(dsum("o_totalprice"), 6).alias("revenue"),
+        stable_round(dsum("o_totalprice")).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
 
@@ -293,17 +293,17 @@ def q08_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q09_thickness_physics",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(CASE WHEN l_tax * 10.0 > 0.0
+           {stable_round_sql('''CASE WHEN l_tax * 10.0 > 0.0
                        AND ABS(l_discount) > 0.0 AND ABS(l_discount) <= 1.0
                       THEN -SIGN(l_discount) * LN(1.0 - ABS(l_discount)) / (l_tax * 10.0)
-                      ELSE -1.0 END, 6) AS derived_thickness,
-           ROUND(CASE WHEN l_quantity >= 25.0 THEN l_quantity
+                      ELSE -1.0 END''')} AS derived_thickness,
+           {stable_round_sql('''CASE WHEN l_quantity >= 25.0 THEN l_quantity
                       WHEN l_tax * 10.0 > 0.0
                        AND ABS(l_discount) > 0.0 AND ABS(l_discount) <= 1.0
                       THEN -SIGN(l_discount) * LN(1.0 - ABS(l_discount)) / (l_tax * 10.0)
-                      ELSE -1.0 END, 6) AS thickness
+                      ELSE -1.0 END''')} AS thickness
     FROM lineitem
     """,
     doc="P8/P10: thickness-from-absorption with -1 sentinel + selection "
@@ -319,8 +319,8 @@ def q09_thickness_physics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(logbook_t >= 0, logbook_t), derived)
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round(derived, 6).alias("derived_thickness"),
-        F.round(selected, 6).alias("thickness"),
+        stable_round(derived).alias("derived_thickness"),
+        stable_round(selected).alias("thickness"),
     )
 
 
@@ -329,14 +329,14 @@ def q09_thickness_physics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q10_energy_tcf",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(CASE WHEN (l_quantity - 5.0) / 10.0 <= 0.0 THEN 0.0
+           {stable_round_sql('''CASE WHEN (l_quantity - 5.0) / 10.0 <= 0.0 THEN 0.0
                       ELSE 1.2398419843320026 / ((l_quantity - 5.0) / 10.0)
-                 END, 6) AS energy_kev,
-           ROUND(CASE WHEN 1.0 + l_tax > 1.0
+                 END''')} AS energy_kev,
+           {stable_round_sql('''CASE WHEN 1.0 + l_tax > 1.0
                       THEN (1.0 - l_discount) * (1.0 + l_tax)
-                      ELSE 1.0 - l_discount END, 6) AS transmission_corrected
+                      ELSE 1.0 - l_discount END''')} AS transmission_corrected
     FROM lineitem
     """,
     doc="P7/P13: E=hc/lambda with <=0 -> 0.0 sentinel (metadata_update.py:51-87); "
@@ -349,8 +349,8 @@ def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcf = F.lit(1.0) + F.col("l_tax")
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round(physics.energy_kev(wavelength), 6).alias("energy_kev"),
-        F.round(physics.apply_tcf(transmission, tcf), 6).alias(
+        stable_round(physics.energy_kev(wavelength)).alias("energy_kev"),
+        stable_round(physics.apply_tcf(transmission, tcf)).alias(
             "transmission_corrected"),
     )
 
@@ -360,7 +360,7 @@ def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q11_stack_stats",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT l_suppkey,
              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS su,
@@ -371,12 +371,12 @@ def q10_energy_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey, price_count, price_max, price_min,
-           ROUND(su / CAST(price_count AS DOUBLE), 6) AS price_mean,
-           ROUND(SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
-                      / (CAST(price_count AS DOUBLE) - 1.0), 0.0)), 6) AS price_std,
-           ROUND(SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
+           {stable_round_sql("su / CAST(price_count AS DOUBLE)")} AS price_mean,
+           {stable_round_sql('''SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
+                      / (CAST(price_count AS DOUBLE) - 1.0), 0.0))''')} AS price_std,
+           {stable_round_sql('''SQRT(GREATEST((sq - (su * su) / CAST(price_count AS DOUBLE))
                       / (CAST(price_count AS DOUBLE) - 1.0), 0.0))
-                 / SQRT(CAST(price_count AS DOUBLE)), 6) AS price_sem
+                 / SQRT(CAST(price_count AS DOUBLE))''')} AS price_sem
     FROM s
     """,
     doc="A2: stacker statistics mean/std(ddof=1)/sem/max/min/count "
@@ -387,9 +387,9 @@ def q11_stack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stack_stats(li, ["l_suppkey"], "l_extendedprice", prefix="price_")
     return out.select(
         "l_suppkey", "price_count", "price_max", "price_min",
-        F.round("price_mean", 6).alias("price_mean"),
-        F.round("price_std", 6).alias("price_std"),
-        F.round("price_sem", 6).alias("price_sem"),
+        stable_round(F.col("price_mean")).alias("price_mean"),
+        stable_round(F.col("price_std")).alias("price_std"),
+        stable_round(F.col("price_sem")).alias("price_sem"),
     )
 
 
@@ -1196,3 +1196,59 @@ def q30_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
         out = audit if out is None else out.unionByName(audit)
     return out
+
+
+# --------------------------------------------------------------------------
+# Scale-safe EXACT percentiles: q25's `percentile()` buffers every value
+# of a group in executor memory (OpenHashMap of ArrayBuffers — no spill),
+# which OOMs at 100 TB group sizes. This companion computes the same
+# nearest-rank percentiles as count + ordered rank selection: the sort
+# runs in Tungsten's external (spilling) sort and the window buffer is a
+# spillable UnsafeRow array, so memory stays bounded at any group size.
+# The oracle is the identical rank-selection SQL, so both engines share
+# one discrete-percentile convention (value at rank ceil(p*n)).
+# --------------------------------------------------------------------------
+@register(
+    "q31_scalable_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    )
+    SELECT r.l_returnflag, c.n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p99
+    FROM r JOIN c ON r.l_returnflag = c.l_returnflag
+    GROUP BY r.l_returnflag, c.n
+    """,
+    doc="Two-pass exact nearest-rank percentiles (p50/p90/p99 per return "
+        "flag): tiny count aggregate broadcast back, row_number rank "
+        "selection over a spillable sort — the 100-TB-safe twin of "
+        "q25_group_percentiles (whose exact `percentile()` buffers "
+        "whole groups in memory).",
+)
+def q31_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w))
+    j = ranked.join(F.broadcast(counts), "l_returnflag")
+
+    def pick(p: float, alias: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target,
+                            F.col("l_extendedprice"))).alias(alias)
+
+    return j.groupBy("l_returnflag", "n").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
