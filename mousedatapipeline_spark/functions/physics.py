@@ -73,6 +73,31 @@ def apply_tcf(transmission_col: Column, tcf: Column) -> Column:
     )
 
 
+def mask_diameter_px(det_x_m: Column, sample_x_m: Column,
+                     reference_distance_m: float = 2.0,
+                     reference_diameter_px: float = 600.0) -> Column:
+    """Beam-mask diameter in px from the sample-detector distance (P11).
+
+    src/processstep_make_beam_mask.py:19-24: the reference diameter
+    (600 px at 2 m) scales linearly with distance so solid-angle coverage
+    stays constant across detector positions. Inputs are positions along
+    the beam axis already converted to meters (the reference uses pint
+    `.to('m')`; callers here convert units with plain column arithmetic,
+    e.g. mm / 1000).
+
+    src/processstep_make_beam_mask.py:85-92 asserts the distance is
+    finite and > 0 and aborts the step otherwise; the engine-wide
+    degrade-to-NULL convention applies, so invalid distances yield NULL
+    (catchable by the error-sideband filter) instead of killing the job.
+    """
+    distance = det_x_m - sample_x_m
+    valid = (distance.isNotNull() & ~F.isnan(distance)
+             & (distance > 0.0))
+    diameter = F.lit(reference_diameter_px) * distance / F.lit(
+        reference_distance_m)
+    return F.when(valid, diameter)
+
+
 def background_corrected_absorption(transmission_col: Column,
                                     bg_transmission: Column,
                                     same_batch: Column) -> Column:

@@ -77,3 +77,29 @@ def test_background_correction_same_batch_skips(spark):
 
 def test_transmission_zero_direct_flux_is_null(spark):
     assert _one(spark, physics.transmission(F.lit(1.0), F.lit(0.0))) is None
+
+
+def test_mask_diameter_reference_scaling(spark):
+    # P11 (processstep_make_beam_mask.py:19-24): 600 px at the 2 m
+    # reference distance, scaled linearly.
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(2.0), F.lit(0.0))) == 600.0
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(1.0), F.lit(0.0))) == 300.0
+    # mm->m conversion at the callsite: det at 1257 mm, sample at 57 mm
+    got = _one(spark, physics.mask_diameter_px(
+        F.lit(1257.0 / 1000.0), F.lit(57.0 / 1000.0)))
+    assert math.isclose(got, 600.0 * 1.2 / 2.0, rel_tol=1e-12)
+
+
+def test_mask_diameter_invalid_distance_degrades_to_null(spark):
+    # processstep_make_beam_mask.py:85-92 asserts finite and > 0; the
+    # engine degrades those rows to NULL instead of aborting.
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(0.5), F.lit(0.5))) is None          # zero distance
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(-1.0), F.lit(0.0))) is None         # negative
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(float("nan")), F.lit(0.0))) is None  # non-finite
+    assert _one(spark, physics.mask_diameter_px(
+        F.lit(None).cast("double"), F.lit(0.0))) is None

@@ -347,3 +347,33 @@ def test_q30_dim_edges_broadcast(spark):
     plan = _plan(spark, "q30_fk_orphan_audit")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_q31_percentiles_avoid_in_memory_value_buffer(spark):
+    """q31 is the scale-safe twin of q25: no exact `percentile()`
+    aggregate (which buffers whole groups in executor memory without
+    spilling) may appear — the plan must be rank-selection: a Window
+    (spillable sort-based buffer) plus a broadcast of the tiny count
+    table."""
+    plan = _plan(spark, "q31_scalable_percentiles")
+    assert "percentile" not in plan.lower(), plan
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_m12_mask_membership_is_broadcast(spark):
+    """F4's mask-file existence probe is a broadcast membership join —
+    the 60k-row file table must not shuffle against a <=300-row mask
+    dim."""
+    plan = _plan(spark, "m12_canstack_checklist")
+    assert "BroadcastHashJoin" in plan, plan
+    assert _count_shuffles(plan) == 0, plan
+
+
+@_needs_data
+def test_m10_mask_diameter_is_scan_stage_only(spark):
+    """P11 is pure per-row arithmetic: zero shuffles, single scan."""
+    plan = _plan(spark, "m10_mask_diameter")
+    assert _count_shuffles(plan) == 0, plan
