@@ -1,7 +1,14 @@
 """Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {id: sec}, "sf": ...}.
+
+The driver records only a ~2 KB tail of stdout (BENCH_r01.json lost the
+line's head and parsed as null), so the stdout line must stay small:
+"queries" keys are the unique catalog id prefixes ("q01", "s19", ...,
+the text before the first underscore) and the JSON is separator-compact.
+The full-name per-query map is written to ./BENCH_FULL_local.json for
+round-over-round comparison.
 
 Each query is materialized through the `noop` sink (full execution, no
 driver collect) — the measured time is the distributed plan, not result
@@ -71,7 +78,7 @@ def main() -> None:
             timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
-    out = {
+    full = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
@@ -79,8 +86,28 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL_local.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH FULL-MAP WRITE ERROR: {exc}", file=sys.stderr)
+
+    # Stdout line: short ids, 2-decimal times, compact separators — must
+    # fit the driver's stdout tail window in one parseable piece.
+    def short(name: str) -> str:
+        return name.split("_", 1)[0]
+    ids = [short(n) for n in timings]
+    use_short = len(set(ids)) == len(ids)  # fall back on collision
+    out = dict(full)
+    out["queries"] = {short(n) if use_short else n: round(t, 2)
+                      for n, t in timings.items()}
+    if errors:
+        out["errors"] = {short(n) if use_short else n: e[:80]
+                         for n, e in errors.items()}
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -71,7 +71,12 @@ def might_contain(blit: Column, col: str | Column,
     out = None
     for i in range(k):
         p = _position(c, i, bits)
-        word = F.element_at(blit, (p / 64).cast("int") + F.lit(1))
+        # shiftright(p, 6) == p DIV 64 for non-negative p (pmod output)
+        # — the same exact integer arithmetic as the build side's
+        # `pos DIV 64`, so build and probe share one word-index
+        # definition (no float-division round-trip in the guarantee).
+        word = F.element_at(blit, F.shiftright(p, 6).cast("int")
+                            + F.lit(1))
         mask = F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int")
                             + F.lit(1))
         check = word.bitwiseAND(mask) != 0

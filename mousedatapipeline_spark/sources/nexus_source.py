@@ -165,10 +165,24 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
     """W1 as a pluggable stream: each micro-batch picks up repetition
     files that appeared since the last offset.
 
-    Offsets are ``{"processed": [sorted file names]}`` — the same
-    idempotence contract as the watcher's `already_processed` check
-    (SURVEY.md §2.8 W3): a file is read exactly once, replays of a
-    committed range re-read exactly the files in that range.
+    Offsets are a compact high-water mark
+    ``{"hwm": <max mtime_ns processed>, "frontier": [names AT hwm]}``:
+    a file is fresh when its mtime is above the mark, or equal to it
+    and not in the frontier set. Offset size is O(files sharing the
+    newest mtime) — constant in practice — instead of O(all files ever
+    processed, which made every checkpointed offset grow without bound
+    over a long-lived landing dir. Idempotence (SURVEY.md §2.8 W3) is
+    unchanged: each file is read exactly once, and replaying a
+    committed range re-reads exactly the files fresh relative to the
+    range's start but not its end. Legacy ``{"processed": [...]}``
+    offsets from older checkpoints are still understood.
+
+    Contract: landing files must arrive with non-decreasing mtimes
+    (true for real landing dirs — the watcher's debounce assumes the
+    same); a file backdated below the mark is not picked up, the same
+    horizon rule as Spark's own file source beyond its retention
+    window. Deleting an already-committed file no longer breaks replay
+    of unrelated ranges.
     """
 
     def __init__(self, schema: IngestSchema, fields: Sequence[str],
@@ -184,20 +198,43 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
         return sorted(glob.glob(os.path.join(self._root, self._glob)))
 
     def initialOffset(self) -> dict:
-        return {"processed": []}
+        return {"hwm": -1, "frontier": []}
+
+    def _fresh(self, offset: dict) -> list[str]:
+        """Files fresh relative to ``offset``, with their mtimes."""
+        if "processed" in offset:  # legacy full-manifest offset
+            done = set(offset.get("processed", []))
+            return [f for f in self._listing() if f not in done]
+        hwm = offset.get("hwm", -1)
+        frontier = set(offset.get("frontier", []))
+        out = []
+        for f in self._listing():
+            try:
+                m = os.stat(f).st_mtime_ns
+            except OSError:
+                continue  # vanished between glob and stat
+            if m > hwm or (m == hwm and f not in frontier):
+                out.append(f)
+        return out
 
     def read(self, start: dict):
-        done = set(start.get("processed", []))
-        fresh = [f for f in self._listing() if f not in done]
-        end = {"processed": sorted(done | set(fresh))}
+        fresh = self._fresh(start)
+        if not fresh:
+            return iter([]), dict(start)
+        mtimes = {f: os.stat(f).st_mtime_ns for f in fresh}
+        hwm = max(mtimes.values())
+        frontier = sorted(f for f, m in mtimes.items() if m == hwm)
+        if start.get("hwm") == hwm:  # same-mtime files across batches
+            frontier = sorted(set(frontier)
+                              | set(start.get("frontier", [])))
+        end = {"hwm": hwm, "frontier": frontier}
         # Materialize: Spark's prefetch cache copies this iterator, and
         # generators are neither copyable nor picklable.
         return iter(list(self._rows(fresh))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        fresh = sorted(set(end.get("processed", []))
-                       - set(start.get("processed", [])))
-        return iter(list(self._rows(fresh)))
+        in_range = sorted(set(self._fresh(start)) - set(self._fresh(end)))
+        return iter(list(self._rows(in_range)))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to ack

@@ -145,3 +145,77 @@ def test_user_schema_prunes_and_reorders(spark, landing):
             for r in df.collect()}
     assert rows[("20240101", 2)] == pytest.approx(0.7)
     assert rows[("20240102", 1)] == 0.0
+
+
+def test_stream_offsets_are_compact_high_water_marks(landing):
+    """The stream offset must stay O(files at the newest mtime), not
+    O(all files ever processed) — a long-lived landing dir would
+    otherwise grow every checkpointed offset without bound."""
+    import os
+    from mousedatapipeline_spark.sources.nexus_source import (
+        NexusStreamReader,
+    )
+    from mousedatapipeline_spark.sources.hdf5 import MOUSE_SCHEMA
+
+    r = NexusStreamReader(MOUSE_SCHEMA,
+                          ["ymd", "batch", "repetition", "transmission"],
+                          {"path": str(landing)})
+    o0 = r.initialOffset()
+    rows1, o1 = r.read(o0)
+    assert len(list(rows1)) == 3
+    assert "processed" not in o1 and "hwm" in o1
+    # Frontier holds only names AT the high-water mtime.
+    hwm_names = {f for f in r._listing()
+                 if os.stat(f).st_mtime_ns == o1["hwm"]}
+    assert set(o1["frontier"]) == hwm_names
+
+    # Nothing new -> empty batch, offset unchanged.
+    rows_none, o1b = r.read(o1)
+    assert list(rows_none) == [] and o1b == o1
+
+    # A late-landing file arrives exactly once.
+    p = _write_tree(landing, "MOUSE_20240103_5_1", TREE)
+    os.utime(p, ns=(o1["hwm"] + 10**9, o1["hwm"] + 10**9))
+    rows2, o2 = r.read(o1)
+    assert len(list(rows2)) == 1
+    assert o2["hwm"] > o1["hwm"] and len(o2["frontier"]) == 1
+
+    # Replay of the committed first range re-reads exactly its files.
+    replay = list(r.readBetweenOffsets(o0, o1))
+    assert len(replay) == 3
+    # ...even after a file from ANOTHER range is deleted.
+    p.unlink()
+    assert len(list(r.readBetweenOffsets(o0, o1))) == 3
+
+    # Legacy manifest offsets from old checkpoints still resolve.
+    legacy = {"processed": sorted(r._listing())[:2]}
+    rows_l, _ = r.read(legacy)
+    assert len(list(rows_l)) == 1
+
+
+def test_h5py_round_trip_matches_dict_tree():
+    """Real-HDF5 parity: the h5py branch of read_h5_value/flatten_tree
+    must produce the same row as the dict-tree fake. Skips in this
+    container (no h5py); runs wherever h5py is installed."""
+    h5py = pytest.importorskip("h5py")
+    import tempfile
+    from mousedatapipeline_spark.sources.hdf5 import (
+        MOUSE_SCHEMA,
+        flatten_tree,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/MOUSE_20240101_2_1.h5"
+        with h5py.File(path, "w") as f:
+            f["/entry/instrument/detector00/data"] = [[1.0, 2.0],
+                                                      [3.0, 4.0]]
+            f["/entry/sample/transmission"] = 0.7
+            f["/entry/sample/thickness"] = 0.1
+            f["/entry/sample/mu"] = 10.0
+            f["/entry/sample/name"] = "demo"
+            f["/entry/collection_identifier"] = "20240101_2"
+        keys = _parse_keys(path)
+        with h5py.File(path, "r") as f:
+            via_h5 = flatten_tree(f, MOUSE_SCHEMA, keys)
+    via_dict = flatten_tree(TREE, MOUSE_SCHEMA, keys)
+    assert via_h5 == via_dict
