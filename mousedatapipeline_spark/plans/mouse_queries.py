@@ -852,3 +852,143 @@ def m12_canstack_checklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok.cast("int").alias("can_stack"),
         reason.alias("reject_reason"),
     )
+
+
+# --------------------------------------------------------------------------
+# S3/S4/S5/S8/A5/J5: the pluggable nexus ingestion path under the
+# DuckDB oracle. The query materializes a real JSON-tree landing dir
+# (bounded: l_orderkey < 20) with deliberate gaps, reads it back through
+# ``spark.read.format("nexus")`` with a declarative mapping (S8), and
+# broadcast-joins the result to the orders dim (J5). The oracle
+# recomputes every defensive degradation in SQL over the same lineitem
+# rows: missing float -> 0.0 (S3), missing string -> '' (S4),
+# array-valued scalar -> mean (A5), so the ingestion surface itself —
+# not a stand-in expression — earns the correctness row.
+# --------------------------------------------------------------------------
+@register(
+    "m13_nexus_ingest_merge",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_orderkey AS batch0, l_linenumber AS repetition0,
+             strftime(MIN(l_shipdate), '%Y%m%d') AS ymd,
+             MIN(l_quantity) AS q, MIN(l_discount) AS d, MIN(l_tax) AS t
+      FROM lineitem WHERE l_orderkey < 20
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT CAST(batch0 AS INT) AS batch,
+           CAST(repetition0 AS INT) AS repetition,
+           ymd,
+           {stable_round_sql('1.0 - d')} AS transmission,
+           {stable_round_sql(
+               'CASE WHEN q < 10.0 THEN 0.0 ELSE q / 100.0 END')} AS thickness,
+           {stable_round_sql('((t + t * 2.0) + t * 3.0) / 3.0')} AS mu,
+           CASE WHEN q >= 25.0 THEN 'demo' ELSE '' END AS sample_name,
+           COALESCE(o.o_orderstatus, '') AS status
+    FROM g LEFT JOIN orders o ON g.batch0 = o.o_orderkey
+    """,
+    doc="S3-S5/S8/A5/J5 end-to-end: JSON-tree repetition files -> "
+        "nexus DataSource with declarative mapping (HDF5Translator "
+        "step-1 equivalent; src/utilities.py:11-63 degradations: "
+        "missing float -> 0.0, missing string -> '', array scalar -> "
+        "mean) -> broadcast detector-metadata merge "
+        "(src/processstep_translator.py equi-join shape).",
+)
+def m13_nexus_ingest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+    from pathlib import Path
+    from mousedatapipeline_spark.sources.nexus_source import NexusDataSource
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 20)
+    # One row per repetition key (l_orderkey, l_linenumber) is NOT
+    # unique in the synthetic lineitem — min-aggregate every used value
+    # so file contents are key-deterministic in both engines.
+    rows = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.date_format(F.min("l_shipdate"), "yyyyMMdd").alias("ymd"),
+                 F.min("l_quantity").alias("q"),
+                 F.min("l_discount").alias("d"),
+                 F.min("l_tax").alias("t"))
+            .collect())  # bounded fixture build (< ~100 files), like w01
+
+    landing = Path(tempfile.mkdtemp(prefix="mouse_nexus_m13_"))
+    for r in rows:
+        sample = {"transmission": 1.0 - r["d"],
+                  # A5: array-valued scalar read collapses via mean
+                  "mu_arr": [r["t"], r["t"] * 2.0, r["t"] * 3.0]}
+        if r["q"] >= 10.0:   # S3: absent float degrades to 0.0
+            sample["thickness"] = r["q"] / 100.0
+        if r["q"] >= 25.0:   # S4: absent string degrades to ''
+            sample["name"] = "demo"
+        tree = {"entry": {"sample": sample}}
+        name = f"MOUSE_{r['ymd']}_{r['l_orderkey']}_{r['l_linenumber']}"
+        (landing / f"{name}.json").write_text(_json.dumps(tree))
+
+    spark.dataSource.register(NexusDataSource)
+    mapping = _json.dumps([  # S8: declarative path -> column remap
+        {"source_path": "/entry/sample/transmission",
+         "column": "transmission", "kind": "float"},
+        {"source_path": "/entry/sample/thickness",
+         "column": "thickness", "kind": "float"},
+        {"source_path": "/entry/sample/mu_arr",
+         "column": "mu", "kind": "float"},
+        {"source_path": "/entry/sample/name",
+         "column": "sample_name", "kind": "string"},
+    ])
+    ingested = (spark.read.format("nexus")
+                .option("path", str(landing))
+                .option("mapping", mapping).load())
+
+    # J5: detector <-> metadata equi-join (dim side broadcast).
+    dim = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 20).select(
+        F.col("o_orderkey").alias("batch"), "o_orderstatus")
+    out = ingested.join(F.broadcast(dim), "batch", "left")
+    return out.select(
+        F.col("batch").cast("int").alias("batch"),
+        F.col("repetition").cast("int").alias("repetition"),
+        "ymd",
+        stable_round(F.col("transmission")).alias("transmission"),
+        stable_round(F.col("thickness")).alias("thickness"),
+        stable_round(F.col("mu")).alias("mu"),
+        "sample_name",
+        F.coalesce(F.col("o_orderstatus"), F.lit("")).alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S11: the stacked sink round trip — partitioned zstd parquet written by
+# write_stacked and read back must equal the aggregation that produced
+# it (partition-column type round trip included).
+# --------------------------------------------------------------------------
+@register(
+    "m14_stacked_sink_roundtrip",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS year,
+           l_orderkey AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS qty_sum
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc="S11: stacked-results sink (sinks.write_stacked — partitioned, "
+        "zstd, dynamic partition overwrite) written then read back; "
+        "the oracle is the producing aggregation, so the parquet round "
+        "trip (values AND the year partition column's inferred type) "
+        "is what is checked.",
+)
+def m14_stacked_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from mousedatapipeline_spark.sources.sinks import write_stacked
+
+    li = load(spark, sf_dir, "lineitem")
+    stacked = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.col("l_orderkey").alias("batch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        stable_round(dsum("l_quantity")).alias("qty_sum"))
+    out_dir = tempfile.mkdtemp(prefix="mouse_stacked_m14_")
+    write_stacked(stacked, out_dir, partition_cols=("year",))
+    back = spark.read.parquet(out_dir)
+    return back.select(F.col("year").cast("int").alias("year"),
+                       "batch", "n_reps", "qty_sum")
