@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "mousedatapipeline_spark.plans.events_queries",
     "mousedatapipeline_spark.plans.image_queries",
     "mousedatapipeline_spark.plans.streaming_queries",
+    "mousedatapipeline_spark.plans.sketch_queries",
 )
 
 

@@ -1,0 +1,103 @@
+"""Count-min / HLL sketch operators: deterministic-hash golden values,
+the CMS over-estimate guarantee, HLL accuracy bounds, and plan shapes
+(broadcast probe, no cartesian)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mousedatapipeline_spark.operators import sketches as K
+from mousedatapipeline_spark.plans import catalog
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+_needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"no test data at {SF_DIR}")
+
+
+def _py_string_hash(s: str) -> int:
+    acc = 7
+    for ch in s:
+        acc = (acc * 131 + ord(ch)) % K.MOD
+    return acc
+
+
+def test_string_hash_matches_reference_fold(spark):
+    words = ["hello", "", "a", "x", "the quick brown fox", "ÿ"]
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = {r["s"]: r["h"]
+           for r in df.select("s", K.string_hash(F.col("s")).alias("h"))
+                      .collect()}
+    for w in words:
+        if all(ord(c) < 128 for c in w):
+            assert got[w] == _py_string_hash(w), w
+    assert got[""] == 7  # seed passthrough, NOT sequence(1,0) descent
+
+
+def test_rho_trailing_zero_rank(spark):
+    cases = [(0, 26), (1, 1), (2, 2), (3, 1), (4, 3), (6, 2), (8, 4),
+             (12, 3), (1 << 24, 25), ((1 << 24) + (1 << 5), 6)]
+    df = spark.createDataFrame([(v,) for v, _ in cases], ["v"])
+    got = {r["v"]: r["rho"]
+           for r in df.select("v", K.rho(F.col("v").cast("bigint"))
+                              .alias("rho")).collect()}
+    for v, want in cases:
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_cms_estimate_never_underestimates(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(f"t{i % 40}",) for i in range(2000)] + \
+           [(f"rare{rng.randrange(500)}",) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["term"])
+    cnt = df.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    hashed = cnt.select("term", "c", K.string_hash(F.col("term")).alias("th"))
+    grid = K.cms_build(hashed, "th", "c")
+    # grid never exceeds d*w cells and total mass is d * stream length
+    g = grid.collect()
+    assert len(g) <= K.CMS_D * K.CMS_W
+    assert sum(r["cnt"] for r in g) == K.CMS_D * 2500
+    est = K.cms_estimate(hashed.select("term", "c", "th"), grid, "th",
+                         ["term", "c"]).collect()
+    assert len(est) == hashed.count()
+    for r in est:
+        assert r["cms_est"] >= r["c"], r  # the CMS guarantee
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # 64 registers => relative std error ~= 1.04/sqrt(64) = 13%; assert
+    # a loose 3-sigma band on a 5k-distinct stream with duplicates.
+    rows = [(f"w{i}",) for i in range(5000)] * 2
+    df = spark.createDataFrame(rows, ["term"])
+    h = df.select(K.string_hash(F.col("term")).alias("th"))
+    reg = K.hll_registers(h, "th", [])
+    est = K.hll_estimate(reg, []).collect()[0]["hll_est_raw"]
+    assert 5000 * 0.6 < est < 5000 * 1.4, est
+    # duplicates must not move the registers at all
+    h1 = df.distinct().select(K.string_hash(F.col("term")).alias("th"))
+    est1 = K.hll_estimate(K.hll_registers(h1, "th", []), []) \
+        .collect()[0]["hll_est_raw"]
+    assert est == est1
+
+
+@_needs_data
+def test_k01_probe_join_is_broadcast(spark):
+    df = catalog.all_queries()["k01_cms_heavy_hitters"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_k02_register_agg_is_partial(spark):
+    """The register groupBy must plan as partial+final HashAggregate
+    (map-side combine) — the O(m)-state property the sketch exists for."""
+    df = catalog.all_queries()["k02_hll_distinct"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_max" in plan or "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
