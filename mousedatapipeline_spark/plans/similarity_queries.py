@@ -951,19 +951,32 @@ MIN_SHARED_BANDS = 2
         "join.",
 )
 def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the (tiny) candidate-pair table once: it feeds the
+    # verify join AND the id set that prunes the shingle-set side —
+    # without the checkpoint the whole s03 signature subtree would run
+    # once per consumer.
     cands = (s03_minhash_lsh(spark, sf_dir)
              .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
-             .select("d1", "d2"))
+             .select("d1", "d2")
+             .localCheckpoint(eager=False))
+    cand_ids = (cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+                .distinct())
     d = load(spark, sf_dir, "documents")
     # Verify on HASHED shingle arrays: the base-961^2 ascii hash is
     # injective on 3-grams (ascii < 961), so intersect counts equal
     # the string-set counts while the joins shuffle int arrays, not
-    # 3-char strings.
-    sets = (d.select("doc_id", S.shingle_set_col(F.col("text")).alias("ss"))
+    # 3-char strings. The shingle sets are built ONLY for documents
+    # that appear in a candidate pair (broadcast semi-join prune —
+    # candidates are a vanishing fraction of the corpus at scale), and
+    # checkpointed so the d1/d2 sides share one computation instead of
+    # re-deriving the full corpus's sets twice.
+    sets = (d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", S.shingle_set_col(F.col("text")).alias("ss"))
             .filter(F.size("ss") > 0)
             .select("doc_id",
                     F.transform("ss", S.shingle_hash).alias("hs"),
-                    F.size("ss").cast("bigint").alias("n")))
+                    F.size("ss").cast("bigint").alias("n"))
+            .localCheckpoint(eager=False))
     s1 = sets.select(F.col("doc_id").alias("d1"),
                      F.col("hs").alias("ss1"), F.col("n").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("d2"),

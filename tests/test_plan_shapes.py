@@ -140,7 +140,11 @@ def test_asof_join_single_shuffle(spark):
 # whose build side is constant-size is scale-safe; the ban below is for
 # ACCIDENTAL nested loops over two big sides.
 _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
-                                  "s10_kmeans_ivf"}
+                                  "s10_kmeans_ivf",
+                                  # 1-row total broadcast (scalar-
+                                  # subquery shape) gating the heavy-
+                                  # hitter threshold filter
+                                  "k01_cms_heavy_hitters"}
 
 
 @_needs_data
