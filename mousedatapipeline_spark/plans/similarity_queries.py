@@ -991,3 +991,83 @@ def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
             .select("d1", "d2", "n_common",
                     stable_round(F.col("jaccard_raw")).alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# Diversity / hard-example mining: per label, the K vectors FARTHEST from
+# their label centroid. The complement of dedup — curation pipelines keep
+# outliers for coverage (active-learning "hard examples") or drop them as
+# noise; either way the primitive is the same ranked distance query.
+# --------------------------------------------------------------------------
+_OUTLIER_K = 5
+
+
+@register(
+    "s20_centroid_outliers",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cent AS (
+      SELECT la.label, d.dim,
+             CAST(CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM dims d JOIN lab la ON d.vec_id = la.vec_id
+      GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT la.label, d.vec_id,
+             CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv)
+                                AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               AS d2
+      FROM dims d
+      JOIN lab la ON d.vec_id = la.vec_id
+      JOIN cent c ON c.label = la.label AND c.dim = d.dim
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT label, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY {stable_round_sql('d2')} DESC,
+                                         vec_id ASC) AS rn
+      FROM dist
+    )
+    SELECT label, vec_id, CAST(rn AS INT) AS rank,
+           {stable_round_sql('d2')} AS dist2
+    FROM ranked WHERE rn <= {_OUTLIER_K}
+    """,
+    doc="Diversity mining: top-5 farthest-from-centroid vectors per "
+        "label (hard-example / outlier selection). Spark side is array-"
+        "native: decimal-exact centroids collected to per-label arrays "
+        "(tiny: n_labels x dim), broadcast to the vector scan, distance "
+        "as one JVM zip_with fold per row (no (vec, dim) explosion on "
+        "the hot path), then one top-k window per label ordered on the "
+        "stable-rounded distance (rank-identical across engines).",
+)
+def s20_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    # Exact decimal centroid per (label, dim) — the only explode, over
+    # the small side of the computation; collected into per-label
+    # arrays and broadcast.
+    dims = vecs.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = dims.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        (F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (vecs.join(F.broadcast(cent_arr), "label")
+              .select("label", "vec_id", d2.alias("d2")))
+    w = Window.partitionBy("label").orderBy(
+        stable_round(F.col("d2")).desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _OUTLIER_K)
+            .select("label", "vec_id", "rank",
+                    stable_round(F.col("d2")).alias("dist2")))

@@ -425,3 +425,57 @@ def t13_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_quality"),
         F.count(F.when(F.col("quality") >= 0.5, 1)).cast("bigint")
         .alias("n_keep"))
+
+
+@register(
+    "t14_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST({_SQL_TOKENS}) AS u(t)
+    ),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    s AS (
+      SELECT tok.doc_id,
+             LN(CAST((SELECT total FROM tot) AS DOUBLE))
+               - LN(CAST(freq.cnt AS DOUBLE)) AS surp
+      FROM tok JOIN freq ON tok.term = freq.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(surp AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_surprisal
+    FROM s GROUP BY doc_id
+    """,
+    doc="Unigram-LM surprisal quality signal (CCNet-style proxy): each "
+        "token scores ln(total) - ln(count(term)) against the corpus "
+        "unigram model, averaged per document — high mean surprisal "
+        "flags gibberish/rare-token docs, low flags boilerplate. The "
+        "frequency table is one groupBy re-broadcast to the token "
+        "stream (same shape as t05's df table); per-doc mean uses the "
+        "decimal-accumulated dsum so partition order cannot move the "
+        "float sum.",
+)
+def t14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    s = (tok.join(F.broadcast(freq), "term")
+         .join(F.broadcast(total))
+         .select("doc_id",
+                 (F.log(F.col("total").cast("double"))
+                  - F.log(F.col("cnt").cast("double"))).alias("surp")))
+    n = F.count(F.lit(1))
+    return s.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        stable_round(dsum("surp") / n.cast("double"))
+        .alias("mean_surprisal"))

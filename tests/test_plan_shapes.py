@@ -381,3 +381,23 @@ def test_m10_mask_diameter_is_scan_stage_only(spark):
     """P11 is pure per-row arithmetic: zero shuffles, single scan."""
     plan = _plan(spark, "m10_mask_diameter")
     assert _count_shuffles(plan) == 0, plan
+
+
+@_needs_data
+def test_t14_freq_join_is_broadcast(spark):
+    """The unigram frequency table re-joins the token stream as a
+    broadcast (t05's df-table shape) — shuffling the token stream
+    against it would move the corpus twice."""
+    plan = _plan(spark, "t14_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_s20_distance_is_broadcast_array_fold(spark):
+    """Centroid arrays broadcast to the vector scan; the only shuffles
+    are the centroid build and the per-label top-k window — the
+    distance computation itself must not explode (vec, dim) rows."""
+    plan = _plan(spark, "s20_centroid_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
