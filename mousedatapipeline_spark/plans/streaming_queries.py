@@ -469,3 +469,114 @@ def w05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.count_distinct("c_event_id").cast("bigint")
         .alias("n_converted_clicks"))
+
+
+# --------------------------------------------------------------------------
+# w06: incremental SKETCH maintenance. The HLL register table is a
+# max-merge monoid, so a streaming foreachBatch can fold each chunk's
+# registers into a tiny versioned state (<= n_groups x 64 rows) and the
+# final estimate must equal the batch sketch over the full table —
+# sketch mergeability proven end-to-end, with a full SQL oracle. This
+# is the 100-TB cardinality dashboard: per-trigger work is one partial
+# max-aggregate, state never grows with history.
+# --------------------------------------------------------------------------
+_W06_HASH = "((user_id * 2654435761 + 40503) % 2147483647)"
+
+
+def _w06_batch_registers(batch: DataFrame) -> DataFrame:
+    from mousedatapipeline_spark.operators import sketches as K
+    h = batch.select(
+        "event_type",
+        ((F.col("user_id") * F.lit(2654435761) + F.lit(40503))
+         % F.lit(K.MOD)).alias("th"))
+    return K.hll_registers(h, "th", ["event_type"])
+
+
+def _w06_merge_into_state(batch: DataFrame, batch_id: int,
+                          state_dir: Path) -> None:
+    spark = batch.sparkSession
+    b = _w06_batch_registers(batch)
+    versions = sorted(state_dir.glob("v*"))
+    if versions:
+        prev = spark.read.parquet(str(versions[-1]))
+        b = (prev.unionByName(b)
+             .groupBy("event_type", "reg")
+             .agg(F.max("max_rho").alias("max_rho")))
+    b.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id:06d}"))
+
+
+def _w06_oracle_sql() -> str:
+    from mousedatapipeline_spark.operators import sketches as K
+    reg_expr, rho_expr = K.hll_registers_sql("th")
+    return f"""
+    WITH h AS (
+      SELECT event_type, {_W06_HASH} AS th FROM events
+    ),
+    reg AS (
+      SELECT event_type, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM h GROUP BY 1, 2
+    )
+    SELECT event_type, {stable_round_sql(K.HLL_EST_SQL)} AS hll_users
+    FROM reg GROUP BY event_type
+    """
+
+
+@register(
+    "w06_stream_hll_users",
+    oracle=_w06_oracle_sql(),
+    doc="Incremental distinct-user estimation: events drain one chunk "
+        "per trigger; foreachBatch max-merges each batch's 64 HLL "
+        "registers per event_type into a versioned state table "
+        "(<= groups x 64 rows forever). The final estimate must equal "
+        "the batch sketch of the whole table — max-merge monoid parity, "
+        "hash-gated by the SQL oracle.",
+)
+def w06_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators import sketches as K
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w06_"))
+    landing = work / "landing"
+    landing.mkdir()
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id",
+                                              "event_type")
+    tmp = work / "_tmp"
+    ev.repartitionByRange(3, "event_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+
+    state_dir = work / "state"
+    state_dir.mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(chunk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(landing))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream
+            .foreachBatch(lambda b, i: _w06_merge_into_state(
+                b, i, state_dir))
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = sorted(state_dir.glob("v*"))[-1]
+    registers = spark.read.parquet(str(final))
+    est = K.hll_estimate(registers, ["event_type"])
+    return est.select("event_type",
+                      stable_round(F.col("hll_est_raw")).alias("hll_users"))
