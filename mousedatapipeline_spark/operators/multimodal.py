@@ -68,21 +68,30 @@ def synth_payload(media_id: int) -> tuple[bytes, dict]:
     return _MAGIC + header + stream[:body_len], meta
 
 
-def attach_synthetic_media(df: DataFrame, id_col: str) -> DataFrame:
+def attach_synthetic_media(df: DataFrame, id_col: str,
+                           key_col: str | None = None) -> DataFrame:
     """Attach (payload, meta) columns derived deterministically from an
     id column — the test stand-in for a real media-file scan
-    (spark.read.format('binaryFile') in production)."""
+    (spark.read.format('binaryFile') in production).
+
+    ``key_col``: optional column the payload bytes derive from instead
+    of ``id_col`` (media_id stays ``id_col``) — lets tests mint
+    distinct rows carrying duplicate payloads.
+    """
+    kc = key_col or id_col
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid in pdf[id_col]:
-                payload, meta = synth_payload(int(mid))
+            for mid, key in zip(pdf[id_col], pdf[kc]):
+                payload, meta = synth_payload(int(key))
                 rows.append({"media_id": int(mid), "payload": payload,
                              "meta": meta})
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)) \
-        .mapInPandas(gen, MEDIA_SCHEMA)
+    cols = [F.col(id_col).cast("long").alias(id_col)]
+    if key_col:
+        cols.append(F.col(key_col).cast("long").alias(key_col))
+    return df.select(*cols).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_payload(payload: bytes) -> dict:
@@ -208,3 +217,75 @@ def resize_frames(media: DataFrame, out_w: int, out_h: int,
                                columns=[f.name for f in RESIZE_SCHEMA])
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+AHASH_BITS = 64
+AHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-complete for hamming <= 3
+
+
+def ahash_kernel(frame: np.ndarray) -> int:
+    """Average-hash of one pixel plane: resize to 8x8, threshold at the
+    mean, pack the 64 bits row-major into a signed int64. Pure numpy —
+    deterministic, codec-free."""
+    small = resize_nearest(frame, 8, 8)
+    bits = (small >= small.mean()).astype(np.uint8).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """(media_id, ahash): perceptual hash of frame 0 of every payload,
+    one narrow Arrow pass (payloads never shuffle — only the 8-byte
+    hash continues into the relational near-dup stages)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                d = decode_payload(bytes(rec.payload))
+                rows.append({
+                    "media_id": rec.media_id,
+                    "ahash": ahash_kernel(materialize_frame(d, 0)),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_band(hash_col: F.Column, b: int) -> F.Column:
+    """16-bit band ``b`` of a 64-bit hash as a JVM expression."""
+    return F.shiftrightunsigned(hash_col, 16 * b).bitwiseAND(F.lit(0xFFFF))
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(d1, d2, hamming): media pairs whose aHashes differ in at most
+    ``max_hamming`` bits.
+
+    Banded LSH exactly like the MinHash path: two hashes within hamming
+    d < AHASH_BANDS must agree on >= one 16-bit band (pigeonhole), so
+    the self-join runs per (band, value) bucket — never all-pairs — and
+    an exact bit_count(xor) verify restores exactness. All stages after
+    the hash kernel are JVM bit arithmetic.
+    """
+    h = hashes.localCheckpoint(eager=False)  # both join sides + the
+    # band explode read the kernel output; don't run the decode twice
+    bands = h.select(
+        "media_id", "ahash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     ahash_band(F.col("ahash"), b).alias("v"))
+            for b in range(AHASH_BANDS)])).alias("band"))
+    a = bands.select(F.col("media_id").alias("d1"),
+                     F.col("ahash").alias("h1"), "band")
+    b = bands.select(F.col("media_id").alias("d2"),
+                     F.col("ahash").alias("h2"), "band")
+    cand = (a.join(b, "band")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "h1", "h2")
+            .distinct())
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.select("d1", "d2", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

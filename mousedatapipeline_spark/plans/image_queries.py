@@ -119,3 +119,25 @@ def mm02_resized_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
     media = attach_synthetic_media(docs, "doc_id")
     return resize_frames(media, out_w=8, out_h=8, every_k=2)
+
+
+@register(
+    "mm03_phash_neardup",
+    oracle=None,  # hash kernel upstream: rows-only; closed-form tests
+    doc="Perceptual-hash image dedup (LAION-style): aHash of frame 0 "
+        "via one narrow mapInPandas pass, then banded LSH over the "
+        "64-bit hash (4 x 16-bit bands, pigeonhole-complete for "
+        "hamming <= 3) with an exact bit_count(xor) verify — the "
+        "MinHash->verify shape applied to media. Payload collisions "
+        "are minted deliberately (doc_id % 150 payload key) so the "
+        "detector has real duplicates to find.",
+)
+def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import (
+        ahash_media,
+        phash_neardup_pairs,
+    )
+    docs = (load(spark, sf_dir, "documents").select("doc_id").limit(300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    return phash_neardup_pairs(ahash_media(media), max_hamming=3)

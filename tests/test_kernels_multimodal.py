@@ -148,3 +148,59 @@ def test_resize_frames_samples_and_checksums(spark):
     expect = MM.resize_nearest(MM.materialize_frame(d, 0), 8, 8)
     assert r0.frame_md5 == hashlib.md5(expect.tobytes()).hexdigest()
     assert abs(r0.mean_px - float(expect.mean())) < 1e-12
+
+
+def test_ahash_kernel_locality():
+    """aHash: identical frames hash equal; flipping k extreme pixels
+    changes at most k bits of the 64-bit hash."""
+    import numpy as np
+    from mousedatapipeline_spark.operators.multimodal import ahash_kernel
+    rng = np.random.RandomState(11)
+    frame = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    h1 = ahash_kernel(frame)
+    assert h1 == ahash_kernel(frame.copy())
+    mod = frame.copy()
+    lo = np.argsort(frame.ravel())[:2]  # two darkest pixels -> bright
+    mod.ravel()[lo] = 255
+    h2 = ahash_kernel(mod)
+    assert h1 != h2
+    # Mean-thresholding is not strictly k-local (the raised mean can
+    # flip near-mean pixels too), but a 2-pixel edit must stay far
+    # below the ~32-bit distance of an unrelated frame.
+    other = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    near = bin(h1 ^ h2).count("1")
+    far = bin(h1 ^ ahash_kernel(other)).count("1")
+    assert near <= 10 < far, (near, far)
+
+
+def test_phash_banding_is_pigeonhole_complete(spark):
+    """hamming <= 3 pairs MUST be found (some band untouched); a
+    4-bit difference spread across all 4 bands must NOT be a candidate
+    — it documents the recall boundary of the 4-band scheme."""
+    from mousedatapipeline_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),                # hamming 3, low band only
+        (3, base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+        (4, -0x7FEDCBA987654321),         # far away, negative hash
+    ]
+    hashes = spark.createDataFrame(rows, ["media_id", "ahash"])
+    got = {(r.d1, r.d2): r.hamming
+           for r in phash_neardup_pairs(hashes, max_hamming=3).collect()}
+    assert got == {(1, 2): 3}  # (1,3) invisible: no shared band
+
+
+def test_mm03_finds_exactly_the_minted_duplicates(spark):
+    import os
+    import pytest as _pytest
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        _pytest.skip("no test data")
+    from mousedatapipeline_spark.plans import catalog
+    rows = (catalog.all_queries()["mm03_phash_neardup"]
+            .spark(spark, sf).collect())
+    assert rows, "minted payload collisions must be detected"
+    assert all(r.hamming == 0 and r.d2 - r.d1 == 150 for r in rows)
