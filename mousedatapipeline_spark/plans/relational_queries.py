@@ -1252,3 +1252,41 @@ def q31_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return j.groupBy("l_returnflag", "n").agg(
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+
+
+@register(
+    "q32_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<any>') AS status,
+           COALESCE(o_orderpriority, '<any>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rr} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """.format(rr=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Explicit GROUPING SETS (the general form under ROLLUP/CUBE): "
+        "three chosen aggregation granularities in ONE Expand + hash "
+        "aggregate pass over a single scan — no UNION of three "
+        "separate groupBys, no triple read. Rolled-up slots rendered "
+        "'<any>' via grouping() on both engines.",
+)
+def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"],
+         ["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+          dsum("o_totalprice").alias("revenue_d"),
+          F.grouping("o_orderstatus").alias("_gs"),
+          F.grouping("o_orderpriority").alias("_gp"))
+    return g.select(
+        F.when(F.col("_gs") == 1, F.lit("<any>"))
+         .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("_gp") == 1, F.lit("<any>"))
+         .otherwise(F.col("o_orderpriority")).alias("priority"),
+        "n_orders",
+        stable_round(F.col("revenue_d").cast("double")).alias("revenue"))

@@ -401,3 +401,13 @@ def test_s20_distance_is_broadcast_array_fold(spark):
     plan = _plan(spark, "s20_centroid_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" in plan, plan
+
+
+@_needs_data
+def test_q32_grouping_sets_single_expand(spark):
+    """GROUPING SETS must be one Expand + one aggregate shuffle over a
+    single scan — not a UNION of three groupBys."""
+    plan = _plan(spark, "q32_grouping_sets")
+    assert plan.count("Expand") >= 1, plan
+    assert _count_shuffles(plan) == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
