@@ -142,9 +142,11 @@ def test_asof_join_single_shuffle(spark):
 _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "s10_kmeans_ivf",
                                   # 1-row total broadcast (scalar-
-                                  # subquery shape) gating the heavy-
-                                  # hitter threshold filter
-                                  "k01_cms_heavy_hitters"}
+                                  # subquery shape): k01 gates its
+                                  # heavy-hitter threshold, t14 scales
+                                  # by the corpus token total
+                                  "k01_cms_heavy_hitters",
+                                  "t14_unigram_surprisal"}
 
 
 @_needs_data

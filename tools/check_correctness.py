@@ -2,9 +2,14 @@
 
 Runs every query in ``__spark_entry__.queries()`` on Spark and its
 ``oracle_sql()`` counterpart on DuckDB at the same scale factor, then
-compares row count, sorted column names, and cell values (rows sorted by
-their full stringified tuple — order-insensitive, like the driver's
-value hash).
+compares dtypes, row count, sorted column names, and cell values (rows
+sorted by their full stringified tuple — order-insensitive, like the
+driver's value hash).
+
+Strictness notes (round-1 lesson: m02 passed here but failed the
+driver's hash): floats are compared by ``repr`` after normalizing
+signed zero — NOT collapsed to ints — and column dtypes are canonically
+compared, because the driver's schema/value hash sees both.
 
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 """
@@ -12,6 +17,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -20,6 +26,31 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "BLOB": "bin", "HUGEINT": "i128", "UBIGINT": "u64",
+}
+
+
+def _canon_spark(dt: str) -> str:
+    return _SPARK_CANON.get(dt, dt)
+
+
+def _canon_duck(dt: str) -> str:
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt.startswith("DECIMAL"):
+        return "dec"
+    return _DUCK_CANON.get(dt, dt)
+
 
 def norm_cell(v) -> str:
     if v is None:
@@ -27,8 +58,8 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        if v == 0.0:
+            return "0.0"  # fold -0.0 and 0.0 (stable_round emits +0.0)
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
@@ -66,6 +97,7 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
@@ -76,11 +108,26 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            otypes = {
+                r[0]: r[1] for r in con.execute(
+                    f"DESCRIBE (\n{oracles[name]}\n)").fetchall()}
             ores = con.execute(oracles[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        dtype_mismatch = {
+            c: (stypes.get(c), otypes.get(c))
+            for c in scols
+            if _canon_spark(stypes.get(c, "?"))
+            != _canon_duck(otypes.get(c, "?"))
+        }
+        if dtype_mismatch:
+            print(f"FAIL {name}: dtypes differ (spark, duck): "
+                  f"{dtype_mismatch}")
             n_fail += 1
             continue
 
