@@ -1071,3 +1071,70 @@ def s20_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= _OUTLIER_K)
             .select("label", "vec_id", "rank",
                     stable_round(F.col("d2")).alias("dist2")))
+
+
+# --------------------------------------------------------------------------
+# s21: SEMANTIC dedup end-to-end (SemDeDup shape): embedding-cosine
+# near-dup pairs (s09's blocked exact stage) -> connected components ->
+# one canonical vector kept per semantic cluster. The composition is
+# the production dedup pass: pairs are evidence, components are the
+# dedup decision, and the kept-set is what ships downstream.
+# --------------------------------------------------------------------------
+@register(
+    "s21_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2, la.label,
+             CAST(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims a
+      JOIN lab la ON a.vec_id = la.vec_id
+      JOIN lab lb ON la.label = lb.label
+      JOIN dims b ON b.vec_id = lb.vec_id AND a.dim = b.dim
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    edges AS (
+      SELECT d1, d2
+      FROM dots JOIN norms x ON d1 = x.vec_id
+                JOIN norms y ON d2 = y.vec_id
+      WHERE CASE WHEN x.norm > 0 AND y.norm > 0
+                 THEN dot / (x.norm * y.norm) ELSE 0.0 END
+            >= {_NEARDUP_TAU}
+    ),
+    und AS (SELECT d1 AS u, d2 AS v FROM edges
+            UNION ALL SELECT d2, d1 FROM edges),
+    reach(u, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.u, r.lbl FROM und e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS vec_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY u)
+    SELECT vec_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size,
+           CAST(vec_id = component_id AS INT) AS is_kept
+    FROM comp
+    """,
+    doc="Semantic dedup (SemDeDup shape): cosine >= tau pairs within "
+        "label blocks -> distributed connected components -> keep "
+        "min(vec_id) per semantic cluster. Pair stage is s09's blocked "
+        "exact computation; the cluster stage is the O(log n)-round "
+        "pointer-jumping loop (operators/graph.py) whose state is one "
+        "row per vector with at least one duplicate.",
+)
+def s21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.graph import connected_components
+    e = load(spark, sf_dir, "embeddings")
+    edges = s09_embedding_neardup(spark, sf_dir).select("d1", "d2")
+    cc = connected_components(e.select("vec_id"), edges,
+                              "vec_id", "d1", "d2")
+    sizes = cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return (cc.join(sizes, "component_id")
+            .select("vec_id", "component_id", "cluster_size",
+                    (F.col("vec_id") == F.col("component_id"))
+                    .cast("int").alias("is_kept")))
