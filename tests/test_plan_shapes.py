@@ -413,3 +413,17 @@ def test_q32_grouping_sets_single_expand(spark):
     assert plan.count("Expand") >= 1, plan
     assert _count_shuffles(plan) == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Reading a hive-partitioned table with an equality predicate on
+    the partition column must prune at planning time: the predicate
+    shows up as a PartitionFilter on the scan (zero data files of other
+    partitions touched), not a post-scan Filter."""
+    p = str(tmp_path / "events_part")
+    df = spark.range(1000).selectExpr("id", "id % 10 AS day")
+    df.write.mode("overwrite").partitionBy("day").parquet(p)
+    q = spark.read.parquet(p).filter("day = 3").select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*day.*3", plan), plan
+    assert q.count() == 100
