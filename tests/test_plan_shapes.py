@@ -427,3 +427,27 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*day.*3", plan), plan
     assert q.count() == 100
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Star-join over a partitioned fact: a filter on the dimension side
+    must prune fact partitions at RUNTIME (dynamicpruning expression on
+    the scan) — the mechanism that keeps dimension-filtered scans from
+    reading a 100 TB fact table."""
+    fact_path = str(tmp_path / "fact")
+    spark.range(2000).selectExpr("id", "id % 20 AS dim_id") \
+        .write.mode("overwrite").partitionBy("dim_id").parquet(fact_path)
+    dim = spark.range(20).selectExpr("id AS dim_id",
+                                     "CASE WHEN id < 2 THEN 'keep' "
+                                     "ELSE 'drop' END AS tag")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the reuse-broadcast DPP shortcut isn't
+        # the only path; Spark still plans a pruning subquery
+        fact = spark.read.parquet(fact_path)
+        j = fact.join(dim.filter("tag = 'keep'"), "dim_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
