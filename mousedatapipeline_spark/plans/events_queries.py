@@ -420,3 +420,60 @@ def e09_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.isNull().cast("int").alias("was_gap"),
         F.last_value(raw, ignoreNulls=True).over(w)
         .alias("value_filled"))
+
+
+def _e10_oracle_sql() -> str:
+    from mousedatapipeline_spark.operators import sketches as K
+    reg_expr, rho_expr = K.hll_registers_sql("th")
+    return f"""
+    WITH h AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             ((user_id * 2654435761 + 40503) % 2147483647) AS th,
+             user_id
+      FROM events
+    ),
+    reg AS (
+      SELECT window_start, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM h GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT window_start, {K.HLL_EST_SQL} AS hll_est_raw
+      FROM reg GROUP BY window_start
+    ),
+    ex AS (
+      SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS n_exact
+      FROM h GROUP BY window_start
+    )
+    SELECT ex.window_start, ex.n_exact,
+           {stable_round_sql('est.hll_est_raw')} AS hll_users
+    FROM ex JOIN est ON ex.window_start = est.window_start
+    """
+
+
+@register(
+    "e10_hourly_distinct_hll",
+    oracle=_e10_oracle_sql(),
+    doc="Hourly distinct-user dashboard via HLL registers next to the "
+        "exact COUNT DISTINCT: the sketch groupBy partial-aggregates "
+        "to <= 64 rows per hour map-side (O(windows x m) total state), "
+        "where the exact pass holds per-user state — the windowed form "
+        "of k02, the batch form of w06.",
+)
+def e10_hourly_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators import sketches as K
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    h = ev.select(
+        hour, "user_id",
+        ((F.col("user_id") * F.lit(2654435761) + F.lit(40503))
+         % F.lit(K.MOD)).alias("th"))
+    reg = K.hll_registers(h, "th", ["window_start"])
+    est = K.hll_estimate(reg, ["window_start"])
+    exact = h.groupBy("window_start").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return (exact.join(F.broadcast(est), "window_start")
+            .select("window_start", "n_exact",
+                    stable_round(F.col("hll_est_raw")).alias("hll_users")))
