@@ -101,3 +101,44 @@ def test_k02_register_agg_is_partial(spark):
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_max" in plan or "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_linearity_merge_property(spark):
+    """sketch(A) + sketch(B) element-wise == sketch(A union B): the
+    linearity that makes per-partition build + sum-merge exact."""
+    a = spark.createDataFrame([(f"x{i%7}",) for i in range(300)], ["t"])
+    b = spark.createDataFrame([(f"y{i%11}",) for i in range(500)], ["t"])
+    u = a.union(b)
+
+    def grid(df):
+        cnt = df.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        hashed = cnt.select("c", K.string_hash(F.col("t")).alias("th"))
+        g = K.cms_build(hashed, "th", "c")
+        return {(r["j"], r["bucket"]): r["cnt"] for r in g.collect()}
+
+    ga, gb, gu = grid(a), grid(b), grid(u)
+    merged = {}
+    for g in (ga, gb):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == gu
+
+
+def test_hll_max_merge_property(spark):
+    """max(reg(A), reg(B)) element-wise == reg(A union B): the monoid
+    w06's streaming foreachBatch maintenance relies on."""
+    a = spark.createDataFrame([(f"u{i}",) for i in range(400)], ["t"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(250)], ["t"])
+    u = a.union(b)
+
+    def regs(df):
+        h = df.select(K.string_hash(F.col("t")).alias("th"))
+        return {r["reg"]: r["max_rho"]
+                for r in K.hll_registers(h, "th", []).collect()}
+
+    ra, rb, ru = regs(a), regs(b), regs(u)
+    merged = {}
+    for r in (ra, rb):
+        for k, v in r.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == ru
