@@ -951,32 +951,49 @@ MIN_SHARED_BANDS = 2
         "join.",
 )
 def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the (tiny) candidate-pair table once: it feeds the
-    # verify join AND the id set that prunes the shingle-set side —
-    # without the checkpoint the whole s03 signature subtree would run
-    # once per consumer.
-    cands = (s03_minhash_lsh(spark, sf_dir)
+    # ONE corpus pass computes the hashed shingle sets that BOTH stages
+    # consume: the minhash signatures derive from `hashed`, and the
+    # verify stage reads the same checkpoint (s03 run standalone would
+    # recompute the sets for its own pipeline — inlining its body here
+    # halves the corpus-scan work of the combined query). Repartition
+    # first: documents.parquet is one file -> one input partition (see
+    # s03's comment).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    hashed = (d.select("doc_id", "lang",
+                       S.shingle_set_col(F.col("text")).alias("ss"))
+              .filter(F.size("ss") > 0)
+              .select("doc_id", "lang",
+                      F.transform("ss", S.shingle_hash).alias("hs"),
+                      F.size("ss").cast("bigint").alias("n"))
+              .localCheckpoint(eager=False))
+    sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
+    bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
+             .localCheckpoint(eager=False))  # self-joined below: the 16
+    # array_min projections must not run once per join side
+    ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
+                      "band_sig")
+    bb = bands.select(F.col("doc_id").alias("d2"), "lang", "band",
+                      "band_sig")
+    cands = (ba.join(bb, ["lang", "band", "band_sig"])
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("shared_bands"))
              .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
              .select("d1", "d2")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=False))  # feeds the verify join AND
+    # the pruning id set below
     cand_ids = (cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
                 .distinct())
-    d = load(spark, sf_dir, "documents")
     # Verify on HASHED shingle arrays: the base-961^2 ascii hash is
     # injective on 3-grams (ascii < 961), so intersect counts equal
     # the string-set counts while the joins shuffle int arrays, not
-    # 3-char strings. The shingle sets are built ONLY for documents
-    # that appear in a candidate pair (broadcast semi-join prune —
-    # candidates are a vanishing fraction of the corpus at scale), and
-    # checkpointed so the d1/d2 sides share one computation instead of
-    # re-deriving the full corpus's sets twice.
-    sets = (d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-            .select("doc_id", S.shingle_set_col(F.col("text")).alias("ss"))
-            .filter(F.size("ss") > 0)
-            .select("doc_id",
-                    F.transform("ss", S.shingle_hash).alias("hs"),
-                    F.size("ss").cast("bigint").alias("n"))
-            .localCheckpoint(eager=False))
+    # 3-char strings. Pruned to candidate documents (broadcast
+    # semi-join over the checkpoint — candidates are a vanishing
+    # fraction of the corpus at scale), so the two join sides stream
+    # small array sets, not the corpus.
+    sets = (hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", "hs", "n"))
     s1 = sets.select(F.col("doc_id").alias("d1"),
                      F.col("hs").alias("ss1"), F.col("n").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("d2"),
