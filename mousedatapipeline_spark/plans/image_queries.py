@@ -141,3 +141,71 @@ def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("payload_key", F.col("doc_id") % 150))
     media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
     return phash_neardup_pairs(ahash_media(media), max_hamming=3)
+
+
+@register(
+    "m15_kernel_flux_pipeline",
+    oracle=None,  # numpy kernel upstream: rows-only; closed-form tests
+    doc="Kernel->physics integration (SURVEY §7.2 step 4: kernels "
+        "replace fixture-precomputed scalars): beam images -> U1-U4 "
+        "coverage analysis -> A3 pixel-sum flux -> A4 per-batch max "
+        "propagation (empty-beam proxy) -> P5 transmission ratio -> "
+        "A1/A2 stacked stats per batch, ONE lazy plan. The kernel is "
+        "the only Python stage; everything downstream is JVM window + "
+        "aggregate exactly as in m01/m05.",
+)
+def m15_kernel_flux_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.functions.rounding import stable_round
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    keys = (li.filter(F.col("l_orderkey") < 200)
+            .select(F.col("l_orderkey").alias("batch"),
+                    F.col("l_linenumber").alias("repetition"))
+            .distinct())
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                img = _gaussian_image(int(rec.batch), int(rec.repetition))
+                # Deterministic sample attenuation: repetition 1 plays
+                # the empty-beam shot (full flux), higher repetitions
+                # are increasingly attenuated sample shots — gives the
+                # transmission ratio real (0, 1] structure to verify.
+                img = img / (1.0 + 0.15 * (int(rec.repetition) - 1))
+                rows.append({
+                    "batch": rec.batch, "repetition": rec.repetition,
+                    "image": img.ravel().tolist(), "height": _H, "width": _W,
+                })
+            yield pd.DataFrame(
+                rows, columns=["batch", "repetition", "image",
+                               "height", "width"])
+
+    from pyspark.sql import types as T
+    img_schema = T.StructType([
+        T.StructField("batch", T.LongType()),
+        T.StructField("repetition", T.IntegerType()),
+        T.StructField("image", T.ArrayType(T.DoubleType())),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ])
+    stats = beam_analysis(keys.mapInPandas(gen, img_schema))
+    # A3 flux = total_intensity; A4: per-batch max flux is the
+    # empty-beam proxy; P5: transmission = flux / max-flux.
+    w = Window.partitionBy("batch")
+    withtr = stats.select(
+        "batch", "repetition",
+        F.col("total_intensity").alias("flux"),
+        (F.col("total_intensity") / F.max("total_intensity").over(w))
+        .alias("transmission"))
+    n = F.count(F.lit(1))
+    return withtr.groupBy("batch").agg(
+        n.cast("bigint").alias("n_repetitions"),
+        stable_round(dsum("flux") / n.cast("double"), 4)
+        .alias("mean_flux"),
+        stable_round(dsum("transmission") / n.cast("double"), 4)
+        .alias("mean_transmission"),
+        stable_round(F.min("transmission"), 4).alias("min_transmission"))

@@ -204,3 +204,38 @@ def test_mm03_finds_exactly_the_minted_duplicates(spark):
             .spark(spark, sf).collect())
     assert rows, "minted payload collisions must be detected"
     assert all(r.hamming == 0 and r.d2 - r.d1 == 150 for r in rows)
+
+
+def test_m15_kernel_flux_integration(spark):
+    """Kernel->physics integration: per-batch transmission must be the
+    attenuation ratio the image generator encodes — flux(rep k) /
+    flux(rep 1) == 1 / (1 + 0.15 (k-1)) up to discretization, and the
+    empty-beam repetition pins min over the batch at <= the mean."""
+    import os
+    import pytest as _pytest
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        _pytest.skip("no test data")
+    from mousedatapipeline_spark.plans import catalog
+    rows = (catalog.all_queries()["m15_kernel_flux_pipeline"]
+            .spark(spark, sf).collect())
+    assert rows
+    # Reconstruct each batch's repetition set (arbitrary l_linenumber
+    # values, NOT 1..n) to derive the encoded attenuation ratio.
+    reps = {}
+    for r in (spark.read.parquet(f"{sf}/lineitem.parquet")
+              .filter("l_orderkey < 200")
+              .select("l_orderkey", "l_linenumber").distinct().collect()):
+        reps.setdefault(r.l_orderkey, []).append(r.l_linenumber)
+    for r in rows:
+        assert 0 < r.min_transmission <= r.mean_transmission <= 1.0, r
+        rs = reps[r.batch]
+        assert r.n_repetitions == len(rs), r
+        if len(rs) >= 2:
+            # attenuation 1/(1+0.15(rep-1)): min transmission is the
+            # highest-rep shot over the lowest-rep (empty-beam) shot;
+            # ~1% tolerance for center-shift truncation of the Gaussian
+            expected_min = ((1.0 + 0.15 * (min(rs) - 1))
+                            / (1.0 + 0.15 * (max(rs) - 1)))
+            assert abs(r.min_transmission - expected_min) < 0.01, \
+                (r, expected_min)
