@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mousedatapipeline_spark.operators import sampling as SA
+from mousedatapipeline_spark.operators.sketches import string_hash_sql
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
@@ -331,3 +332,54 @@ def s17_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("pos") - 1) * N_SHARDS
          + F.instr(F.lit("0123456789abcdef"), F.col("shard")) - 1)
         .cast("bigint").alias("interleaved_pos"))
+
+
+@register(
+    "t16_jsonl_export_roundtrip",
+    oracle="""
+    WITH h AS (
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             doc_id, lang, text
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM({th}) AS BIGINT) AS text_hash_sum
+    FROM h GROUP BY shard
+    """.format(th=string_hash_sql("text")),
+    doc="Training-data export round trip: documents hashed into 16 md5-"
+        "nibble shards, written as one JSONL file per shard dir "
+        "(sinks.write_jsonl_shards), read back with an explicit schema, "
+        "and content-checked per shard via an integer text-hash sum — "
+        "the oracle computes the same sums from the source table, so "
+        "any JSON mangling (escaping, encoding, truncation) hash-fails.",
+)
+def t16_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mousedatapipeline_spark.operators.sketches import string_hash
+    from mousedatapipeline_spark.sources.sinks import write_jsonl_shards
+
+    d = load(spark, sf_dir, "documents").select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .alias("shard"),
+        "doc_id", "lang", "text")
+    out = tempfile.mkdtemp(prefix="mouse_jsonl_t16_")
+    write_jsonl_shards(d, out, "shard")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = (spark.read.schema(schema).json(out + "/shard=*")
+            .withColumn("shard",
+                        F.regexp_extract(F.input_file_name(),
+                                         r"shard=([0-9a-f])", 1)))
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(string_hash(F.col("text"))).cast("bigint")
+        .alias("text_hash_sum"))

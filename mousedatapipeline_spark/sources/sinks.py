@@ -138,3 +138,19 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_jsonl_shards(df: DataFrame, path: str, shard_col: str) -> None:
+    """Training-data export: one JSONL file per shard directory
+    (``shard=<v>/part-*.json``), the interchange format most LLM data
+    loaders consume.
+
+    ``repartition(shard_col)`` routes each shard to ONE task so each
+    shard directory holds a single file; at 100 TB raise the
+    parallelism by salting the shard column into (shard, subfile) —
+    the layout contract (one dir per shard) is unchanged.
+    """
+    (df.repartition(F.col(shard_col))
+       .write.mode("overwrite")
+       .partitionBy(shard_col)
+       .json(path))
