@@ -1155,3 +1155,59 @@ def s21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "component_id", "cluster_size",
                     (F.col("vec_id") == F.col("component_id"))
                     .cast("int").alias("is_kept")))
+
+
+# --------------------------------------------------------------------------
+# s22: INCREMENTAL near-dup — probe an arriving batch against the
+# existing corpus index, the operational dedup shape: the corpus's band
+# signatures are a precomputed index (at 100 TB a bucketed table
+# maintained by the ingest pipeline); only the new batch computes fresh
+# signatures, and only batch-vs-corpus candidates are generated — no
+# batch-vs-batch or corpus-vs-corpus pairs, so per-arrival cost is
+# O(|batch|) signature work + index probes, independent of corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "s22_incremental_neardup",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()})
+    SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands b JOIN bands c
+      ON b.band = c.band AND b.band_sig = c.band_sig
+     AND b.lang = c.lang
+    WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    """,
+    doc="Incremental near-dup: new-batch docs (doc_id % 4 = 0) probe "
+        "the existing corpus's LSH band index — asymmetric join, no "
+        "batch-vs-batch or corpus-vs-corpus pair generation, so "
+        "per-arrival cost scales with the batch, not the corpus. "
+        "Same band-bucket machinery as s03.",
+)
+def s22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    withset = d.select("doc_id", "lang",
+                       S.shingle_set_col(F.col("text")).alias("ss"))
+    hashed = (withset.filter(F.size("ss") > 0)
+              .select("doc_id", "lang",
+                      F.transform("ss", S.shingle_hash).alias("hs")))
+    sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
+    bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
+             .localCheckpoint(eager=False))
+    # In production the corpus side is the PERSISTED index; here both
+    # derive from one checkpoint, split by the arrival predicate.
+    new = (bands.filter(F.col("doc_id") % 4 == 0)
+           .select(F.col("doc_id").alias("new_doc"), "lang", "band",
+                   "band_sig"))
+    corpus = (bands.filter(F.col("doc_id") % 4 != 0)
+              .select(F.col("doc_id").alias("corpus_doc"), "lang", "band",
+                      "band_sig"))
+    return (new.join(corpus, ["lang", "band", "band_sig"])
+            .groupBy("new_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared_bands"))
+            .filter(F.col("shared_bands") >= MIN_SHARED_BANDS))
