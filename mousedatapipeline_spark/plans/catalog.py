@@ -110,13 +110,14 @@ _R01_GREEN = frozenset({
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
-    # Within the unproven block, oracled queries outrank rows-only ones:
-    # if the driver again samples a 50-query prefix, a hash-gated row is
-    # worth more than a rows-only row, so the weak checks yield the
-    # tail slots.
+    # Within the unproven block, oracled queries outrank rows-only ones,
+    # and batch queries outrank streaming ones (streaming rows carry
+    # trigger fixed costs and their semantics are batch-parity anyway):
+    # if the driver again samples a 50-query prefix, the fast hash-gated
+    # checks claim the slots and the weak/slow checks yield the tail.
     def rank(item):
         n, s = item
-        return (n in _R01_GREEN, s.oracle is None)
+        return (n in _R01_GREEN, s.oracle is None, n.startswith("w"))
     return dict(sorted(_REGISTRY.items(), key=rank))
 
 
