@@ -328,3 +328,23 @@ def test_merge_batch_into_state_versions_and_running_totals(spark, tmp_path):
     v0 = {r.event_type: r.n_events
           for r in spark.read.parquet(str(state / "v000000")).collect()}
     assert v0 == {"a": 2, "b": 1}
+
+
+def test_write_jsonl_shards_one_file_per_shard(spark, tmp_path):
+    from mousedatapipeline_spark.sources.sinks import write_jsonl_shards
+    df = spark.range(200).selectExpr("id", "CAST(id % 4 AS STRING) AS shard")
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, "shard")
+    import glob
+    import json as _json
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    total = 0
+    for d in dirs:
+        files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
+        assert len(files) == 1, files  # repartition(shard) => one file
+        with open(files[0]) as fh:
+            for line in fh:
+                _json.loads(line)
+                total += 1
+    assert total == 200
