@@ -1290,3 +1290,29 @@ def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("o_orderpriority")).alias("priority"),
         "n_orders",
         stable_round(F.col("revenue_d").cast("double")).alias("revenue"))
+
+
+@register(
+    "q33_approx_percentiles",
+    oracle=None,  # GK-sketch output is implementation-defined; the
+    # rank-error bound is pytest-asserted against the exact q31 result
+    doc="The 100-TB percentile path: approx_percentile (Spark's "
+        "built-in Greenwald-Khanna-style mergeable quantile sketch, "
+        "accuracy 10000 => rank error <= 1e-4) per return flag — "
+        "O(sketch) executor state and map-side merge where q25's exact "
+        "percentile buffers whole groups and q31 pays a full sort. "
+        "Rows-only for the driver; tests/test_sketches.py pins the "
+        "rank-error bound against the exact answer.",
+)
+def q33_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    acc = 10000
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
+        .getItem(0).alias("p50"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
+        .getItem(1).alias("p90"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
+        .getItem(2).alias("p99"))
