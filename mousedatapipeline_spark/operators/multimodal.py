@@ -78,6 +78,8 @@ def attach_synthetic_media(df: DataFrame, id_col: str,
     of ``id_col`` (media_id stays ``id_col``) — lets tests mint
     distinct rows carrying duplicate payloads.
     """
+    if key_col == id_col:
+        key_col = None  # duplicate select would break the pandas zip
     kc = key_col or id_col
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -121,10 +121,15 @@ def cms_estimate(candidates: DataFrame, sketch: DataFrame, hash_col: str,
     probes = candidates.select(*key_cols, F.explode(rows).alias("r")) \
         .select(*key_cols, F.col("r.j").alias("j"),
                 F.col("r.bucket").alias("bucket"))
+    # LEFT join + coalesce-to-0: the grid only materializes non-empty
+    # cells, and an empty cell means "count 0" — an inner join would
+    # drop never-seen candidate keys entirely (instead of est=0) and
+    # min() over only the non-empty cells would overestimate.
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(*key_cols)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("bigint").alias("cms_est"))
     )
 
 
@@ -168,7 +173,7 @@ def hll_registers(df: DataFrame, hash_col: str,
     )
 
 
-def hll_estimate(registers: DataFrame, group_cols: list[str]) -> Column:
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """``alpha * m^2 / (sum_present 2^-M_j + n_absent * 1.0)`` as an
     aggregated DataFrame over the register table.
 

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mousedatapipeline_spark.operators import sampling as SA
-from mousedatapipeline_spark.operators.sketches import string_hash_sql
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
@@ -345,9 +344,12 @@ def s17_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-           CAST(SUM({th}) AS BIGINT) AS text_hash_sum
+           -- md5-prefix integer: constant cost per doc (the
+           -- per-codepoint string_hash fold is O(len^2) on long texts)
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_hash_sum
     FROM h GROUP BY shard
-    """.format(th=string_hash_sql("text")),
+    """,
     doc="Training-data export round trip: documents hashed into 16 md5-"
         "nibble shards, written as one JSONL file per shard dir "
         "(sinks.write_jsonl_shards), read back with an explicit schema, "
@@ -360,7 +362,6 @@ def t16_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from mousedatapipeline_spark.operators.sketches import string_hash
     from mousedatapipeline_spark.sources.sinks import write_jsonl_shards
 
     d = load(spark, sf_dir, "documents").select(
@@ -381,5 +382,5 @@ def t16_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
-        F.sum(string_hash(F.col("text"))).cast("bigint")
-        .alias("text_hash_sum"))
+        F.sum(F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+              .cast("bigint")).cast("bigint").alias("text_hash_sum"))

@@ -1257,8 +1257,10 @@ def q31_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q32_grouping_sets",
     oracle="""
-    SELECT COALESCE(o_orderstatus, '<any>') AS status,
-           COALESCE(o_orderpriority, '<any>') AS priority,
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<any>'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<any>'
+                ELSE o_orderpriority END AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            {rr} AS revenue
     FROM orders

@@ -1031,15 +1031,22 @@ _OUTLIER_K = 5
       FROM dims d JOIN lab la ON d.vec_id = la.vec_id
       GROUP BY 1, 2
     ),
+    cent_arr AS (
+      SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY label
+    ),
+    -- distance as a LEFT-FOLD over the zipped arrays, seeded 0.0 —
+    -- the SAME evaluation order and IEEE ops as the Spark side's
+    -- zip_with/aggregate fold, so d2 is bit-identical (a per-term
+    -- DECIMAL-quantized SUM here would differ by up to dim*5e-11 and
+    -- could straddle a stable_round boundary)
     dist AS (
-      SELECT la.label, d.vec_id,
-             CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv)
-                                AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
-               AS d2
-      FROM dims d
-      JOIN lab la ON d.vec_id = la.vec_id
-      JOIN cent c ON c.label = la.label AND c.dim = d.dim
-      GROUP BY 1, 2
+      SELECT e.label, e.vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(e.embedding) + 1), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - ca.c[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - ca.c[i]))),
+               (acc, x) -> acc + x) AS d2
+      FROM embeddings e JOIN cent_arr ca ON ca.label = e.label
     ),
     ranked AS (
       SELECT label, vec_id, d2,

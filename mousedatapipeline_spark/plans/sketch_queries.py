@@ -31,11 +31,11 @@ _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 _HH_DENOM = 1000
 
 
-def _cms_union_sql(src: str, cnt_col: str, extra_cols: str = "") -> str:
+def _cms_union_sql(src: str, cols: str) -> str:
     """UNION ALL of the d per-row bucket projections of ``src``."""
     return " UNION ALL ".join(
-        f"SELECT {extra_cols}{j} AS j, {K.cms_bucket_sql('th', j)} AS bucket, "
-        f"{cnt_col} FROM {src}"
+        f"SELECT {j} AS j, {K.cms_bucket_sql('th', j)} AS bucket, "
+        f"{cols} FROM {src}"
         for j in range(K.CMS_D))
 
 
@@ -62,8 +62,7 @@ def _cms_union_sql(src: str, cnt_col: str, extra_cols: str = "") -> str:
       SELECT term, exact_cnt, th FROM hashed
       WHERE exact_cnt * {_HH_DENOM} >= (SELECT tot FROM total)
     ),
-    probe AS ({_cms_union_sql('cand', 'term, exact_cnt',
-                              extra_cols='term, exact_cnt, ')})
+    probe AS ({_cms_union_sql('cand', 'term, exact_cnt')})
     SELECT probe.term, probe.exact_cnt,
            CAST(MIN(grid.cnt) AS BIGINT) AS cms_est
     FROM probe JOIN grid USING (j, bucket)

@@ -440,14 +440,11 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     dim = spark.range(20).selectExpr("id AS dim_id",
                                      "CASE WHEN id < 2 THEN 'keep' "
                                      "ELSE 'drop' END AS tag")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # disable broadcast so the reuse-broadcast DPP shortcut isn't
-        # the only path; Spark still plans a pruning subquery
-        fact = spark.read.parquet(fact_path)
-        j = fact.join(dim.filter("tag = 'keep'"), "dim_id")
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "dynamicpruning" in plan.lower(), plan
-        assert j.count() == 200
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # Broadcast stays enabled: the reuse-broadcast DPP path (the
+    # default, and the one a dimension-filtered star join actually
+    # takes) is what this asserts.
+    fact = spark.read.parquet(fact_path)
+    j = fact.join(dim.filter("tag = 'keep'"), "dim_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 200
