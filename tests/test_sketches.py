@@ -163,3 +163,20 @@ def test_q33_approx_percentiles_within_rank_error(spark):
         # percentiles at these small sfs; assert within 2% relative
         for p in ("p50", "p90", "p99"):
             assert abs(r[p] - ex[p]) / ex[p] < 0.02, (p, r, ex)
+
+
+def test_cms_estimate_unseen_key_returns_zero(spark):
+    """A candidate key absent from the build stream must come back with
+    est=0 (empty grid cells mean count 0), not vanish from the output."""
+    built = spark.createDataFrame([("a", 5), ("b", 3)], ["term", "c"])
+    hashed = built.select(
+        "term", "c", K.string_hash(F.col("term")).alias("th"))
+    grid = K.cms_build(hashed, "th", "c")
+    probe = spark.createDataFrame(
+        [("zzz-never-seen",)], ["term"]).select(
+        "term", K.string_hash(F.col("term")).alias("th"))
+    est = K.cms_estimate(probe, grid, "th", ["term"]).collect()
+    assert len(est) == 1
+    # collisions with a/b's cells may lift individual cells, but with
+    # 4 independent rows at w=512 at least one probe bucket is empty
+    assert est[0]["cms_est"] == 0, est
