@@ -40,7 +40,17 @@ def run(argv: list[str] | None = None,
                     help="write the result here (otherwise show 5 rows)")
     ap.add_argument("--format", choices=("parquet", "csv"),
                     default="parquet")
+    ap.add_argument("--settings", default=None,
+                    help="MOUSE_settings.yaml-style file; its sf_dir "
+                         "(engine extension) or saxs_dir supplies "
+                         "--sf-dir when that flag is left at default")
     args = ap.parse_args(argv)
+
+    if args.settings:
+        from mousedatapipeline_spark.config import SettingsCarrier
+        carrier = SettingsCarrier.from_yaml(args.settings)
+        if args.sf_dir == ap.get_default("sf_dir"):
+            args.sf_dir = str(carrier.sf_dir or carrier.saxs_dir)
 
     step_names = args.steps or PROGRAMS[args.program or "full"]
     own_session = spark is None
