@@ -448,3 +448,24 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert j.count() == 200
+
+
+@_needs_data
+def test_s22_incremental_probe_is_equi_join(spark):
+    """The batch-vs-corpus probe must be an equi-join on the band key —
+    never a nested loop — and the asymmetric split must not re-plan as
+    a self-cartesian."""
+    plan = _plan(spark, "s22_incremental_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan, plan
+
+
+@_needs_data
+def test_e10_register_agg_partial_aggregates(spark):
+    """The hourly HLL register groupBy must plan partial+final (map-side
+    max combine) — the O(windows x 64) state property."""
+    plan = _plan(spark, "e10_hourly_distinct_hll")
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan, plan
