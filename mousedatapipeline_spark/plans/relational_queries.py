@@ -1318,3 +1318,57 @@ def q33_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getItem(1).alias("p90"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
         .getItem(2).alias("p99"))
+
+
+@register(
+    "q34_bucketed_join_roundtrip",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rr} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.format(rr=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Bucketed co-located join through the sink: orders and customer "
+        "are written bucketed by custkey (16 buckets, sorted), read "
+        "back from the catalog, and joined with the broadcast threshold "
+        "disabled — the join must carry ZERO exchanges (asserted by a "
+        "plan test), which is THE 100-TB pattern for a fact table "
+        "joined repeatedly on one key. The oracle computes the same "
+        "aggregation straight from the source, so the bucketed write/"
+        "read round trip is value-checked too.",
+)
+def q34_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mousedatapipeline_spark.sources.sinks import write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="mouse_bt_q34_")
+    write_bucketed(o, "q34_orders_b", ["o_custkey"], 16,
+                   sort_cols=["o_custkey"], path=base + "/orders")
+    write_bucketed(c, "q34_customer_b", ["c_custkey"], 16,
+                   sort_cols=["c_custkey"], path=base + "/customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("q34_orders_b")
+             .join(spark.table("q34_customer_b"),
+                   F.col("o_custkey") == F.col("c_custkey")))
+        # Force the join plan to resolve under the no-broadcast conf;
+        # the result DataFrame keeps that physical plan.
+        out = (j.join(F.broadcast(n),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+               .groupBy(F.col("n_name").alias("nation"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    stable_round(dsum("o_totalprice")).alias("revenue")))
+        out.count()  # materialize under the conf (plan is decided here)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -469,3 +469,26 @@ def test_e10_register_agg_partial_aggregates(spark):
     plan = _plan(spark, "e10_hourly_distinct_hll")
     assert "partial_max" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_q34_bucketed_join_zero_exchanges(spark):
+    """With broadcast disabled, the bucketed orders/customer join must
+    sort-merge with ZERO exchanges on the bucketed sides (the nation
+    dim stays an explicit broadcast)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        catalog.all_queries()["q34_bucketed_join_roundtrip"].spark(
+            spark, SF_DIR)  # side effect: writes + registers the tables
+        j = spark.table("q34_orders_b").join(
+            spark.table("q34_customer_b"),
+            spark.table("q34_orders_b").o_custkey
+            == spark.table("q34_customer_b").c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS q34_orders_b")
+        spark.sql("DROP TABLE IF EXISTS q34_customer_b")
