@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
 from mousedatapipeline_spark.operators import sampling as SA
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
@@ -384,3 +388,88 @@ def t16_jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum(F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
               .cast("bigint")).cast("bigint").alias("text_hash_sum"))
+
+
+# --------------------------------------------------------------------------
+# c01: the curation pipeline END-TO-END — the LLM-side analog of
+# m05_pipeline_e2e. Quality gate -> exact dedup -> deterministic split
+# -> per-(split, lang) census, one lazy plan: the quality expressions
+# evaluate in the scan stage, dedup is one window over md5(text), the
+# split predicate is another scan-stage expression, and the census is
+# the single aggregation shuffle.
+# --------------------------------------------------------------------------
+_C01_STOPWORDS_SQL = (
+    "len(list_filter(string_split(lower(text), ' '), "
+    "t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    + "], t)))")
+
+
+@register(
+    "c01_curation_e2e",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             CAST({_SQL_NTOK} AS DOUBLE) AS n_tok,
+             CASE WHEN {_SQL_NTOK} > 0 THEN
+               CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
+               / CAST({_SQL_NTOK} AS DOUBLE) ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0 THEN
+               CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text, n_tok,
+             LEAST(n_tok / 50.0, 1.0) * 0.4
+             + LEAST(sw_ratio * 4.0, 1.0) * 0.3
+             + alpha_ratio * 0.3 AS quality
+      FROM f
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT *, {SA.split_sql_case('doc_id', SPLIT_FRACTIONS)} AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+           {{mq}} AS mean_quality
+    FROM assigned GROUP BY split, lang
+    """.format(mq=stable_round_sql(
+        'CAST(CAST(SUM(CAST(quality AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')),
+    doc="Curation pipeline end-to-end (the LLM-side m05): Gopher-style "
+        "quality gate (scan-stage expressions) -> exact dedup (one "
+        "window over md5(text), canonical = min doc_id) -> "
+        "deterministic md5-range split -> per-(split, lang) census "
+        "with decimal-exact mean quality. One window shuffle + one "
+        "aggregation shuffle, total.",
+)
+def c01_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang", "text",
+        T.token_count(F.col("text")).cast("double").alias("n_tok"),
+        q.alias("quality"))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    assigned = SA.dataset_split(deduped, key="doc_id",
+                                fractions=SPLIT_FRACTIONS)
+    n = F.count(F.lit(1))
+    return assigned.groupBy("split", "lang").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("bigint")).cast("bigint")
+        .alias("total_tokens"),
+        stable_round(
+            F.sum(F.col("quality").cast("decimal(30,10)")).cast("double")
+            / n.cast("double")).alias("mean_quality"))

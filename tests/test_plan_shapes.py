@@ -492,3 +492,13 @@ def test_q34_bucketed_join_zero_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS q34_orders_b")
         spark.sql("DROP TABLE IF EXISTS q34_customer_b")
+
+
+@_needs_data
+def test_c01_curation_two_shuffles(spark):
+    """The end-to-end curation plan is the dedup window + the census
+    aggregation — two data shuffles, quality/split expressions in the
+    scan stage."""
+    plan = _plan(spark, "c01_curation_e2e")
+    assert _count_shuffles(plan) == 2, plan
+    assert "CartesianProduct" not in plan, plan
