@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 LOGBOOK_COLUMNS = (
     "ymd", "batch", "sample_name", "project", "samplethickness",
-    "bg_ymd", "bg_batch", "dbg_ymd", "dbg_batch",
+    "bg_ymd", "bg_batch", "dbg_ymd", "dbg_batch", "use",
 )
 
 
@@ -53,7 +53,8 @@ def load_logbook(spark: SparkSession, path: str) -> DataFrame:
     norm = norm.astype(object).where(pd.notna(norm), None)
     schema = ("ymd string, batch string, sample_name string, "
               "project string, samplethickness string, bg_ymd string, "
-              "bg_batch string, dbg_ymd string, dbg_batch string")
+              "bg_batch string, dbg_ymd string, dbg_batch string, "
+              "use string")
     rows = [tuple(None if v is None else str(v) for v in r)
             for r in norm.itertuples(index=False)]
     df = spark.createDataFrame(rows, schema)
@@ -65,6 +66,14 @@ def load_logbook(spark: SparkSession, path: str) -> DataFrame:
                     F.col("dbg_batch").cast("double").cast("int"))
         .withColumn("samplethickness",
                     F.col("samplethickness").cast("double"))
+        # Only entries flagged for processing are searched
+        # (MOUSE_settings.yaml:14 "set the use flag to True for all
+        # entries that should be searched"); a missing column (all
+        # NULL after _normalize) keeps every row for fixture logbooks
+        # that predate the flag.
+        .filter(F.col("use").isNull()
+                | F.lower(F.col("use")).isin("true", "1", "1.0"))
+        .drop("use")
         # first-match semantics of the reference's linear scan
         # (src/processstep_metadata_update.py:41-48)
         .dropDuplicates(["ymd", "batch"])

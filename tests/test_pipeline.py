@@ -97,3 +97,21 @@ def test_logbook_csv_roundtrip(tmp_path, spark):
     assert len(rows) == 2                      # first-match dedupe
     assert rows[("20240101", 1)]["bg_ymd"] is None   # 'None' -> real NULL
     assert rows[("20240102", 2)]["samplethickness"] == -1.0
+
+
+def test_logbook_use_flag_gates_entries(spark, tmp_path):
+    """Only use=True entries are searched (MOUSE_settings.yaml:14);
+    logbooks without the column keep every row."""
+    from mousedatapipeline_spark.sources.logbook import load_logbook
+    p = tmp_path / "lb_use.csv"
+    p.write_text(
+        "ymd,batch,sample_name,use\n"
+        "20240101,1,S1,True\n"
+        "20240101,2,S2,False\n"
+        "20240102,3,S3,true\n"
+        "20240102,4,S4,\n")  # blank -> NULL -> kept
+    got = {r.batch for r in load_logbook(spark, str(p)).collect()}
+    assert got == {1, 3, 4}
+    q = tmp_path / "lb_noflag.csv"
+    q.write_text("ymd,batch,sample_name\n20240101,1,S1\n20240101,2,S2\n")
+    assert load_logbook(spark, str(q)).count() == 2
