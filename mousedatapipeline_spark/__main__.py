@@ -44,6 +44,12 @@ def run(argv: list[str] | None = None,
                     help="MOUSE_settings.yaml-style file; its sf_dir "
                          "(engine extension) or saxs_dir supplies "
                          "--sf-dir when that flag is left at default")
+    # Selection flags of the reference CLI
+    # (src/directory_processor.py:154-156): restrict the manifest to
+    # one ymd / batch / repetition — predicates evaluate in the scan.
+    ap.add_argument("--ymd", default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--repetition", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.settings:
@@ -58,8 +64,14 @@ def run(argv: list[str] | None = None,
         from mousedatapipeline_spark.session import get_spark
         spark = get_spark("mousedatapipeline_spark_cli")
 
+    from pyspark.sql import functions as F
+
     from mousedatapipeline_spark.plans.mouse_queries import pipeline_inputs
     m, logbook = pipeline_inputs(spark, args.sf_dir)
+    for col, val in (("ymd", args.ymd), ("batch", args.batch),
+                     ("repetition", args.repetition)):
+        if val is not None:
+            m = m.filter(F.col(col) == val)
     out = P.program_from_names(step_names, logbook)(m)
 
     if args.output:

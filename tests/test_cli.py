@@ -42,3 +42,18 @@ def test_csv_sink(spark, tmp_path):
          "--output", out, "--format", "csv"], spark=spark)
     back = (spark.read.option("header", True).csv(out))
     assert back.count() > 0
+
+
+def test_cli_ymd_batch_selection(spark):
+    """--ymd/--batch restrict the manifest like the reference CLI
+    (directory_processor.py:154-156)."""
+    from mousedatapipeline_spark.__main__ import run
+    from mousedatapipeline_spark.plans.mouse_queries import pipeline_inputs
+    m, _ = pipeline_inputs(spark, "/root/testdata/sf0.001")
+    key = m.select("ymd", "batch").first()
+    out = run(["--sf-dir", "/root/testdata/sf0.001", "--program", "nostack",
+               "--ymd", str(key.ymd), "--batch", str(key.batch)],
+              spark=spark)
+    rows = out.collect()
+    assert rows and all(
+        r.ymd == key.ymd and r.batch == key.batch for r in rows)
