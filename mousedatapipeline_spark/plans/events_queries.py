@@ -477,3 +477,67 @@ def e10_hourly_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(F.broadcast(est), "window_start")
             .select("window_start", "n_exact",
                     stable_round(F.col("hll_est_raw")).alias("hll_users")))
+
+
+@register(
+    "e11_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             CAST(date_diff('microseconds', v.t1, MIN(e.ts)) AS BIGINT)
+               AS lat_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ),
+    r AS (
+      SELECT lat_us,
+             ROW_NUMBER() OVER (ORDER BY lat_us) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN lat_us END) AS p50_us,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN lat_us END) AS p90_us,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                    THEN lat_us END) AS p99_us
+    FROM r
+    """,
+    doc="Funnel latency distribution: first view -> first subsequent "
+        "purchase per user, exact nearest-rank p50/p90/p99 of the "
+        "integer-microsecond latency (the q31 two-pass rank-selection "
+        "shape — spillable sort, no whole-group percentile buffers). "
+        "Latencies stay integer micros end-to-end, so no float rounding "
+        "enters the oracle compare at all.",
+)
+def e11_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id", "t1").agg(F.min("ts").alias("t3"))
+         .select((F.unix_micros("t3") - F.unix_micros("t1"))
+                 .cast("bigint").alias("lat_us")))
+    r = p.select(
+        "lat_us",
+        F.row_number().over(W.orderBy("lat_us")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+
+    def pick(q: float, alias: str):
+        tgt = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == tgt, F.col("lat_us"))) \
+            .alias(alias)
+
+    return r.agg(F.max("n").cast("bigint").alias("n_converted"),
+                 pick(0.5, "p50_us"), pick(0.9, "p90_us"),
+                 pick(0.99, "p99_us"))
