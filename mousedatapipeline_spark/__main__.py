@@ -50,6 +50,11 @@ def run(argv: list[str] | None = None,
     ap.add_argument("--ymd", default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--repetition", type=int, default=None)
+    # Batch-range form of the reference's multibatch drivers
+    # (directory_processor_multibatch*.sh: iterate min..max batch; here
+    # one plan covers the whole range).
+    ap.add_argument("--min-batch", type=int, default=None)
+    ap.add_argument("--max-batch", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.settings:
@@ -72,6 +77,10 @@ def run(argv: list[str] | None = None,
                      ("repetition", args.repetition)):
         if val is not None:
             m = m.filter(F.col(col) == val)
+    if args.min_batch is not None:
+        m = m.filter(F.col("batch") >= args.min_batch)
+    if args.max_batch is not None:
+        m = m.filter(F.col("batch") <= args.max_batch)
     out = P.program_from_names(step_names, logbook)(m)
 
     if args.output:

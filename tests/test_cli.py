@@ -57,3 +57,14 @@ def test_cli_ymd_batch_selection(spark):
     rows = out.collect()
     assert rows and all(
         r.ymd == key.ymd and r.batch == key.batch for r in rows)
+
+
+def test_cli_batch_range_selection(spark):
+    """--min-batch/--max-batch cover the multibatch driver scripts'
+    range iteration as ONE plan."""
+    from mousedatapipeline_spark.__main__ import run
+    out = run(["--sf-dir", "/root/testdata/sf0.001", "--program",
+               "nostack", "--min-batch", "200", "--max-batch", "205"],
+              spark=spark)
+    batches = {r.batch for r in out.collect()}
+    assert batches and all(200 <= b <= 205 for b in batches)
