@@ -1218,3 +1218,85 @@ def s22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("new_doc", "corpus_doc")
             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_bands"))
             .filter(F.col("shared_bands") >= MIN_SHARED_BANDS))
+
+
+# --------------------------------------------------------------------------
+# s23: int8 scalar quantization of the embedding column — the storage
+# path for vectors at 100 TB (4x smaller than float32, 8x smaller than
+# the double working form). Per-vector absmax scale, explicit
+# floor(x + 0.5) rounding (engine-defined ROUND never touches the
+# data), and the reconstruction error measured in the same query.
+# --------------------------------------------------------------------------
+@register(
+    "s23_embedding_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+               (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0
+               AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0 THEN
+               list_transform(v, x -> CAST(FLOOR(x / scale + 0.5)
+                                           AS BIGINT))
+             ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv,
+             v
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                            (a, b) -> a + b) AS BIGINT) AS q_sum,
+           {sc} AS scale,
+           {mse} AS mse
+    FROM enc
+    """.format(
+        sc=stable_round_sql("scale"),
+        mse=stable_round_sql(
+            "list_reduce(list_prepend(0.0, list_transform("
+            "range(1, len(v) + 1), i -> (v[i] - qv[i] * scale)"
+            " * (v[i] - qv[i] * scale))), (a, b) -> a + b)"
+            " / CAST(len(v) AS DOUBLE)", 9)),
+    doc="Int8 scalar quantization (absmax / 127, floor(x+0.5) encode): "
+        "per-vector scale, integer checksum of the codes, and the "
+        "reconstruction MSE — all row-local array folds with the same "
+        "left-fold order in both engines (the s20 fix's parity "
+        "pattern), so even the float MSE is bit-identical. At scale "
+        "the int8 codes column replaces the float array in storage and "
+        "ANN probes dequantize on the fly.",
+)
+def s23_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v"))
+    absmax = F.aggregate(
+        "v", F.lit(0.0),
+        lambda a, b: F.when(F.abs(b) > a, F.abs(b)).otherwise(a))
+    scaled = base.select("vec_id", "v", (absmax / F.lit(127.0)).alias("scale"))
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+                    .cast("bigint"))
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint")))
+    enc = scaled.select("vec_id", "v", "scale", qv.alias("qv"))
+    q_sum = F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, b: a + b)
+    sq_err = F.aggregate(
+        F.zip_with("v", "qv", lambda x, q: (x - q * F.col("scale"))
+                   * (x - q * F.col("scale"))),
+        F.lit(0.0), lambda a, b: a + b)
+    # Rounding happens in a SEPARATE select: aliasing the rounded value
+    # back to the name "scale" in the same projection would make the
+    # sq_err lambda's `scale` resolve against the LATERAL alias (the
+    # rounded column), not enc's raw column — Spark 4 lateral column
+    # alias resolution, observed shifting mse in the 3rd digit.
+    raw = enc.select(
+        "vec_id", q_sum.cast("bigint").alias("q_sum"), "scale",
+        (sq_err / F.size("v").cast("double")).alias("mse_raw"))
+    return raw.select(
+        "vec_id", "q_sum",
+        stable_round(F.col("scale")).alias("scale"),
+        stable_round(F.col("mse_raw"), 9).alias("mse"))
