@@ -541,3 +541,53 @@ def e11_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(F.max("n").cast("bigint").alias("n_converted"),
                  pick(0.5, "p50_us"), pick(0.9, "p90_us"),
                  pick(0.99, "p99_us"))
+
+
+@register(
+    "e12_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    m AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           {stable_round_sql(
+               'CAST(n AS DOUBLE) / CAST(SUM(n) OVER '
+               '(PARTITION BY prev_type) AS DOUBLE)')} AS p
+    FROM m
+    """,
+    doc="Behavioral transition matrix (first-order Markov chain over "
+        "per-user event sequences): lag window partitioned by user_id "
+        "— per-user state never leaves its partition, so the sequence "
+        "pass is one user-keyed shuffle at any event volume — then one "
+        "groupBy on the (prev, next) pair. The row-normalizing window "
+        "runs on the |event_types|^2-row matrix, never the event "
+        "stream. Tie-break on event_id makes the lag order (and hence "
+        "the matrix) engine-deterministic.",
+)
+def e12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts",
+                                              "event_id", "event_type")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"))
+    m = (seq.filter(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wp = W.partitionBy("prev_type")
+    return m.select(
+        "prev_type", "next_type", "n",
+        stable_round(F.col("n").cast("double")
+                     / F.sum("n").over(wp).cast("double")).alias("p"))

@@ -1300,3 +1300,63 @@ def s23_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "q_sum",
         stable_round(F.col("scale")).alias("scale"),
         stable_round(F.col("mse_raw"), 9).alias("mse"))
+
+
+# --------------------------------------------------------------------------
+# s24: containment near-dup — the asymmetric companion to s02. Jaccard
+# misses doc-inside-doc duplication (a 50-shingle doc embedded in a
+# 500-shingle doc scores J ~= 0.1 but containment 1.0); dataset-curation
+# pipelines use containment C = |A∩B| / min(|A|,|B|) to catch quote
+# farms, boilerplate-wrapped reposts, and prompt-template expansions.
+# Same blocked (lang, source) pair space and per-row shingle-set
+# expressions as s02 — one small shuffle, pair count bounded by the
+# largest block.
+# --------------------------------------------------------------------------
+@register(
+    "s24_containment_neardup",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_common,
+           {stable_round_sql(
+               'CAST(n_common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE)')}
+             AS containment
+    FROM common JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE) >= 0.85
+    """,
+    doc="Asymmetric containment near-dup: 3-gram shingle containment "
+        "|A∩B|/min(|A|,|B|) >= 0.85 within (lang, source) blocks — "
+        "catches doc-inside-doc duplication that symmetric Jaccard "
+        "(s02) underscores. Same zero-shuffle shingle-set expressions "
+        "and blocked pair generation as s02.",
+)
+def s24_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", "lang", "source",
+        S.shingle_set_col(F.col("text")).alias("shs"),
+    ).withColumn("n", F.size("shs").cast("bigint"))
+    pairs = S.blocked_pairs(
+        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        redistribute=spark.sparkContext.defaultParallelism,
+        combine=lambda x, y: [
+            x["n"].alias("n_1"), y["n"].alias("n_2"),
+            F.size(F.array_intersect(x["shs"], y["shs"]))
+            .cast("bigint").alias("n_common"),
+        ])
+    scored = pairs.withColumn(
+        "containment_raw",
+        F.col("n_common").cast("double")
+        / F.least("n_1", "n_2").cast("double"))
+    return (
+        scored.filter(F.col("containment_raw") >= 0.85)
+        .select("d1", "d2", "n_common",
+                stable_round(F.col("containment_raw")).alias("containment"))
+    )

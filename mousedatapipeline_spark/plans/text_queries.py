@@ -479,3 +479,76 @@ def t14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_tokens"),
         stable_round(dsum("surp") / n.cast("double"))
         .alias("mean_surprisal"))
+
+
+@register(
+    "t15_bigram_surprisal",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             toks[CAST(i AS INT)] AS w1,
+             toks[CAST(i AS INT) + 1] AS w2
+      FROM tk,
+           UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    uni AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ),
+    pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    s AS (
+      SELECT bg.doc_id,
+             LN(CAST(uni.c1 AS DOUBLE)) - LN(CAST(pair.c12 AS DOUBLE)) AS surp
+      FROM bg JOIN pair ON bg.w1 = pair.w1 AND bg.w2 = pair.w2
+              JOIN uni ON bg.w1 = uni.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(surp AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_surprisal
+    FROM s GROUP BY doc_id
+    """,
+    doc="Bigram-LM cross-entropy quality signal (the CCNet 'perplexity "
+        "filter' shape one order up from t14): each bigram scores "
+        "-ln P(w2|w1) = ln c(w1,.) - ln c(w1,w2) against the corpus "
+        "bigram model; the per-doc mean flags incoherent word salad "
+        "that unigram frequency cannot (every word common, no pair "
+        "common). Bigrams are built row-locally (ngrams_from_tokens — "
+        "zero shuffle); the LM tables are two groupBys broadcast back "
+        "to the gram stream while they fit (the t05/t14 pattern; at "
+        "open-vocabulary scale the broadcast degrades to a shuffle "
+        "join on w1,w2 — same plan minus the hint). Decimal-summed "
+        "mean, so partition order cannot move the float.",
+)
+def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    d = load(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
+        .alias("gram"))
+    bg = bg.select(
+        "doc_id",
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"))
+    uni = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"))
+    pair = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12"))
+    s = (bg.join(F.broadcast(pair), ["w1", "w2"])
+         .join(F.broadcast(uni), "w1")
+         .select("doc_id",
+                 (F.log(F.col("c1").cast("double"))
+                  - F.log(F.col("c12").cast("double"))).alias("surp")))
+    n = F.count(F.lit(1))
+    return s.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_bigrams"),
+        stable_round(dsum("surp") / n.cast("double"))
+        .alias("mean_surprisal"))
