@@ -248,3 +248,82 @@ def incremental_agg_merge(old_snap: DataFrame, new_snap: DataFrame,
                      + F.coalesce("_ddrev", zero).cast(DEC))
                     .alias("sum_value"))
             .filter(F.col("n_rows") > 0))
+
+
+def bucketed_exact_quantiles(df: DataFrame, value_col: str,
+                             quantiles: Sequence[tuple[float, str]],
+                             n_alias: str = "n",
+                             n_buckets: int = 4096) -> DataFrame:
+    """Exact nearest-rank quantiles of one integer column WITHOUT a
+    global single-partition sort — the 100-TB plan for global order
+    statistics.
+
+    A global ``row_number() OVER (ORDER BY v)`` funnels every row into
+    ONE window task; ``percentile()`` buffers every value on one
+    executor. Instead:
+
+      job 1 — (count, min, max): one scalar aggregate, 1 collected row.
+      job 2 — histogram of ``<= n_buckets`` value buckets: one groupBy,
+              <= n_buckets collected rows (broadcast-class, the s18
+              Bloom-literal budget). The cumulative histogram locates
+              each target rank's bucket and its within-bucket offset
+              driver-side — O(n_buckets) arithmetic.
+      job 3 — filter to the (few) target buckets, rank WITHIN each
+              bucket (window partitioned by bucket, ~n/n_buckets rows
+              per task under uniformity), pick the offset rows.
+
+    Every stage is fully parallel; driver traffic is two tiny result
+    sets, never data. Nearest-rank semantics (value at rank
+    ``ceil(q*n)``, ascending) — identical to the single-window form,
+    because equal values always share a bucket so within-bucket tie
+    order cannot change the selected VALUE. Heavily skewed
+    distributions degrade gracefully: a hot bucket's window task sees
+    at most that bucket's rows (recurse with a finer histogram if that
+    ever matters; one level suffices below ~n_buckets^2 distinct
+    values... which is 16M buckets of spread).
+
+    ``quantiles``: (q, output_alias) pairs. Returns a 1-row DataFrame
+    ``(n_alias, *aliases)``; all-NULL quantile slots when the input is
+    empty (matching ``MAX(...) OVER`` aggregate semantics on an empty
+    relation).
+    """
+    spark = df.sparkSession
+    v = F.col(value_col)
+    stats = df.agg(F.count(v).alias("n"), F.min(v).alias("lo"),
+                   F.max(v).alias("hi")).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    aliases = [a for _, a in quantiles]
+    if n == 0:
+        row = spark.range(1).select(
+            F.lit(None).cast("bigint").alias(n_alias),
+            *[F.lit(None).cast("bigint").alias(a) for a in aliases])
+        return row
+    width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+    bucket = F.expr(f"CAST(((`{value_col}`) - ({int(lo)})) "
+                    f"DIV {width} AS BIGINT)")
+    hist = sorted(
+        (r["b"], r["c"]) for r in
+        df.groupBy(bucket.alias("b"))
+          .agg(F.count(F.lit(1)).alias("c")).collect())
+    targets: list[tuple[int, int, str]] = []  # (bucket, offset, alias)
+    for q, alias in quantiles:
+        # ceil in DOUBLE, deliberately: the SQL oracles compute
+        # CEIL(q * n) in double too, so float semantics must match.
+        import math
+        rn = max(min(math.ceil(q * n), n), 1)
+        cum = 0
+        for b, c in hist:
+            if cum + c >= rn:
+                targets.append((b, rn - cum, alias))
+                break
+            cum += c
+    want = {b for b, _, _ in targets}
+    from pyspark.sql import Window as W
+    picked = (df.select(v.alias("__v"), bucket.alias("__b"))
+              .filter(F.col("__b").isin(*want))
+              .withColumn("__rn", F.row_number().over(
+                  W.partitionBy("__b").orderBy("__v"))))
+    aggs = [F.max(F.when((F.col("__b") == b) & (F.col("__rn") == off),
+                         F.col("__v"))).cast("bigint").alias(alias)
+            for b, off, alias in targets]
+    return picked.agg(F.lit(n).cast("bigint").alias(n_alias), *aggs)

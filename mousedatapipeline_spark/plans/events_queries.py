@@ -511,13 +511,16 @@ def e10_hourly_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Funnel latency distribution: first view -> first subsequent "
         "purchase per user, exact nearest-rank p50/p90/p99 of the "
-        "integer-microsecond latency (the q31 two-pass rank-selection "
-        "shape — spillable sort, no whole-group percentile buffers). "
+        "integer-microsecond latency via bucketed_exact_quantiles: "
+        "histogram pass + within-bucket rank selection, so no global "
+        "single-partition window ever sees the per-user rows. "
         "Latencies stay integer micros end-to-end, so no float rounding "
         "enters the oracle compare at all.",
 )
 def e11_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     v = (ev.filter(F.col("event_type") == "view")
@@ -528,19 +531,14 @@ def e11_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("user_id", "t1").agg(F.min("ts").alias("t3"))
          .select((F.unix_micros("t3") - F.unix_micros("t1"))
                  .cast("bigint").alias("lat_us")))
-    r = p.select(
-        "lat_us",
-        F.row_number().over(W.orderBy("lat_us")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
-
-    def pick(q: float, alias: str):
-        tgt = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
-        return F.max(F.when(F.col("rn") == tgt, F.col("lat_us"))) \
-            .alias(alias)
-
-    return r.agg(F.max("n").cast("bigint").alias("n_converted"),
-                 pick(0.5, "p50_us"), pick(0.9, "p90_us"),
-                 pick(0.99, "p99_us"))
+    # A global row_number window would funnel every converted user into
+    # one task; the bucketed two-pass keeps the rank selection parallel
+    # (histogram + within-bucket ranks) with identical nearest-rank
+    # semantics — see bucketed_exact_quantiles.
+    return bucketed_exact_quantiles(
+        p, "lat_us",
+        [(0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us")],
+        n_alias="n_converted")
 
 
 @register(

@@ -98,3 +98,44 @@ def test_profile_columns_known_values(spark):
     approx = {r["col_name"]: r["p50"] for r in profile_columns(
         df, ["a", "b"], quantiles=(0.5,), exact=False).collect()}
     assert approx["b"] == 10.0
+
+
+def _nearest_rank(vals, q):
+    s = sorted(vals)
+    return s[max(min(math.ceil(q * len(s)), len(s)), 1) - 1]
+
+
+def test_bucketed_exact_quantiles_matches_nearest_rank(spark):
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
+    rng = np.random.RandomState(7)
+    vals = [int(x) for x in rng.randint(-50_000, 5_000_000, size=2000)]
+    vals += [123456] * 40  # heavy tie block crossing a rank target
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = bucketed_exact_quantiles(
+        df, "v", [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
+        n_alias="n", n_buckets=64).collect()[0]
+    assert row["n"] == len(vals)
+    for q, a in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert row[a] == _nearest_rank(vals, q), (q, row[a])
+
+
+def test_bucketed_exact_quantiles_skew_and_tiny(spark):
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
+    # All mass in one bucket (constant column) and n < n_buckets.
+    df = spark.createDataFrame([(7,)] * 5, "v long")
+    row = bucketed_exact_quantiles(
+        df, "v", [(0.5, "p50"), (1.0, "p100")]).collect()[0]
+    assert (row["n"], row["p50"], row["p100"]) == (5, 7, 7)
+
+
+def test_bucketed_exact_quantiles_empty_is_all_null(spark):
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
+    df = spark.createDataFrame([], "v long")
+    row = bucketed_exact_quantiles(df, "v", [(0.5, "p50")]).collect()[0]
+    assert row["n"] is None and row["p50"] is None
