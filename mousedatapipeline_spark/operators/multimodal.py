@@ -291,3 +291,61 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (cand.select("d1", "d2", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+AUDIO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+])
+
+
+def pcm_samples(body: np.ndarray) -> np.ndarray:
+    """Interpret payload body bytes as little-endian int16 PCM in
+    [-1, 1). STUB BOUNDARY: a real pipeline decodes WAV/FLAC/OGG here
+    (soundfile/ffmpeg — not in this container); the synthetic MMSYN
+    body IS the raw PCM, so the framing/feature math downstream is
+    real."""
+    raw = body[:len(body) - (len(body) % 2)].tobytes()
+    return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+
+
+def audio_frame_features(media: DataFrame, frame_len: int = 64,
+                         hop: int = 32) -> DataFrame:
+    """Frame-sampled audio features via Arrow ``mapInPandas``: each
+    audio clip's PCM stream is cut into ``frame_len``-sample windows
+    every ``hop`` samples; per frame, RMS energy and zero-crossing
+    rate — the canonical speech/VAD front-end features (and the shape
+    any learned audio encoder consumes: [n_frames, d] per clip).
+
+    Non-audio rows are dropped inside the kernel (no separate filter
+    pass over the payload column). Scale: narrow transformation —
+    payloads never shuffle; output rows are a few scalars per frame.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.meta["media_type"] != "audio":
+                    continue
+                pcm = pcm_samples(decode_payload(bytes(rec.payload))["body"])
+                for k, start in enumerate(
+                        range(0, max(len(pcm) - frame_len, 0) + 1, hop)):
+                    fr = pcm[start:start + frame_len]
+                    if not len(fr):
+                        continue
+                    flips = np.signbit(fr[1:]) != np.signbit(fr[:-1])
+                    rows.append({
+                        "media_id": rec.media_id,
+                        "frame_idx": k,
+                        "n_samples": len(fr),
+                        "rms": float(np.sqrt(np.mean(fr * fr))),
+                        "zcr": (float(np.mean(flips))
+                                if len(fr) > 1 else 0.0),
+                    })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in AUDIO_FRAME_SCHEMA])
+
+    return media.mapInPandas(run, AUDIO_FRAME_SCHEMA)

@@ -144,6 +144,38 @@ def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm04_audio_frame_features",
+    oracle=None,  # PCM framing kernel: rows-only; closed-form tests
+    doc="Audio modality front-end: payload PCM framed into 64-sample "
+        "windows every 32 samples inside one narrow mapInPandas pass, "
+        "per-frame RMS energy + zero-crossing rate, rolled up per clip "
+        "(frame count, mean/peak energy, mean ZCR, loudest frame by "
+        "min(frame_idx) tie-break). The decode step is the documented "
+        "MMSYN stub; the framing/feature math and the Arrow batch "
+        "plumbing are real. Payloads never shuffle — only per-frame "
+        "scalar rows reach the clip-level groupBy.",
+)
+def mm04_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+    from mousedatapipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(300)
+    media = attach_synthetic_media(docs, "doc_id")
+    frames = audio_frame_features(media, frame_len=64, hop=32)
+    n = F.count(F.lit(1))
+    # min over (-rms, frame_idx) = loudest frame, lowest index on ties.
+    loudest = F.min(F.struct((-F.col("rms")).alias("neg_rms"),
+                             F.col("frame_idx")))
+    return frames.groupBy("media_id").agg(
+        n.cast("bigint").alias("n_frames"),
+        stable_round(dsum("rms") / n.cast("double")).alias("mean_rms"),
+        stable_round(F.max("rms")).alias("peak_rms"),
+        stable_round(dsum("zcr") / n.cast("double")).alias("mean_zcr"),
+        loudest["frame_idx"].alias("loudest_frame"))
+
+
+@register(
     "m15_kernel_flux_pipeline",
     oracle=None,  # numpy kernel upstream: rows-only; closed-form tests
     doc="Kernel->physics integration (SURVEY §7.2 step 4: kernels "

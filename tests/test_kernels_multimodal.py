@@ -239,3 +239,45 @@ def test_m15_kernel_flux_integration(spark):
                             / (1.0 + 0.15 * (max(rs) - 1)))
             assert abs(r.min_transmission - expected_min) < 0.01, \
                 (r, expected_min)
+
+
+def _audio_payload(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mint an MMSYN payload whose body is the given int16 PCM."""
+    import struct
+    body = samples.astype("<i2").tobytes()
+    header = struct.pack("<IIII", 0, 0, 1, rate)
+    return b"MMSYN" + header + body
+
+
+def test_pcm_samples_scaling_and_odd_byte_drop():
+    body = np.frombuffer(
+        np.array([16384, -32768, 0], dtype="<i2").tobytes() + b"\x7f",
+        dtype=np.uint8)
+    pcm = M.pcm_samples(body)
+    assert pcm.tolist() == [0.5, -1.0, 0.0]  # trailing odd byte dropped
+
+
+def test_audio_frame_features_closed_form(spark):
+    # Alternating full-scale square wave: every consecutive pair flips
+    # sign -> zcr = 1.0; |sample| = 16384 -> rms = 0.5 exactly.
+    sq = np.tile([16384, -16384], 64)  # 128 samples -> 3 hops of 32
+    const = np.full(96, 8192)          # zcr 0.0, rms 0.25
+    rows = [(1, _audio_payload(sq), ("audio", 0, 0, 1, 16000)),
+            (2, _audio_payload(const), ("audio", 0, 0, 1, 16000)),
+            (3, _audio_payload(sq), ("image", 0, 0, 1, 0))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.audio_frame_features(media, frame_len=64, hop=32) \
+        .collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 3 not in by_id  # non-audio rows dropped in-kernel
+    f1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f1] == [0, 1, 2]
+    assert all(r["n_samples"] == 64 for r in f1)
+    assert all(math.isclose(r["rms"], 0.5, rel_tol=1e-12) for r in f1)
+    assert all(math.isclose(r["zcr"], 63 / 63, rel_tol=1e-12) for r in f1)
+    f2 = by_id[2]
+    assert len(f2) == 2  # 96 samples, frame 64 hop 32 -> starts 0, 32
+    assert all(math.isclose(r["rms"], 0.25, rel_tol=1e-12) for r in f2)
+    assert all(r["zcr"] == 0.0 for r in f2)
