@@ -1360,3 +1360,74 @@ def s24_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "n_common",
                 stable_round(F.col("containment_raw")).alias("containment"))
     )
+
+
+# --------------------------------------------------------------------------
+# s25: ANN quality evaluation — recall@3 of the LSH path (s06) against
+# the exact baseline (s05). Approximations in a curation pipeline need
+# a measured recall number, not a vibe: this query IS that harness, and
+# it reuses the two registered queries (and their oracles) verbatim so
+# the evaluated plans are exactly the production ones.
+# --------------------------------------------------------------------------
+def _registered_oracle(name: str) -> str:
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "s25_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT qid, cid FROM ({{s05}}) x WHERE rank <= 3
+    ),
+    ann AS (
+      SELECT qid, cid FROM ({{s06}}) y
+    ),
+    hit AS (
+      SELECT e.qid, CAST(COUNT(a.cid) AS BIGINT) AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+      GROUP BY e.qid
+    )
+    SELECT qid, n_exact, n_hit,
+           {stable_round_sql('CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)')}
+             AS recall
+    FROM hit
+    """,
+    doc="ANN recall harness: per query vector, recall@3 of the s06 "
+        "LSH-bucketed path against the s05 exact baseline — the two "
+        "registered queries (Spark plans AND oracles) are composed "
+        "verbatim, so the number measures the production plans, not a "
+        "reimplementation. The join/aggregate runs on the top-k rows "
+        "(k x n_queries), never the corpus.",
+)
+def s25_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (s05_knn_cosine(spark, sf_dir)
+             .filter(F.col("rank") <= 3).select("qid", "cid"))
+    ann = s06_ann_lsh(spark, sf_dir).select("qid", "cid",
+                                            F.lit(1).alias("__hit"))
+    j = exact.join(ann, ["qid", "cid"], "left")
+    return (j.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                 F.count("__hit").cast("bigint").alias("n_hit"))
+            .select("qid", "n_exact", "n_hit",
+                    stable_round(F.col("n_hit").cast("double")
+                                 / F.col("n_exact").cast("double"))
+                    .alias("recall")))
+
+
+# Patch the {s05}/{s06} placeholders with the registered oracle texts
+# (single source of truth — the recall oracle always evaluates exactly
+# what s05/s06 evaluate).
+def _finalize_s25_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s25_ann_recall"]
+    _REGISTRY["s25_ann_recall"] = replace(
+        spec, oracle=spec.oracle.format(
+            s05=_registered_oracle("s05_knn_cosine"),
+            s06=_registered_oracle("s06_ann_lsh")))
+
+
+_finalize_s25_oracle()
