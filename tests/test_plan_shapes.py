@@ -146,7 +146,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # heavy-hitter threshold, t14 scales
                                   # by the corpus token total
                                   "k01_cms_heavy_hitters",
-                                  "t14_unigram_surprisal"}
+                                  "t14_unigram_surprisal",
+                                  # composes s05, inheriting its
+                                  # declared brute-force product
+                                  "s25_ann_recall"}
 
 
 @_needs_data
@@ -502,3 +505,50 @@ def test_c01_curation_two_shuffles(spark):
     plan = _plan(spark, "c01_curation_e2e")
     assert _count_shuffles(plan) == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@_needs_data
+def test_e12_single_data_shuffle_before_matrix(spark):
+    """The per-user lag and the (prev, next) groupBy: the lag shuffles
+    on user_id, the matrix groupBy shuffles the lag output, and the
+    normalizing window re-uses the matrix partitioning — more than 3
+    exchanges means per-event data started moving twice."""
+    plan = _plan(spark, "e12_event_transitions")
+    assert _count_shuffles(plan) <= 3, plan
+
+
+@_needs_data
+def test_e12_no_global_window(spark):
+    """The normalizing window must be partitioned (by prev_type) —
+    an empty partition spec would single-task the matrix."""
+    plan = _plan(spark, "e12_event_transitions")
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip(), plan
+
+
+@_needs_data
+def test_t15_lm_tables_are_broadcast(spark):
+    """Both LM tables (bigram counts, left-unigram counts) join the
+    gram stream as broadcasts while they fit."""
+    plan = _plan(spark, "t15_bigram_surprisal")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+@_needs_data
+def test_s24_no_cartesian_or_sort_merge_self_join(spark):
+    """Containment pairs come from blocked_pairs (array pair-gen),
+    never a self-join of the shingle stream."""
+    plan = _plan(spark, "s24_containment_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@_needs_data
+def test_e11_no_global_window(spark):
+    """bucketed_exact_quantiles' rank window partitions by bucket; a
+    windowspecdefinition with an empty partition clause would mean the
+    global-sort shape regressed."""
+    plan = _plan(spark, "e11_conversion_latency")
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "__b" in spec, plan
