@@ -473,3 +473,72 @@ def c01_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(
             F.sum(F.col("quality").cast("decimal(30,10)")).cast("double")
             / n.cast("double")).alias("mean_quality"))
+
+
+# c02 oracle fragments — token count and stopword count, the stopword
+# list taken FROM operators/text.py so the two sides cannot drift.
+_SQL_C02_NTOK = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
+
+
+def _sql_c02_stopwords() -> str:
+    lst = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    return ("len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains([{lst}], t)))")
+
+
+@register(
+    "c02_dedup_funnel_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST({_SQL_C02_NTOK} AS BIGINT) AS n_tok,
+             LEAST(CAST({_SQL_C02_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
+             + LEAST(CASE WHEN {_SQL_C02_NTOK} > 0 THEN
+                 CAST({_sql_c02_stopwords()} AS DOUBLE)
+                 / CAST({_SQL_C02_NTOK} AS DOUBLE)
+                 ELSE 0.0 END * 4.0, 1.0) * 0.3
+             + CASE WHEN length(text) > 0 THEN
+                 CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.3
+               AS quality
+      FROM documents
+    ),
+    canon AS (SELECT h, MIN(doc_id) AS cid FROM base GROUP BY h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id = cid THEN 1 END) AS BIGINT)
+             AS n_after_exact,
+           CAST(COUNT(CASE WHEN doc_id = cid AND quality >= 0.5 THEN 1 END)
+                AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN doc_id = cid AND quality >= 0.5
+                                  THEN n_tok END), 0) AS BIGINT)
+             AS tokens_final
+    FROM base JOIN canon ON base.h = canon.h
+    GROUP BY source
+    """,
+    doc="Curation funnel report: per source, raw doc count -> survivors "
+        "of exact dedup (doc is canonical iff doc_id = min over its md5 "
+        "group) -> survivors of the t03 quality gate, plus the final "
+        "token budget — the dashboard a data-mixing decision reads. "
+        "Two shuffles (hash groupBy + the canonical join, both keyed "
+        "on the content hash) and one source rollup; the quality "
+        "signal evaluates in the scan stage. The stopword list is "
+        "shared with operators/text.py (EN_STOPWORDS).",
+)
+def c02_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        T.content_hash(F.col("text")).alias("h"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        T.quality_score(F.col("text")).alias("quality"))
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("cid"))
+    j = base.join(canon, "h")
+    is_canon = F.col("doc_id") == F.col("cid")
+    is_final = is_canon & (F.col("quality") >= 0.5)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(is_canon, 1)).cast("bigint").alias("n_after_exact"),
+        F.count(F.when(is_final, 1)).cast("bigint").alias("n_final"),
+        F.coalesce(F.sum(F.when(is_final, F.col("n_tok"))), F.lit(0))
+        .cast("bigint").alias("tokens_final"))

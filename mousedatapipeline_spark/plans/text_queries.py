@@ -552,3 +552,72 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_bigrams"),
         stable_round(dsum("surp") / n.cast("double"))
         .alias("mean_surprisal"))
+
+
+_CLS_MOD = 2147483647
+# Per-token classifier weight: hash the token into one of 64 feature
+# buckets, then derive a pseudo-weight in [-1, 1] from the bucket. The
+# integer chain is exact in both engines; only /1000.0 makes a double,
+# identically on both sides.
+_CLS_TOKEN_HASH = ("((ascii(substr({t}, 1, 1)) * 8191 "
+                   " + ascii(substr({t}, length({t}), 1)) * 131 "
+                   " + length({t})) % 2147483647) % 64")
+_CLS_WEIGHT = ("(CAST((({h}) * 2654435761 + 40503) % 2147483647 % 2001 "
+               "AS DOUBLE) / 1000.0 - 1.0)")
+
+
+@register(
+    "t17_classifier_filter",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(0.0,
+               list_transform(toks, t -> {_CLS_WEIGHT.format(
+                   h=_CLS_TOKEN_HASH.format(t='t'))})),
+               (acc, w) -> acc + w) AS logit
+      FROM tk
+    )
+    SELECT doc_id, n_tokens,
+           {stable_round_sql('logit')} AS logit,
+           {stable_round_sql('1.0 / (1.0 + exp(-logit))')} AS score,
+           CAST(logit > 0 AS INT) AS keep
+    FROM sc
+    """,
+    doc="Hashed linear quality classifier (the fasttext-filter shape "
+        "used by CCNet/RefinedWeb keep/drop gates): tokens hash into "
+        "64 feature buckets, each bucket carries a deterministic "
+        "pseudo-weight, and the document logit is one row-local left "
+        "fold — classifier INFERENCE as a scan-stage column "
+        "expression, zero shuffles, no UDF. Identical fold order in "
+        "both engines (list_reduce vs F.aggregate) makes even the raw "
+        "float logit bit-identical; a real model would load its "
+        "weight table as a broadcast map or array literal, same plan.",
+)
+def t17_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+
+    def weight(t):
+        h = ((F.ascii(F.substring(t, 1, 1)).cast("bigint") * 8191
+              + F.ascii(F.substring(t, F.length(t), F.lit(1)))
+              .cast("bigint") * 131
+              + F.length(t)) % _CLS_MOD) % 64
+        return ((h * F.lit(2_654_435_761) + F.lit(40_503))
+                % _CLS_MOD % 2001).cast("double") / F.lit(1000.0) \
+            - F.lit(1.0)
+
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sc = tk.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate("toks", F.lit(0.0),
+                    lambda acc, t: acc + weight(t)).alias("logit_raw"))
+    return sc.select(
+        "doc_id", "n_tokens",
+        stable_round(F.col("logit_raw")).alias("logit"),
+        stable_round(F.lit(1.0)
+                     / (F.lit(1.0) + F.exp(-F.col("logit_raw"))))
+        .alias("score"),
+        (F.col("logit_raw") > 0).cast("int").alias("keep"))
