@@ -55,6 +55,11 @@ def run(argv: list[str] | None = None,
     # one plan covers the whole range).
     ap.add_argument("--min-batch", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=None)
+    # Catalog escape hatch: run any registered query by name instead
+    # of a step program (python -m mousedatapipeline_spark --query
+    # s03_minhash_lsh --sf-dir ... [--output ...]). `--query list`
+    # prints the inventory.
+    ap.add_argument("--query", default=None, metavar="NAME|list")
     args = ap.parse_args(argv)
 
     if args.settings:
@@ -62,6 +67,13 @@ def run(argv: list[str] | None = None,
         carrier = SettingsCarrier.from_yaml(args.settings)
         if args.sf_dir == ap.get_default("sf_dir"):
             args.sf_dir = str(carrier.sf_dir or carrier.saxs_dir)
+
+    if args.query == "list":
+        from mousedatapipeline_spark.plans.catalog import all_queries
+        for name, spec in all_queries().items():
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return None
 
     step_names = args.steps or PROGRAMS[args.program or "full"]
     own_session = spark is None
@@ -71,17 +83,28 @@ def run(argv: list[str] | None = None,
 
     from pyspark.sql import functions as F
 
-    from mousedatapipeline_spark.plans.mouse_queries import pipeline_inputs
-    m, logbook = pipeline_inputs(spark, args.sf_dir)
-    for col, val in (("ymd", args.ymd), ("batch", args.batch),
-                     ("repetition", args.repetition)):
-        if val is not None:
-            m = m.filter(F.col(col) == val)
-    if args.min_batch is not None:
-        m = m.filter(F.col("batch") >= args.min_batch)
-    if args.max_batch is not None:
-        m = m.filter(F.col("batch") <= args.max_batch)
-    out = P.program_from_names(step_names, logbook)(m)
+    if args.query:
+        from mousedatapipeline_spark.plans.catalog import all_queries
+        qs = all_queries()
+        if args.query not in qs:
+            ap.error(f"unknown query {args.query!r} "
+                     f"(--query list shows the catalog)")
+        out = qs[args.query].spark(spark, args.sf_dir)
+        step_names = [f"query:{args.query}"]
+    else:
+        from mousedatapipeline_spark.plans.mouse_queries import (
+            pipeline_inputs,
+        )
+        m, logbook = pipeline_inputs(spark, args.sf_dir)
+        for col, val in (("ymd", args.ymd), ("batch", args.batch),
+                         ("repetition", args.repetition)):
+            if val is not None:
+                m = m.filter(F.col(col) == val)
+        if args.min_batch is not None:
+            m = m.filter(F.col("batch") >= args.min_batch)
+        if args.max_batch is not None:
+            m = m.filter(F.col("batch") <= args.max_batch)
+        out = P.program_from_names(step_names, logbook)(m)
 
     if args.output:
         writer = out.write.mode("overwrite")

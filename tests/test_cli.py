@@ -68,3 +68,25 @@ def test_cli_batch_range_selection(spark):
               spark=spark)
     batches = {r.batch for r in out.collect()}
     assert batches and all(200 <= b <= 205 for b in batches)
+
+
+@_needs_data
+def test_cli_query_escape_hatch(spark, tmp_path):
+    out = str(tmp_path / "q01")
+    df = run(["--sf-dir", SF_DIR, "--query", "q01_pricing_summary",
+              "--output", out], spark=spark)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count() > 0
+    assert "sum_qty" in back.columns
+
+
+def test_cli_query_list_needs_no_session(capsys):
+    assert run(["--query", "list"]) is None
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 100
+    assert any(line.startswith("q01_pricing_summary\t") for line in lines)
+
+
+def test_cli_unknown_query_errors():
+    with pytest.raises(SystemExit):
+        run(["--query", "no_such_query"])
