@@ -1431,3 +1431,129 @@ def _finalize_s25_oracle() -> None:
 
 
 _finalize_s25_oracle()
+
+
+# --------------------------------------------------------------------------
+# s26: MinHash estimator accuracy — the s25 idea applied to the dedup
+# sketch. E[matching lanes / N_PERM] = exact Jaccard; this measures the
+# realized error on the live candidate pairs, so threshold choices
+# (MIN_SHARED_BANDS, VERIFY_JACCARD) rest on a number, not the theory
+# alone. Candidates and exact Jaccard reuse the s19 machinery verbatim.
+# --------------------------------------------------------------------------
+def _lane_match_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(S.N_PERM))
+
+
+@register(
+    "s26_minhash_accuracy",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()}),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ),
+    lanes AS (
+      SELECT c.d1, c.d2,
+             CAST({_lane_match_sql()} AS BIGINT) AS n_lanes
+      FROM cand c JOIN mh a ON a.doc_id = c.d1
+                  JOIN mh b ON b.doc_id = c.d2
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT l.d1, l.d2, l.n_lanes,
+           {stable_round_sql(f'CAST(l.n_lanes AS DOUBLE) / {S.N_PERM}.0')}
+             AS est_jaccard,
+           {stable_round_sql(
+               'CAST(m.n_common AS DOUBLE) '
+               '/ CAST(s1.n + s2.n - m.n_common AS DOUBLE)')}
+             AS exact_jaccard,
+           {stable_round_sql(
+               f'ABS(CAST(l.n_lanes AS DOUBLE) / {S.N_PERM}.0 '
+               '- CAST(m.n_common AS DOUBLE) '
+               '/ CAST(s1.n + s2.n - m.n_common AS DOUBLE))')}
+             AS abs_err
+    FROM lanes l
+    JOIN common m ON m.d1 = l.d1 AND m.d2 = l.d2
+    JOIN sz s1 ON s1.doc_id = l.d1
+    JOIN sz s2 ON s2.doc_id = l.d2
+    """,
+    doc="MinHash estimator accuracy on the live LSH candidate pairs: "
+        "matching-lane fraction (the sketch's Jaccard estimate) next "
+        "to the exact shingle-set Jaccard and the absolute error — "
+        "the measured basis for the banding thresholds. One corpus "
+        "pass feeds signatures, candidates, AND the verify sets "
+        "(the s19 shape); the lane compare joins k-lane signature "
+        "rows, never shingle sets.",
+)
+def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    hashed = (d.select("doc_id", "lang",
+                       S.shingle_set_col(F.col("text")).alias("ss"))
+              .filter(F.size("ss") > 0)
+              .select("doc_id", "lang",
+                      F.transform("ss", S.shingle_hash).alias("hs"),
+                      F.size("ss").cast("bigint").alias("n"))
+              .localCheckpoint(eager=False))
+    sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
+           .localCheckpoint(eager=False))  # joined twice below
+    bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
+             .localCheckpoint(eager=False))
+    ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
+                      "band_sig")
+    bb = bands.select(F.col("doc_id").alias("d2"), "lang", "band",
+                      "band_sig")
+    cands = (ba.join(bb, ["lang", "band", "band_sig"])
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("shared_bands"))
+             .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
+             .select("d1", "d2")
+             .localCheckpoint(eager=False))
+    lane_match = sum(
+        (F.when(F.col(f"mh{i}_1") == F.col(f"mh{i}_2"), 1).otherwise(0)
+         for i in range(1, S.N_PERM)),
+        F.when(F.col("mh0_1") == F.col("mh0_2"), 1).otherwise(0))
+    sa = sig.select(F.col("doc_id").alias("d1"),
+                    *[F.col(f"mh{i}").alias(f"mh{i}_1")
+                      for i in range(S.N_PERM)])
+    sb = sig.select(F.col("doc_id").alias("d2"),
+                    *[F.col(f"mh{i}").alias(f"mh{i}_2")
+                      for i in range(S.N_PERM)])
+    lanes = (cands.join(sa, "d1").join(sb, "d2")
+             .select("d1", "d2",
+                     lane_match.cast("bigint").alias("n_lanes")))
+    cand_ids = (cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+                .distinct())
+    sets = (hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", "hs", "n"))
+    s1 = sets.select(F.col("doc_id").alias("d1"),
+                     F.col("hs").alias("ss1"), F.col("n").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"),
+                     F.col("hs").alias("ss2"), F.col("n").alias("n2"))
+    joined = lanes.join(s1, "d1").join(s2, "d2")
+    n_common = F.size(F.array_intersect("ss1", "ss2")).cast("bigint")
+    est = F.col("n_lanes").cast("double") / F.lit(float(S.N_PERM))
+    exact = (n_common.cast("double")
+             / (F.col("n1") + F.col("n2") - n_common).cast("double"))
+    return joined.select(
+        "d1", "d2", "n_lanes",
+        stable_round(est).alias("est_jaccard"),
+        stable_round(exact).alias("exact_jaccard"),
+        stable_round(F.abs(est - exact)).alias("abs_err"))

@@ -193,3 +193,29 @@ def test_incremental_agg_merge_equals_direct(spark, old_rows, new_rows):
                   F.sum(F.col("v").cast("decimal(30,10)")).alias("s"))
               .collect()}
     assert got == direct
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                min_size=1, max_size=120),
+       st.lists(st.floats(min_value=0.01, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=4),
+       st.sampled_from([2, 7, 64]))
+def test_bucketed_exact_quantiles_property(spark, vals, qs, n_buckets):
+    """For any int multiset, any quantile set, any bucket granularity:
+    the bucketed two-pass must equal nearest-rank selection on the
+    sorted list (ties, negatives, huge spans, n < n_buckets included).
+    """
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    pairs = [(q, f"p{i}") for i, q in enumerate(qs)]
+    row = bucketed_exact_quantiles(df, "v", pairs,
+                                   n_buckets=n_buckets).collect()[0]
+    s = sorted(vals)
+    assert row["n"] == len(vals)
+    for q, a in pairs:
+        expect = s[max(min(math.ceil(q * len(s)), len(s)), 1) - 1]
+        assert row[a] == expect, (q, n_buckets, row[a], expect)
