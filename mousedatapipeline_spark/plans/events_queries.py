@@ -589,3 +589,55 @@ def e12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n",
         stable_round(F.col("n").cast("double")
                      / F.sum("n").over(wp).cast("double")).alias("p"))
+
+
+@register(
+    "e13_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           {stable_round_sql(
+               'CAST(MAX(cnt) AS DOUBLE) * COUNT(*) '
+               '/ CAST(SUM(cnt) AS DOUBLE)')} AS skew_ratio,
+           {stable_round_sql(
+               'CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE)'
+               ' / CAST(SUM(cnt) AS DOUBLE)')} AS top10_share
+    FROM ranked
+    """,
+    doc="Join-key skew diagnostics for the salting decision (the e04 "
+        "hot-key fallback is chosen FROM numbers like these): per-key "
+        "counts in one shuffle, then key count, max/mean hot-key ratio "
+        "and top-10 concentration. The ranking window runs on the "
+        "per-key aggregate (|keys| rows, not |events|); at open-ended "
+        "key cardinality the top-10 share would switch to a "
+        "TakeOrdered top-k + broadcast-back instead of the window.",
+)
+def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranked = per_key.select(
+        "cnt", F.row_number().over(
+            W.orderBy(F.col("cnt").desc(), "user_id")).alias("rk"))
+    n_keys = F.count(F.lit(1))
+    n_events = F.sum("cnt")
+    return ranked.agg(
+        n_keys.cast("bigint").alias("n_keys"),
+        n_events.cast("bigint").alias("n_events"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        stable_round(F.max("cnt").cast("double") * n_keys.cast("double")
+                     / n_events.cast("double")).alias("skew_ratio"),
+        stable_round(F.sum(F.when(F.col("rk") <= 10, F.col("cnt"))
+                           .otherwise(F.lit(0))).cast("double")
+                     / n_events.cast("double")).alias("top10_share"))
