@@ -534,10 +534,13 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
         .alias("gram"))
+    # Three consumers read this stream (both LM builds + the probe);
+    # checkpoint so tokenize/explode runs once, not three times.
     bg = bg.select(
         "doc_id",
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"))
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2")) \
+        .localCheckpoint(eager=False)
     uni = bg.groupBy("w1").agg(
         F.count(F.lit(1)).cast("bigint").alias("c1"))
     pair = bg.groupBy("w1", "w2").agg(
