@@ -580,3 +580,129 @@ def w06_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = K.hll_estimate(registers, ["event_type"])
     return est.select("event_type",
                       stable_round(F.col("hll_est_raw")).alias("hll_users"))
+
+
+# --------------------------------------------------------------------------
+# w07: streaming quantile maintenance with BOUNDED state. Exact
+# streaming quantiles need unbounded state, so the production shape is
+# a mergeable fixed-bucket histogram: each micro-batch folds its bucket
+# counts into a versioned state table capped at N_BUCKETS rows forever,
+# and quantiles read off the cumulative histogram. The oracle computes
+# the same histogram quantile from the batch table — streaming merge ==
+# full recompute, hash-exact, because the bucketing (declared domain,
+# integer arithmetic) is deterministic on both engines.
+# --------------------------------------------------------------------------
+_W07_DOMAIN_CENTS = 50_000   # declared value domain [0, 500) dollars
+_W07_BUCKET_WIDTH = 16       # 3125 buckets -> state <= 3125 rows forever
+_W07_QS = ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents"))
+
+_W07_BUCKET_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 0), "
+    f"{_W07_DOMAIN_CENTS - 1}) // {_W07_BUCKET_WIDTH}")
+
+
+def _w07_bucket_col() -> F.Column:
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    clamped = F.least(F.greatest(cents, F.lit(0)),
+                      F.lit(_W07_DOMAIN_CENTS - 1))
+    # (x - x % w) / w == x DIV w for non-negative x, in exact bigint.
+    return (clamped - clamped % _W07_BUCKET_WIDTH) / _W07_BUCKET_WIDTH
+
+
+def _w07_merge(batch: DataFrame, batch_id: int, state_dir: Path) -> None:
+    spark = batch.sparkSession
+    b = (batch.select(_w07_bucket_col().cast("bigint").alias("bucket"))
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    versions = sorted(state_dir.glob("v*"))
+    if versions:
+        prev = spark.read.parquet(str(versions[-1]))
+        b = (prev.unionByName(b).groupBy("bucket")
+             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    b.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id:06d}"))
+
+
+@register(
+    "w07_stream_quantile_histogram",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_W07_BUCKET_SQL} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             SUM(cnt) OVER () AS n
+      FROM h
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum >= CEIL({q} * n) "
+               f"THEN bucket * {_W07_BUCKET_WIDTH} END) AS BIGINT) "
+               f"AS {alias}"
+               for q, alias in _W07_QS)}
+    FROM c
+    """,
+    doc="Streaming quantile maintenance with bounded state: events "
+        "drain one chunk per trigger; foreachBatch folds each batch's "
+        "fixed-bucket value histogram (declared [0,500) dollar domain, "
+        "16-cent buckets -> <= 3125 state rows forever) into a "
+        "versioned state table; p50/p90/p99 read off the cumulative "
+        "histogram as bucket lower bounds. Oracle = the identical "
+        "histogram quantile over the batch table — merge-parity is "
+        "hash-exact because the bucketing is integer-deterministic. "
+        "The cumulative window runs on the histogram, never events.",
+)
+def w07_stream_quantile_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w07_"))
+    landing = work / "landing"
+    landing.mkdir()
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    tmp = work / "_tmp"
+    ev.repartitionByRange(3, "event_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+
+    state_dir = work / "state"
+    state_dir.mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.format("parquet")
+              .schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: _w07_merge(b, i, state_dir))
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = sorted(state_dir.glob("v*"))[-1]
+    hist = spark.read.parquet(str(final))
+    c = hist.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(W.orderBy("bucket")
+                          .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"))
+    return c.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        *[F.min(F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                       F.col("bucket") * _W07_BUCKET_WIDTH))
+          .cast("bigint").alias(alias)
+          for q, alias in _W07_QS])
