@@ -247,3 +247,52 @@ def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = train.filter(bloom.might_contain(blit, "gram"))
     exact = candidates.join(F.broadcast(ev), "gram", "left_semi")
     return exact.select("doc_id").distinct()
+
+
+@register(
+    "t18_novelty_scan",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM - 1}], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, greatest(len(t) - {NGRAM - 1}, 0)))
+           AS u(i)
+    ),
+    first AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {stable_round_sql(
+               'CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 '
+               'END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')} AS novelty
+    FROM g JOIN first f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    doc="Corpus novelty scan (incremental-ingestion dedup signal): per "
+        "document, the fraction of its distinct 5-grams whose global "
+        "first occurrence (min doc_id = arrival order) is this "
+        "document — 1.0 = all-new content, ~0 = fully covered by "
+        "earlier arrivals, the keep/skip signal an append-only corpus "
+        "applies before admitting a crawl batch. One gram-keyed "
+        "groupBy for first-arrivals, one shuffle join back (both "
+        "corpus-keyed, no broadcast dependence), one groupBy(doc_id).",
+)
+def t18_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
+    ex = (d.select("doc_id", F.explode(grams).alias("gram"))
+          .localCheckpoint(eager=False))  # feeds first-arrival AND probe
+    first = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (ex.join(first, "gram")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                .cast("bigint").alias("n_novel")))
+    return per.select(
+        "doc_id", "n_grams", "n_novel",
+        stable_round(F.col("n_novel").cast("double")
+                     / F.col("n_grams").cast("double")).alias("novelty"))

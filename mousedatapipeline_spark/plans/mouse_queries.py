@@ -992,3 +992,54 @@ def m14_stacked_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out_dir)
     return back.select(F.col("year").cast("int").alias("year"),
                        "batch", "n_reps", "qty_sum")
+
+
+@register(
+    "m16_daily_ops_dashboard",
+    oracle=f"""
+    WITH m AS (
+      SELECT strftime(l_shipdate, '%Y%m%d') AS ymd,
+             l_orderkey AS batch,
+             (1.0 - l_discount) AS transmission,
+             CASE WHEN l_quantity >= 40.0 THEN l_quantity / 100.0
+                  ELSE -1.0 END AS samplethickness,
+             l_extendedprice / 100.0 AS direct_flux
+      FROM lineitem
+    )
+    SELECT ymd,
+           CAST(COUNT(DISTINCT batch) AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(COUNT(CASE WHEN samplethickness > 0
+                            AND transmission > 0 AND transmission < 1
+                           THEN 1 END) AS BIGINT) AS n_processable,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(transmission AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_transmission,
+           {stable_round_sql('MAX(direct_flux)')} AS max_flux
+    FROM m GROUP BY ymd
+    """,
+    doc="Daily operations dashboard (the reference's per-ymd processing "
+        "view: what landed, what can run — directory_processor.py's "
+        "per-day iteration surface turned into one grouped scan): "
+        "batches and repetitions per day, the F1-processable count "
+        "(valid thickness + physical transmission), mean transmission "
+        "and peak flux. One shuffle on ymd; every gate predicate "
+        "evaluates in the scan stage.",
+)
+def m16_daily_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    m = measurements(spark, sf_dir)
+    processable = ((F.col("samplethickness") > 0)
+                   & (F.col("transmission") > 0)
+                   & (F.col("transmission") < 1))
+    n = F.count(F.lit(1))
+    return m.groupBy("ymd").agg(
+        F.countDistinct("batch").cast("bigint").alias("n_batches"),
+        n.cast("bigint").alias("n_reps"),
+        F.count(F.when(processable, 1)).cast("bigint")
+        .alias("n_processable"),
+        stable_round(dsum("transmission") / n.cast("double"))
+        .alias("mean_transmission"),
+        stable_round(F.max("direct_flux")).alias("max_flux"))
