@@ -552,3 +552,29 @@ def test_e11_no_global_window(spark):
     for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "__b" in spec, plan
+
+
+@_needs_data
+def test_t17_classifier_inference_is_scan_stage(spark):
+    """Classifier inference is a pure per-row fold: ZERO exchanges —
+    any shuffle means the expression formulation regressed to a join
+    or aggregation."""
+    plan = _plan(spark, "t17_classifier_filter")
+    assert _count_shuffles(plan) == 0, plan
+
+
+@_needs_data
+def test_m16_single_shuffle(spark):
+    plan = _plan(spark, "m16_daily_ops_dashboard")
+    assert _count_shuffles(plan) <= 2, plan  # partial agg + final
+
+
+@_needs_data
+def test_c02_canonical_join_is_not_hint_pinned(spark):
+    """The canonical-id join keys on the md5 hash: both sides are
+    corpus-sized at scale, so the join strategy must stay STATS-driven
+    (Catalyst auto-broadcasts at this tiny SF and degrades to a
+    shuffle join when the hash table outgrows the threshold). A pinned
+    broadcast hint would OOM at scale — the hash table IS the corpus."""
+    opt = _optimized(spark, "c02_dedup_funnel_report")
+    assert "strategy=broadcast" not in opt, opt
