@@ -268,19 +268,20 @@ def bucketed_exact_quantiles(df: DataFrame, value_col: str,
               Bloom-literal budget). The cumulative histogram locates
               each target rank's bucket and its within-bucket offset
               driver-side — O(n_buckets) arithmetic.
-      job 3 — filter to the (few) target buckets, rank WITHIN each
-              bucket (window partitioned by bucket, ~n/n_buckets rows
-              per task under uniformity), pick the offset rows.
+      job 3 — filter to the (few) target buckets, aggregate to
+              per-VALUE counts, rank the values within each bucket by
+              cumulative count, pick the value covering each offset.
 
     Every stage is fully parallel; driver traffic is two tiny result
     sets, never data. Nearest-rank semantics (value at rank
     ``ceil(q*n)``, ascending) — identical to the single-window form,
     because equal values always share a bucket so within-bucket tie
-    order cannot change the selected VALUE. Heavily skewed
-    distributions degrade gracefully: a hot bucket's window task sees
-    at most that bucket's rows (recurse with a finer histogram if that
-    ever matters; one level suffices below ~n_buckets^2 distinct
-    values... which is 16M buckets of spread).
+    order cannot change the selected VALUE. Skew-proof by
+    construction: job 3's window input is (bucket, value, count)
+    rows — at most ``width = span/n_buckets`` DISTINCT values per
+    bucket regardless of how many ROWS pile onto a hot value; the
+    row mass is absorbed by job 3's map-side partial count, never
+    sorted.
 
     ``quantiles``: (q, output_alias) pairs. Returns a 1-row DataFrame
     ``(n_alias, *aliases)``; all-NULL quantile slots when the input is
@@ -319,11 +320,19 @@ def bucketed_exact_quantiles(df: DataFrame, value_col: str,
             cum += c
     want = {b for b, _, _ in targets}
     from pyspark.sql import Window as W
-    picked = (df.select(v.alias("__v"), bucket.alias("__b"))
-              .filter(F.col("__b").isin(*want))
-              .withColumn("__rn", F.row_number().over(
-                  W.partitionBy("__b").orderBy("__v"))))
-    aggs = [F.max(F.when((F.col("__b") == b) & (F.col("__rn") == off),
+    # Per-VALUE counts first: the window then ranks <= width distinct
+    # values per bucket, immune to row-count skew on a hot value.
+    per_value = (df.select(v.alias("__v"), bucket.alias("__b"))
+                 .filter(F.col("__b").isin(*want))
+                 .groupBy("__b", "__v")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+    cum = per_value.withColumn(
+        "__cum", F.sum("__c").over(
+            W.partitionBy("__b").orderBy("__v")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    # The offset row's value = the smallest value whose cumulative
+    # count reaches the offset.
+    aggs = [F.min(F.when((F.col("__b") == b) & (F.col("__cum") >= off),
                          F.col("__v"))).cast("bigint").alias(alias)
             for b, off, alias in targets]
-    return picked.agg(F.lit(n).cast("bigint").alias(n_alias), *aggs)
+    return cum.agg(F.lit(n).cast("bigint").alias(n_alias), *aggs)
