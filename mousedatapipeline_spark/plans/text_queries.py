@@ -624,3 +624,73 @@ def t17_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.lit(1.0) + F.exp(-F.col("logit_raw"))))
         .alias("score"),
         (F.col("logit_raw") > 0).cast("int").alias("keep"))
+
+
+_CHUNK = 64    # tokens per retrieval chunk
+_STRIDE = 48   # 16-token overlap between neighbors
+
+
+@register(
+    "t19_rag_chunking",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(
+               toks[CAST(i AS INT) * {_STRIDE} + 1 :
+                    CAST(i AS INT) * {_STRIDE} + {_CHUNK}], ' ') AS chunk,
+             CAST(i AS BIGINT) * {_STRIDE} + 1 AS tok_start,
+             LEAST(CAST(i AS BIGINT) * {_STRIDE} + {_CHUNK},
+                   len(toks)) AS tok_end
+      FROM tk,
+           UNNEST(generate_series(0,
+             CAST(greatest(ceil((len(toks) - {_CHUNK})
+                                / CAST({_STRIDE} AS DOUBLE)), 0) AS BIGINT)))
+           AS u(i)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx, tok_start, tok_end,
+           CAST(tok_end - tok_start + 1 AS BIGINT) AS n_tokens,
+           md5(chunk) AS chunk_hash
+    FROM ch
+    """,
+    doc="RAG retrieval chunking: overlapping 64-token windows with "
+        "stride 48 (16-token overlap so no answer span straddles a "
+        "boundary unseen), with per-chunk token offsets and a content "
+        "hash — the unit a vector index ingests. Chunk boundaries are "
+        "row-local array arithmetic (zero shuffles at any corpus "
+        "size); every doc yields ceil((len-64)/48)+1 chunks, short "
+        "docs one chunk. The hash (not the text) is the output, so "
+        "chunk payloads never leave the scan stage here.",
+)
+def t19_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    staged = d.select("doc_id", toks.alias("toks")) \
+        .filter(F.size("toks") > 0)
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - F.lit(_CHUNK))
+               / F.lit(float(_STRIDE))).cast("bigint"),
+        F.lit(0).cast("bigint")) + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks",
+                                     (i * _STRIDE + 1).cast("int"),
+                                     _CHUNK)).alias("chunk"),
+            (i * _STRIDE + 1).alias("tok_start"),
+            F.least(i * _STRIDE + _CHUNK,
+                    F.size("toks").cast("bigint")).alias("tok_end")))
+    ex = staged.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.tok_start").cast("bigint").alias("tok_start"),
+        F.col("c.tok_end").cast("bigint").alias("tok_end"),
+        (F.col("c.tok_end") - F.col("c.tok_start") + 1).cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.col("c.chunk")).alias("chunk_hash"))
