@@ -87,6 +87,11 @@ def _load_all() -> None:
 # queries WITHOUT a green driver row yet — the round-1 unchecked tail,
 # the two round-1 reds (m02/m08), and anything newly added — register
 # first, and the already-proven ones go last.
+#
+# ROTATION (next round): fold CORRECTNESS_r02.json's green names into a
+# _R02_GREEN set below so the still-unrowed remainder (at 122 queries
+# the 50-row budget can't cover all 74 unproven at once) claims the
+# prefix next time. Repeat per round until every query has a row.
 _R01_GREEN = frozenset({
     "q01_pricing_summary", "q02_order_census", "q03_region_revenue",
     "q04_asof_view_before_purchase", "q05_window_propagation",
