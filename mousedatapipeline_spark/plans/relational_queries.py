@@ -1372,3 +1372,103 @@ def q34_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@register(
+    "q35_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                AS BIGINT) AS valid_to_us,
+           CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts) AS BIGINT) AS duration_us
+    FROM events
+    """,
+    doc="SCD-2 interval construction: each per-user observation opens a "
+        "validity interval closed by the next one (lead window, "
+        "event_id tie-break), the open interval NULL-terminated — the "
+        "slowly-changing-dimension build every warehouse load runs. "
+        "One user-keyed shuffle; intervals derive row-locally from the "
+        "sorted partition.",
+)
+def q35_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return ev.select(
+        "user_id", "event_type",
+        F.col("ts_us").cast("bigint").alias("valid_from_us"),
+        nxt.cast("bigint").alias("valid_to_us"),
+        (nxt - F.col("ts_us")).cast("bigint").alias("duration_us"))
+
+
+@register(
+    "q36_unpivot_metrics",
+    oracle=f"""
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS metric, l_quantity AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR)'
+               ' AS DOUBLE)')} AS total
+    FROM long GROUP BY l_returnflag, metric
+    """,
+    doc="UNPIVOT (wide->long melt, the inverse of q21's pivot): three "
+        "metric columns stacked into (metric, value) rows via Spark's "
+        "native unpivot — one Expand over one scan, never three "
+        "self-UNIONed reads (the oracle spells the UNION because "
+        "DuckDB reads are free at this size; Spark's plan is the "
+        "single-scan form) — then a grouped decimal-exact rollup.",
+)
+def q36_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"))
+    long = li.unpivot(
+        ["l_returnflag"], ["quantity", "extendedprice", "discount"],
+        "metric", "v")
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        stable_round(dsum("v")).alias("total"))
+
+
+@register(
+    "q37_distribution_ranks",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           {stable_round_sql('PERCENT_RANK() OVER w')} AS pct_rank,
+           {stable_round_sql('CUME_DIST() OVER w')} AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (the q24 set completed): ntile "
+        "quartiles, percent_rank and cume_dist per order priority, "
+        "tie-broken on the key so every rank is engine-deterministic. "
+        "One shuffle on the partition key.",
+)
+def q37_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        stable_round(F.percent_rank().over(w)).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w)).alias("cume"))
