@@ -542,3 +542,58 @@ def c02_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_final, 1)).cast("bigint").alias("n_final"),
         F.coalesce(F.sum(F.when(is_final, F.col("n_tok"))), F.lit(0))
         .cast("bigint").alias("tokens_final"))
+
+
+_SORT_BUCKETS = 4
+
+
+@register(
+    "t20_sorted_export_roundtrip",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             doc_id % {_SORT_BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(0 AS BIGINT) AS order_violations
+    FROM b GROUP BY bucket
+    """,
+    doc="Clustered/sorted data layout, verified PHYSICALLY: documents "
+        "repartition onto deterministic buckets, sortWithinPartitions "
+        "on doc_id, one parquet file per bucket. The read-back counts "
+        "adjacent out-of-order pairs per FILE (lag over the file's "
+        "arrival order) — any broken clustering or lost sort makes "
+        "order_violations nonzero and hash-fails against the oracle's "
+        "constant 0. Sorted layout is the 100 TB lever behind "
+        "min/max-pruned scans and merge-friendly compaction; the sort "
+        "itself is per-partition (no global range exchange needed "
+        "when the bucketing carries the coarse order).",
+)
+def t20_sorted_export_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucketed = d.withColumn("bucket", F.col("doc_id") % _SORT_BUCKETS)
+    out = tempfile.mkdtemp(prefix="mouse_t20_")
+    (bucketed.repartition(_SORT_BUCKETS, "bucket")
+     .sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out).select(
+        "bucket", "doc_id",
+        F.input_file_name().alias("f"),
+        F.monotonically_increasing_id().alias("mid"))
+    w = Window.partitionBy("f").orderBy("mid")
+    flagged = back.withColumn(
+        "viol",
+        (F.col("doc_id") < F.lag("doc_id").over(w)).cast("int"))
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.coalesce(F.sum("viol"), F.lit(0)).cast("bigint")
+        .alias("order_violations"))
