@@ -1472,3 +1472,68 @@ def q37_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         stable_round(F.percent_rank().over(w)).alias("pct_rank"),
         stable_round(F.cume_dist().over(w)).alias("cume"))
+
+
+@register(
+    "q38_constraint_audit",
+    oracle="""
+    SELECT 'customer_pk_unique' AS constraint_name,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+             AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(COUNT(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+                           THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           CAST(COUNT(CASE WHEN n_chars <> length(text) THEN 1 END)
+                AS BIGINT)
+    FROM documents
+    """,
+    doc="Declarative data-quality audit (the dbt-test shape): primary-"
+        "key uniqueness, referential integrity (anti-join), range "
+        "bounds, non-negativity and cross-column consistency evaluated "
+        "in one submitted plan — each constraint one aggregate over "
+        "its own pruned scan, the FK check a broadcast anti-join, "
+        "results unioned into a (constraint, violations) report. "
+        "Violation counts (not booleans) so a failing load quantifies "
+        "its damage.",
+)
+def q38_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def row(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(F.lit(name).alias("constraint_name"),
+                          F.col("n").cast("bigint")
+                          .alias("n_violations"))
+
+    pk = row("customer_pk_unique", cust.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n")))
+    fk = row("orders_custkey_fk", orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")))
+    rng = row("lineitem_quantity_range", li.agg(F.count(
+        F.when((F.col("l_quantity") <= 0)
+               | (F.col("l_quantity") > 100), 1)).alias("n")))
+    nonneg = row("events_value_nonnegative", ev.agg(F.count(
+        F.when(F.col("value") < 0, 1)).alias("n")))
+    cons = row("documents_nchars_consistent", docs.agg(F.count(
+        F.when(F.col("n_chars") != F.length("text"), 1)).alias("n")))
+    return pk.unionByName(fk).unionByName(rng) \
+        .unionByName(nonneg).unionByName(cons)
