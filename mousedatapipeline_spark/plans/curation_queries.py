@@ -597,3 +597,57 @@ def t20_sorted_export_roundtrip(spark: SparkSession,
         F.max("doc_id").cast("bigint").alias("max_id"),
         F.coalesce(F.sum("viol"), F.lit(0)).cast("bigint")
         .alias("order_violations"))
+
+
+TOKEN_BUDGET = 50_000  # declared training-mix token budget
+
+
+@register(
+    "c03_mixture_plan",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS corpus_tokens FROM lt)
+    SELECT lang, n_docs, n_tokens,
+           {stable_round_sql(
+               'CAST(n_tokens AS DOUBLE) / CAST((SELECT corpus_tokens '
+               'FROM tot) AS DOUBLE)')} AS natural_share,
+           {stable_round_sql(
+               f'LEAST(({TOKEN_BUDGET}.0 / 5.0) '
+               '/ CAST(n_tokens AS DOUBLE), 1.0)')} AS sample_rate,
+           CAST(FLOOR(LEAST(({TOKEN_BUDGET}.0 / 5.0)
+                / CAST(n_tokens AS DOUBLE), 1.0)
+                * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+             AS planned_tokens
+    FROM lt
+    """,
+    doc="Training-mix planner: per-language token inventory (one "
+        "grouped scan, token counts as row-local expressions), the "
+        "natural share, and the sampling rate that equalizes each "
+        "language toward budget/5 tokens (uniform target mix, capped "
+        "at 1.0 — upsampling is a repetition decision, not a sampling "
+        "one). The numbers s12/s16 execute; this query plans them. "
+        "The 1-row corpus total is a scalar-subquery broadcast.",
+)
+def c03_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint")
+        .alias("n_tokens"))
+    tot = lt.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    target = F.lit(float(TOKEN_BUDGET)) / F.lit(5.0)
+    rate = F.least(target / F.col("n_tokens").cast("double"), F.lit(1.0))
+    return (lt.join(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    stable_round(F.col("n_tokens").cast("double")
+                                 / F.col("corpus_tokens").cast("double"))
+                    .alias("natural_share"),
+                    stable_round(rate).alias("sample_rate"),
+                    F.floor(rate * F.col("n_tokens").cast("double"))
+                    .cast("bigint").alias("planned_tokens")))
