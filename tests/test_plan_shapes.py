@@ -147,6 +147,7 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # by the corpus token total
                                   "k01_cms_heavy_hitters",
                                   "t14_unigram_surprisal",
+                                  "c03_mixture_plan",
                                   # composes s05, inheriting its
                                   # declared brute-force product
                                   "s25_ann_recall"}
