@@ -296,3 +296,84 @@ def t18_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_novel",
         stable_round(F.col("n_novel").cast("double")
                      / F.col("n_grams").cast("double")).alias("novelty"))
+
+
+SPAN_CHUNK = 8  # tokens per chunk for span localization (t21)
+
+
+@register(
+    "t21_shared_span_localization",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS idx,
+             md5(array_to_string(
+               t[({SPAN_CHUNK}*j+1):({SPAN_CHUNK}*j+{SPAN_CHUNK})], ' '))
+               AS h
+      FROM tk, UNNEST(generate_series(0, len(t) // {SPAN_CHUNK} - 1)) AS u(j)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared
+      FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.h) >= 2
+    ),
+    bset AS (SELECT DISTINCT doc_id, h FROM ch),
+    hits AS (
+      SELECT p.d1, p.d2, a.idx
+      FROM pairs p
+      JOIN ch a ON a.doc_id = p.d1
+      JOIN bset b ON b.doc_id = p.d2 AND b.h = a.h
+    ),
+    isl AS (
+      SELECT d1, d2, idx,
+             idx - ROW_NUMBER() OVER (PARTITION BY d1, d2
+                                      ORDER BY idx) AS grp
+      FROM hits
+    ),
+    runs AS (
+      SELECT d1, d2, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY d1, d2, grp
+    )
+    SELECT p.d1, p.d2, p.n_shared,
+           CAST(MAX(r.run_len) AS BIGINT) AS max_run
+    FROM pairs p JOIN runs r ON r.d1 = p.d1 AND r.d2 = p.d2
+    GROUP BY p.d1, p.d2, p.n_shared
+    """,
+    doc="Shared-span localization for near-dup diagnostics: document "
+        "pairs sharing >= 2 distinct 8-token chunk hashes, with the "
+        "LONGEST consecutive run of matched chunks in d1's order "
+        "(gaps-and-islands: idx minus per-pair row_number groups "
+        "consecutive hits) — distinguishes one long lifted passage "
+        "from scattered boilerplate at equal overlap counts. The "
+        "chunk-hash join is the inverted index (bounded by shared "
+        "mass, never all-pairs); the islands window partitions per "
+        "pair.",
+)
+def t21_shared_span_localization(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ch = (d.select(
+        "doc_id",
+        F.posexplode(T.chunk_hashes(T.tokens(F.col("text")), SPAN_CHUNK))
+        .alias("idx", "h"))
+        .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "h")
+        .localCheckpoint(eager=False))  # three consumers below
+    a = ch.select(F.col("doc_id").alias("d1"), "idx", "h")
+    b = ch.select(F.col("doc_id").alias("d2"), F.col("h").alias("hb"))
+    pairs = (a.join(b, (F.col("h") == F.col("hb"))
+                    & (F.col("d1") < F.col("d2")))
+             .groupBy("d1", "d2")
+             .agg(F.countDistinct("h").cast("bigint").alias("n_shared"))
+             .filter(F.col("n_shared") >= 2))
+    bset = ch.select(F.col("doc_id").alias("d2"), "h").distinct()
+    hits = (pairs.join(a, "d1")
+            .join(bset, ["d2", "h"])
+            .select("d1", "d2", "n_shared", "idx"))
+    w = Window.partitionBy("d1", "d2").orderBy("idx")
+    isl = hits.withColumn("grp", F.col("idx") - F.row_number().over(w))
+    runs = isl.groupBy("d1", "d2", "n_shared", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    return runs.groupBy("d1", "d2", "n_shared").agg(
+        F.max("run_len").cast("bigint").alias("max_run"))
