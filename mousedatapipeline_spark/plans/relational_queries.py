@@ -1537,3 +1537,55 @@ def q38_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") != F.length("text"), 1)).alias("n")))
     return pk.unionByName(fk).unionByName(rng) \
         .unionByName(nonneg).unionByName(cons)
+
+
+@register(
+    "q39_partition_backfill",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN -o_totalprice ELSE o_totalprice END AS amt
+      FROM orders
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(amt AS DECIMAL(30,10))) AS VARCHAR)
+                AS DOUBLE) AS amt_sum
+    FROM base GROUP BY prio
+    """,
+    doc="Idempotent partition backfill via dynamic partition overwrite: "
+        "orders land partitioned by priority; ONE partition "
+        "('1-URGENT') is then reprocessed (amounts negated) and "
+        "rewritten with partitionOverwriteMode=dynamic — only the "
+        "touched partition may change. The read-back rollup must equal "
+        "the oracle's view of 'original everywhere except the "
+        "backfilled slice': an overwrite that clobbered sibling "
+        "partitions (the static-mode default!) or duplicated the "
+        "slice hash-fails. The backfill write moves one partition's "
+        "data; sibling partitions are never read or rewritten.",
+)
+def q39_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("amt"))
+    out = tempfile.mkdtemp(prefix="mouse_q39_")
+    (o.write.mode("overwrite").partitionBy("prio").parquet(out))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        backfill = (spark.read.parquet(out)
+                    .filter(F.col("prio") == "1-URGENT")
+                    .withColumn("amt", -F.col("amt")))
+        (backfill.write.mode("overwrite").partitionBy("prio")
+         .parquet(out))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    from mousedatapipeline_spark.operators.aggregates import dsum
+    return back.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("amt").alias("amt_sum"))
