@@ -75,6 +75,16 @@ def run(argv: list[str] | None = None,
             print(f"{name}\t{kind}")
         return None
 
+    # Validate the query name BEFORE building a session: the catalog
+    # lookup needs no JVM, and a typo should fail in milliseconds, not
+    # after Spark startup.
+    if args.query:
+        from mousedatapipeline_spark.plans.catalog import all_queries
+        qs = all_queries()
+        if args.query not in qs:
+            ap.error(f"unknown query {args.query!r} "
+                     f"(--query list shows the catalog)")
+
     step_names = args.steps or PROGRAMS[args.program or "full"]
     own_session = spark is None
     if own_session:
@@ -84,11 +94,6 @@ def run(argv: list[str] | None = None,
     from pyspark.sql import functions as F
 
     if args.query:
-        from mousedatapipeline_spark.plans.catalog import all_queries
-        qs = all_queries()
-        if args.query not in qs:
-            ap.error(f"unknown query {args.query!r} "
-                     f"(--query list shows the catalog)")
         out = qs[args.query].spark(spark, args.sf_dir)
         step_names = [f"query:{args.query}"]
     else:

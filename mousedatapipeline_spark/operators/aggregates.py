@@ -290,6 +290,11 @@ def bucketed_exact_quantiles(df: DataFrame, value_col: str,
     """
     spark = df.sparkSession
     v = F.col(value_col)
+    # NULLs carry no rank (SQL semantics); drop them up front so the
+    # histogram buckets and the collected n agree. Checkpoint eagerly:
+    # three jobs consume this input, and without materialization each
+    # would re-execute the caller's entire upstream plan.
+    df = df.select(v).filter(v.isNotNull()).localCheckpoint()
     stats = df.agg(F.count(v).alias("n"), F.min(v).alias("lo"),
                    F.max(v).alias("hi")).collect()[0]
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]

@@ -475,27 +475,16 @@ def c01_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")).alias("mean_quality"))
 
 
-# c02 oracle fragments — token count and stopword count, the stopword
-# list taken FROM operators/text.py so the two sides cannot drift.
-_SQL_C02_NTOK = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
-
-
-def _sql_c02_stopwords() -> str:
-    lst = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
-    return ("len(list_filter(string_split(lower(text), ' '), "
-            f"t -> list_contains([{lst}], t)))")
-
-
 @register(
     "c02_dedup_funnel_report",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, source, md5(text) AS h,
-             CAST({_SQL_C02_NTOK} AS BIGINT) AS n_tok,
-             LEAST(CAST({_SQL_C02_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
-             + LEAST(CASE WHEN {_SQL_C02_NTOK} > 0 THEN
-                 CAST({_sql_c02_stopwords()} AS DOUBLE)
-                 / CAST({_SQL_C02_NTOK} AS DOUBLE)
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+             LEAST(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
+             + LEAST(CASE WHEN {_SQL_NTOK} > 0 THEN
+                 CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
+                 / CAST({_SQL_NTOK} AS DOUBLE)
                  ELSE 0.0 END * 4.0, 1.0) * 0.3
              + CASE WHEN length(text) > 0 THEN
                  CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)

@@ -288,7 +288,11 @@ def _merge_batch_into_state(batch: DataFrame, batch_id: int,
     b = batch.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("value_dec"))
-    versions = sorted(state_dir.glob("v*"))
+    # Strictly-below-batch_id: a foreachBatch replay must not read its
+    # own previous attempt's v{batch_id} as prior state (double-merge +
+    # lazy read of the dir being overwritten); see _w07_merge.
+    versions = sorted(p for p in state_dir.glob("v*")
+                      if int(p.name[1:]) < batch_id)
     if versions:
         prev = spark.read.parquet(str(versions[-1]))
         b = (prev.unionByName(b)
@@ -496,7 +500,9 @@ def _w06_merge_into_state(batch: DataFrame, batch_id: int,
                           state_dir: Path) -> None:
     spark = batch.sparkSession
     b = _w06_batch_registers(batch)
-    versions = sorted(state_dir.glob("v*"))
+    # Strictly-below-batch_id: replay idempotence (see _w07_merge).
+    versions = sorted(p for p in state_dir.glob("v*")
+                      if int(p.name[1:]) < batch_id)
     if versions:
         prev = spark.read.parquet(str(versions[-1]))
         b = (prev.unionByName(b)
@@ -614,7 +620,14 @@ def _w07_merge(batch: DataFrame, batch_id: int, state_dir: Path) -> None:
     b = (batch.select(_w07_bucket_col().cast("bigint").alias("bucket"))
          .groupBy("bucket")
          .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
-    versions = sorted(state_dir.glob("v*"))
+    # Merge on the latest version STRICTLY BELOW this batch id: on a
+    # foreachBatch replay (task retry / checkpoint restart) the
+    # previous attempt's own v{batch_id} output must not be read as
+    # prior state — that would fold the batch in twice (and lazily
+    # read the very directory being overwritten). Re-running batch N
+    # over v{N-1} is idempotent by construction.
+    versions = sorted(p for p in state_dir.glob("v*")
+                      if int(p.name[1:]) < batch_id)
     if versions:
         prev = spark.read.parquet(str(versions[-1]))
         b = (prev.unionByName(b).groupBy("bucket")

@@ -139,3 +139,12 @@ def test_bucketed_exact_quantiles_empty_is_all_null(spark):
     df = spark.createDataFrame([], "v long")
     row = bucketed_exact_quantiles(df, "v", [(0.5, "p50")]).collect()[0]
     assert row["n"] is None and row["p50"] is None
+
+
+def test_bucketed_exact_quantiles_ignores_nulls(spark):
+    from mousedatapipeline_spark.operators.aggregates import (
+        bucketed_exact_quantiles,
+    )
+    df = spark.createDataFrame([(1,), (2,), (None,), (4,)], "v long")
+    row = bucketed_exact_quantiles(df, "v", [(0.5, "p50")]).collect()[0]
+    assert row["n"] == 3 and row["p50"] == 2
