@@ -348,3 +348,38 @@ def test_write_jsonl_shards_one_file_per_shard(spark, tmp_path):
                 _json.loads(line)
                 total += 1
     assert total == 200
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch replay of the SAME batch id (task retry /
+    checkpoint restart) must not double-count: the merge reads only
+    state versions strictly below the current batch id."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _merge_batch_into_state,
+        _w07_merge,
+    )
+
+    state = Path(tmp_path / "w04state"); state.mkdir()
+    b0 = spark.createDataFrame([("click", 1.0), ("view", 2.0)],
+                               "event_type string, value double")
+    b1 = spark.createDataFrame([("click", 4.0)],
+                               "event_type string, value double")
+    _merge_batch_into_state(b0, 0, state)
+    _merge_batch_into_state(b1, 1, state)
+    _merge_batch_into_state(b1, 1, state)  # replay of batch 1
+    final = spark.read.parquet(
+        str(sorted(state.glob("v*"))[-1])).collect()
+    by_type = {r["event_type"]: (r["n_events"], float(r["value_dec"]))
+               for r in final}
+    assert by_type == {"click": (2, 5.0), "view": (1, 2.0)}
+
+    state7 = Path(tmp_path / "w07state"); state7.mkdir()
+    v0 = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    v1 = spark.createDataFrame([(3.0,)], "value double")
+    _w07_merge(v0, 0, state7)
+    _w07_merge(v1, 1, state7)
+    _w07_merge(v1, 1, state7)  # replay
+    hist = spark.read.parquet(str(sorted(state7.glob("v*"))[-1]))
+    assert hist.agg({"cnt": "sum"}).collect()[0][0] == 3
