@@ -641,3 +641,52 @@ def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.sum(F.when(F.col("rk") <= 10, F.col("cnt"))
                            .otherwise(F.lit(0))).cast("double")
                      / n_events.cast("double")).alias("top10_share"))
+
+
+@register(
+    "e14_native_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT)
+             AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+    doc="Native session_window (the built-in Spark operator e02 "
+        "hand-rolls with lag + running sum): 30-minute-gap sessions "
+        "per user in ONE groupBy — Catalyst's SessionWindow handles "
+        "the gap merging, no window-function pass at all. The oracle "
+        "is the manual islands construction; session_end follows "
+        "Spark's semantics (last event + gap). Same single user-keyed "
+        "shuffle, and in streaming mode this exact expression runs "
+        "under a watermark with mergeable session state.",
+)
+def e14_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    sw = F.session_window("ts", "30 minutes")
+    return (ev.groupBy(sw, "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("session_window.start").cast("bigint")
+                    .alias("session_start_us"),
+                    F.unix_micros("session_window.end").cast("bigint")
+                    .alias("session_end_us"),
+                    "n_events"))
