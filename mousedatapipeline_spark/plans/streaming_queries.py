@@ -719,3 +719,94 @@ def w07_stream_quantile_histogram(spark: SparkSession,
                        F.col("bucket") * _W07_BUCKET_WIDTH))
           .cast("bigint").alias(alias)
           for q, alias in _W07_QS])
+
+
+@register(
+    "w08_stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT)
+             AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+    doc="Watermarked NATIVE streaming session windows (the e14 "
+        "expression under a real watermark, vs w02's "
+        "applyInPandasWithState): time-chunked files drain one per "
+        "trigger; session state merges across triggers and each "
+        "session emits (append mode) only when the watermark passes "
+        "its end — state is bounded by open sessions, never history. "
+        "Two far-future sentinel files advance the watermark so every "
+        "real session finalizes before the drain ends; the sink must "
+        "then equal the batch sessionization (e14's oracle).",
+)
+def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_w08_"))
+    landing = work / "landing"
+    landing.mkdir()
+    n_real = write_time_chunks(spark, sf_dir, landing, n_chunks=3)
+    # Sentinels: far-future events for a filtered-out user. Watermark
+    # advances from sentinel #1's event time at the START of the batch
+    # that processes sentinel #2, which is when every real session
+    # (end <= max real ts + 30 min) finalizes and emits.
+    max_us = load(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts"))).collect()[0][0]
+    for k in range(2):
+        sent = spark.createDataFrame(
+            [(-1, max_us + (k + 1) * 864_000_000_000)],
+            _SESSION_STREAM_SCHEMA)
+        dest = landing / f"zz_sentinel{k}.parquet"
+        tmp = work / f"_sent{k}"
+        sent.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        shutil.move(str(next(Path(tmp).glob("part-*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000_000 + n_real + k,
+                        1_000_000_000 + n_real + k))
+        shutil.rmtree(tmp)
+
+    stream = (spark.readStream.schema(_SESSION_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(landing))
+              .select("user_id",
+                      F.timestamp_micros(F.col("ts_us")).alias("ts"))
+              .withWatermark("ts", "1 second"))
+    agg = (stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    sink = str(work / "sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", str(work / "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.parquet(sink)
+    return (back.filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.unix_micros("session_window.start").cast("bigint")
+                    .alias("session_start_us"),
+                    F.unix_micros("session_window.end").cast("bigint")
+                    .alias("session_end_us"),
+                    "n_events"))
