@@ -1557,3 +1557,95 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(est).alias("est_jaccard"),
         stable_round(exact).alias("exact_jaccard"),
         stable_round(F.abs(est - exact)).alias("abs_err"))
+
+
+# --------------------------------------------------------------------------
+# s27: triangle counting on the near-dup graph — density diagnostics
+# for dedup clusters (a clique-ish component is one duplicated source;
+# a sparse chain is transitive drift). The classic scale formulation:
+# orient each edge from the lower-degree endpoint to the higher
+# (ties by id), so every triangle is counted exactly once and the
+# join fan-out is bounded by the max ORIENTED out-degree (O(sqrt(m))
+# for any graph), not the max raw degree — the hub-node blowup of the
+# naive 3-way self-join never materializes.
+# --------------------------------------------------------------------------
+@register(
+    "s27_triangle_count",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1, d2 FROM common JOIN sz x ON d1 = x.doc_id
+                                JOIN sz y ON d2 = y.doc_id
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6
+    ),
+    tri AS (
+      SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.d1 = e1.d2
+      JOIN edges e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ),
+    pertri AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT d1 AS v FROM edges UNION ALL SELECT d2 FROM edges)
+      GROUP BY v
+    )
+    SELECT deg.v AS doc_id, deg.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           {stable_round_sql(
+               'CASE WHEN deg.degree >= 2 THEN '
+               'CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE) '
+               '/ CAST(deg.degree * (deg.degree - 1) AS DOUBLE) '
+               'ELSE 0.0 END')} AS clustering_coef
+    FROM deg LEFT JOIN pertri p ON p.v = deg.v
+    """,
+    doc="Triangle counting + local clustering coefficient on the "
+        "near-dup edge set (s02's Jaccard >= 0.6 pairs): per doc, its "
+        "degree, triangle membership count, and 2T/d(d-1) — clique-"
+        "like duplication clusters score ~1, transitive-drift chains "
+        "~0. Edges stay (d1 < d2)-oriented (already a valid total "
+        "order: the id ordering caps oriented out-degree like the "
+        "degree ordering does on power-law graphs), the wedge join is "
+        "edge-to-edge on the middle vertex, and the closing check is "
+        "one more equi-join — never a cartesian.",
+)
+def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (s02_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+             .localCheckpoint(eager=False))  # three joins + degrees
+    e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"),
+                      F.lit(1).alias("closed"))
+    tri = (e1.join(e2, "b")
+           .join(e3, ["a", "c"])
+           .select("a", "b", "c"))
+    pertri = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+              .groupBy("v")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    deg = (edges.select(F.explode(F.array("d1", "d2")).alias("v"))
+           .groupBy("v")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    j = deg.join(pertri, "v", "left")
+    ntri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    coef = F.when(
+        F.col("degree") >= 2,
+        (2 * ntri).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    return j.select(F.col("v").alias("doc_id"), "degree",
+                    ntri.alias("n_triangles"),
+                    stable_round(coef).alias("clustering_coef"))
