@@ -61,7 +61,7 @@ def e01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e02_sessionization",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR CAST(epoch(ts) AS BIGINT)
@@ -73,7 +73,7 @@ def e01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
@@ -643,11 +643,12 @@ def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / n_events.cast("double")).alias("top10_share"))
 
 
-@register(
-    "e14_native_session_window",
-    oracle="""
+# Shared manual-sessionization oracle: e14 (batch session_window)
+# and w08 (watermarked streaming session_window) both contract to
+# equal THIS SQL — one definition so the parity cannot drift.
+SESSION_WINDOW_ORACLE_SQL = """
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
                   OR epoch_us(ts) - epoch_us(
@@ -659,7 +660,7 @@ def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
@@ -669,7 +670,12 @@ def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS session_end_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, session_seq
-    """,
+    """
+
+
+@register(
+    "e14_native_session_window",
+    oracle=SESSION_WINDOW_ORACLE_SQL,
     doc="Native session_window (the built-in Spark operator e02 "
         "hand-rolls with lag + running sum): 30-minute-gap sessions "
         "per user in ONE groupBy — Catalyst's SessionWindow handles "

@@ -1562,12 +1562,14 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # s27: triangle counting on the near-dup graph — density diagnostics
 # for dedup clusters (a clique-ish component is one duplicated source;
-# a sparse chain is transitive drift). The classic scale formulation:
-# orient each edge from the lower-degree endpoint to the higher
-# (ties by id), so every triangle is counted exactly once and the
-# join fan-out is bounded by the max ORIENTED out-degree (O(sqrt(m))
-# for any graph), not the max raw degree — the hub-node blowup of the
-# naive 3-way self-join never materializes.
+# a sparse chain is transitive drift). Edges keep their (d1 < d2) id
+# orientation — a valid total order, so every triangle is counted
+# exactly once — and the wedge join fans out per oriented out-degree.
+# Id order does NOT carry the O(sqrt(m)) bound of true degree
+# ordering: a low-id hub keeps its full fan-out. At corpus scale,
+# re-orient by (degree, id) first (one degree aggregate + a join) to
+# get that bound; at this block-bounded edge set the id order
+# suffices and saves the extra pass.
 # --------------------------------------------------------------------------
 @register(
     "s27_triangle_count",
@@ -1628,8 +1630,7 @@ def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=False))  # three joins + degrees
     e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
-    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"),
-                      F.lit(1).alias("closed"))
+    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
     tri = (e1.join(e2, "b")
            .join(e3, ["a", "c"])
            .select("a", "b", "c"))

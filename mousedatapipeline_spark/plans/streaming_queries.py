@@ -24,6 +24,9 @@ from mousedatapipeline_spark.functions.rounding import (
 )
 from mousedatapipeline_spark.operators.aggregates import dsum
 from mousedatapipeline_spark.plans.catalog import register
+from mousedatapipeline_spark.plans.events_queries import (
+    SESSION_WINDOW_ORACLE_SQL,
+)
 from mousedatapipeline_spark.streaming import stateful, watcher
 from mousedatapipeline_spark.tables import load
 
@@ -176,7 +179,7 @@ def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
     "w02_stream_sessionization",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR CAST(epoch(ts) AS BIGINT)
@@ -188,7 +191,7 @@ def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
     ),
     s AS (
       SELECT user_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
@@ -723,31 +726,9 @@ def w07_stream_quantile_histogram(spark: SparkSession,
 
 @register(
     "w08_stream_session_window",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) IS NULL
-                  OR epoch_us(ts) - epoch_us(
-                       lag(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id))
-                     > 1800000000
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-    ),
-    s AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
-      FROM g
-    )
-    SELECT user_id,
-           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
-           CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT)
-             AS session_end_us,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM s GROUP BY user_id, session_seq
-    """,
+    # e14's oracle, imported — the streaming sink must equal the
+    # batch sessionization by the SAME definition.
+    oracle=SESSION_WINDOW_ORACLE_SQL,
     doc="Watermarked NATIVE streaming session windows (the e14 "
         "expression under a real watermark, vs w02's "
         "applyInPandasWithState): time-chunked files drain one per "
@@ -766,9 +747,12 @@ def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sentinels: far-future events for a filtered-out user. Watermark
     # advances from sentinel #1's event time at the START of the batch
     # that processes sentinel #2, which is when every real session
-    # (end <= max real ts + 30 min) finalizes and emits.
-    max_us = load(spark, sf_dir, "events").agg(
-        F.max(F.unix_micros("ts"))).collect()[0][0]
+    # (end <= max real ts + 30 min) finalizes and emits. The max event
+    # time comes from the LAST chunk file (range partitioning put the
+    # top ts range there) — no second scan of the events table.
+    last_chunk = sorted(landing.glob("chunk*.parquet"))[-1]
+    max_us = spark.read.parquet(str(last_chunk)).agg(
+        F.max("ts_us")).collect()[0][0]
     for k in range(2):
         sent = spark.createDataFrame(
             [(-1, max_us + (k + 1) * 864_000_000_000)],
