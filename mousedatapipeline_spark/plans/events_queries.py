@@ -696,3 +696,54 @@ def e14_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros("session_window.end").cast("bigint")
                     .alias("session_end_us"),
                     "n_events"))
+
+
+@register(
+    "e15_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           {stable_round_sql('MAX(d.med)')} AS median_value,
+           {stable_round_sql('MAX(mad.mad)')} AS mad,
+           CAST(COUNT(CASE WHEN d.adev > 3.0 * 1.4826 * mad.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier report (median/MAD, the z-score form that a "
+        "heavy tail cannot poison): per event type, the exact median, "
+        "the median absolute deviation, and the count beyond 3 robust "
+        "sigmas (1.4826*MAD). Two grouped exact-percentile passes with "
+        "the tiny per-type medians broadcast back between them — the "
+        "q25 interpolation parity makes even the float MAD hash-"
+        "exact. At open cardinality the same shape runs on "
+        "approx_percentile (q33).",
+)
+def e15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        stable_round(F.max("med")).alias("median_value"),
+        stable_round(F.max("mad")).alias("mad"),
+        F.count(F.when(F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1))
+        .cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"))
