@@ -1589,3 +1589,54 @@ def q39_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("prio").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dsum("amt").alias("amt_sum"))
+
+
+@register(
+    "q40_point_in_time_lookup",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               AS valid_to_us
+      FROM events
+    ),
+    t AS (SELECT CAST(quantile_cont(epoch_us(ts), 0.5) AS BIGINT)
+            AS t0 FROM events)
+    SELECT user_id,
+           event_type AS state_at_t0,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us
+    FROM iv, t
+    WHERE valid_from_us <= t0
+      AND (valid_to_us IS NULL OR valid_to_us > t0)
+    """,
+    doc="Point-in-time (time-travel) lookup over the q35 SCD-2 "
+        "intervals: each user's state AS OF the corpus-median "
+        "timestamp — the interval containing t0 (open interval = "
+        "current state). The PIT predicate is a scan-stage filter "
+        "over the interval table; t0 is a 1-row scalar broadcast. "
+        "This is the read side every SCD-2 build (q35) exists to "
+        "serve, and the batch twin of an as-of join at a fixed "
+        "timestamp.",
+)
+def q40_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = ev.select(
+        "user_id", "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"))
+    t0 = ev.agg(F.percentile("ts_us", 0.5).cast("bigint").alias("t0"))
+    return (iv.join(F.broadcast(t0))
+            .filter((F.col("valid_from_us") <= F.col("t0"))
+                    & (F.col("valid_to_us").isNull()
+                       | (F.col("valid_to_us") > F.col("t0"))))
+            .select("user_id",
+                    F.col("event_type").alias("state_at_t0"),
+                    F.col("valid_from_us").cast("bigint")
+                    .alias("valid_from_us")))

@@ -1650,3 +1650,79 @@ def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(F.col("v").alias("doc_id"), "degree",
                     ntri.alias("n_triangles"),
                     stable_round(coef).alias("clustering_coef"))
+
+
+# --------------------------------------------------------------------------
+# s28: threshold tuning curve — how many pairs would each Jaccard
+# threshold keep? One pair computation, bucketed by score, cumulated
+# from the top: the dedup-aggressiveness decision (s02/s19's 0.6,
+# s24's 0.85) read off a table instead of re-running the pipeline per
+# candidate threshold.
+# --------------------------------------------------------------------------
+@register(
+    "s28_threshold_sweep",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT CAST(FLOOR(CAST(n_common AS DOUBLE)
+                        / CAST(x.n + y.n - n_common AS DOUBLE) * 10)
+                  AS BIGINT) AS decile
+      FROM common JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+    ),
+    hist AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM scored GROUP BY decile
+    )
+    SELECT decile, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY decile DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM hist
+    """,
+    doc="Dedup threshold tuning curve: blocked shingle-Jaccard pairs "
+        "bucketed into score deciles with the cumulative "
+        "pairs-at-or-above count — the table a threshold decision "
+        "(s02's 0.6, s24's 0.85) reads. One pair computation; the "
+        "cumulative window runs on the 11-row histogram.",
+)
+def s28_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", "lang", "source",
+        S.shingle_set_col(F.col("text")).alias("shs"),
+    ).withColumn("n", F.size("shs").cast("bigint"))
+    pairs = S.blocked_pairs(
+        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        redistribute=spark.sparkContext.defaultParallelism,
+        combine=lambda x, y: [
+            x["n"].alias("n_1"), y["n"].alias("n_2"),
+            F.size(F.array_intersect(x["shs"], y["shs"]))
+            .cast("bigint").alias("n_common"),
+        ])
+    j = (F.col("n_common").cast("double")
+         / (F.col("n_1") + F.col("n_2") - F.col("n_common"))
+         .cast("double"))
+    # Curve over OVERLAPPING pairs only: blocked_pairs enumerates every
+    # within-block pair, but the oracle's shingle self-join can only
+    # see pairs sharing >= 1 shingle — and a zero-overlap pair carries
+    # no tuning information anyway.
+    hist = (pairs.filter(F.col("n_common") >= 1)
+            .select(F.floor(j * 10).cast("bigint").alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    w = W.orderBy(F.col("decile").desc()) \
+        .rowsBetween(W.unboundedPreceding, 0)
+    return hist.select(
+        "decile", "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint")
+        .alias("n_pairs_at_or_above"))

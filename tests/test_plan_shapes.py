@@ -148,6 +148,7 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "k01_cms_heavy_hitters",
                                   "t14_unigram_surprisal",
                                   "c03_mixture_plan",
+                                  "q40_point_in_time_lookup",
                                   # composes s05, inheriting its
                                   # declared brute-force product
                                   "s25_ann_recall"}
