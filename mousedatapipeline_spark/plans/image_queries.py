@@ -176,6 +176,27 @@ def mm04_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm05_scene_changes",
+    oracle=None,  # frame-diff kernel: rows-only; closed-form tests
+    doc="Video shot-boundary detection: consecutive-frame mean "
+        "absolute pixel difference inside one narrow mapInPandas pass "
+        "(rolling frame pair only — a clip's frames never materialize "
+        "together), cut flag per transition, rolled up per clip to "
+        "(n_frames, n_cuts, max_diff). The segmentation primitive a "
+        "video-curation pipeline runs before clip-level dedup.",
+)
+def mm05_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import scene_changes
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(300)
+    media = attach_synthetic_media(docs, "doc_id")
+    fr = scene_changes(media, threshold=40.0)
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("is_cut").cast("bigint").alias("n_cuts"),
+        stable_round(F.max("mean_abs_diff")).alias("max_diff"))
+
+
+@register(
     "m15_kernel_flux_pipeline",
     oracle=None,  # numpy kernel upstream: rows-only; closed-form tests
     doc="Kernel->physics integration (SURVEY §7.2 step 4: kernels "

