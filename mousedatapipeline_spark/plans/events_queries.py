@@ -747,3 +747,49 @@ def e15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1))
         .cast("bigint").alias("n_outliers"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+
+@register(
+    "e16_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(strftime(days.d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN du.d = days.d
+                                    THEN du.user_id END) AS BIGINT)
+             AS dau,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    doc="Rolling engagement (DAU / trailing-7-day WAU per day): the "
+        "(day, user) pairs are deduplicated FIRST (one shuffle, the "
+        "only corpus-sized stage), then each pair fans out to at most "
+        "7 window anchor days through a bounded range join (broadcast "
+        "day spine) — never a distinct-over-sliding-window, which "
+        "Spark cannot do incrementally, and never a 7x scan. At "
+        "longer windows the same shape degrades gracefully (fan-out = "
+        "window days) or flips to per-day HLL register merging (e10).",
+)
+def e16_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = (ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"),
+                    "user_id")
+          .distinct())
+    days = du.select("d").distinct() \
+        .select(F.col("d").alias("anchor"))
+    j = du.join(F.broadcast(days),
+                (F.col("d") <= F.col("anchor"))
+                & (F.col("d") >= F.date_sub(F.col("anchor"), 6)))
+    return (j.groupBy("anchor")
+            .agg(F.countDistinct(
+                     F.when(F.col("d") == F.col("anchor"),
+                            F.col("user_id"))).cast("bigint")
+                 .alias("dau"),
+                 F.countDistinct("user_id").cast("bigint").alias("wau"))
+            .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau"))

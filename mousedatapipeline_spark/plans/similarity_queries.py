@@ -1726,3 +1726,107 @@ def s28_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint")
         .alias("n_pairs_at_or_above"))
+
+
+# --------------------------------------------------------------------------
+# s29: b-bit MinHash (Li & König) — keep only the low b=4 bits of each
+# signature lane (4x signature compression) and debias the lane-match
+# fraction: E[match] = J + (1-J)/2^b, so Ĵ = (m̂ - 1/2^b)/(1 - 1/2^b).
+# The storage lever for planet-scale signature tables, measured here
+# against the full-lane estimate on the live candidates.
+# --------------------------------------------------------------------------
+_BBITS = 4
+
+
+def _bbit_lane_match_sql() -> str:
+    m = 1 << _BBITS
+    return " + ".join(
+        f"CASE WHEN a.mh{i} % {m} = b.mh{i} % {m} THEN 1 ELSE 0 END"
+        for i in range(S.N_PERM))
+
+
+@register(
+    "s29_bbit_minhash",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()}),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    )
+    SELECT c.d1, c.d2,
+           CAST({_lane_match_sql()} AS BIGINT) AS n_full,
+           CAST({_bbit_lane_match_sql()} AS BIGINT) AS n_bbit,
+           {stable_round_sql(f'CAST({_lane_match_sql()} AS DOUBLE)'
+                             f' / {S.N_PERM}.0')} AS est_full,
+           {stable_round_sql(
+               f'(CAST({_bbit_lane_match_sql()} AS DOUBLE) / {S.N_PERM}.0'
+               f' - 1.0 / {1 << _BBITS}.0)'
+               f' / (1.0 - 1.0 / {1 << _BBITS}.0)')} AS est_bbit
+    FROM cand c JOIN mh a ON a.doc_id = c.d1
+                JOIN mh b ON b.doc_id = c.d2
+    """,
+    doc="b-bit MinHash (b=4, 4x signature compression): per live LSH "
+        "candidate pair, the full-lane match count and Jaccard "
+        "estimate next to the low-4-bit match count and its debiased "
+        "estimate (J = (m - 2^-b)/(1 - 2^-b)) — the storage/accuracy "
+        "trade of planet-scale signature tables, measured on the "
+        "production candidates. Same one-pass signature machinery as "
+        "s26; the b-bit compare is pure integer arithmetic on the "
+        "16-lane rows.",
+)
+def s29_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    hashed = (d.select("doc_id", "lang",
+                       S.shingle_set_col(F.col("text")).alias("ss"))
+              .filter(F.size("ss") > 0)
+              .select("doc_id", "lang",
+                      F.transform("ss", S.shingle_hash).alias("hs")))
+    sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
+           .localCheckpoint(eager=False))  # bands + two probe sides
+    bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
+             .localCheckpoint(eager=False))
+    ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
+                      "band_sig")
+    bb = bands.select(F.col("doc_id").alias("d2"), "lang", "band",
+                      "band_sig")
+    cands = (ba.join(bb, ["lang", "band", "band_sig"])
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("shared_bands"))
+             .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
+             .select("d1", "d2"))
+    m = 1 << _BBITS
+
+    def matches(mask: bool):
+        def lane(i: int):
+            x1, x2 = F.col(f"mh{i}_1"), F.col(f"mh{i}_2")
+            if mask:
+                x1, x2 = x1 % m, x2 % m
+            return F.when(x1 == x2, 1).otherwise(0)
+        return sum((lane(i) for i in range(1, S.N_PERM)), lane(0))
+
+    sa = sig.select(F.col("doc_id").alias("d1"),
+                    *[F.col(f"mh{i}").alias(f"mh{i}_1")
+                      for i in range(S.N_PERM)])
+    sb = sig.select(F.col("doc_id").alias("d2"),
+                    *[F.col(f"mh{i}").alias(f"mh{i}_2")
+                      for i in range(S.N_PERM)])
+    j = cands.join(sa, "d1").join(sb, "d2")
+    n_full = matches(False).cast("bigint")
+    n_bbit = matches(True).cast("bigint")
+    c = 1.0 / m
+    return j.select(
+        "d1", "d2",
+        n_full.alias("n_full"), n_bbit.alias("n_bbit"),
+        stable_round(n_full.cast("double") / float(S.N_PERM))
+        .alias("est_full"),
+        stable_round((n_bbit.cast("double") / float(S.N_PERM) - c)
+                     / (1.0 - c)).alias("est_bbit"))

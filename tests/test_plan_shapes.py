@@ -149,6 +149,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "t14_unigram_surprisal",
                                   "c03_mixture_plan",
                                   "q40_point_in_time_lookup",
+                                  # calendar-sized day spine broadcast
+                                  # against the deduped (day, user)
+                                  # pairs — bounded non-equi condition
+                                  "e16_rolling_active_users",
                                   # composes s05, inheriting its
                                   # declared brute-force product
                                   "s25_ann_recall"}
