@@ -1830,3 +1830,107 @@ def s29_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_full"),
         stable_round((n_bbit.cast("double") / float(S.N_PERM) - c)
                      / (1.0 - c)).alias("est_bbit"))
+
+
+# --------------------------------------------------------------------------
+# s30: clustering quality — the "measure it" harness for the embedding
+# cluster structure (s07 centroids / s10 k-means): per label, the
+# within-cluster inertia and the separation to the nearest other
+# centroid. Compact clusters with distant neighbors justify IVF cell
+# routing (s08); overlapping ones say re-train before trusting ANN
+# recall. Joins carry (label, dim) rows only — the k x k centroid
+# distance table never touches the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "s30_cluster_quality",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    labeled AS (
+      SELECT e.label, d.vec_id, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM labeled GROUP BY label, dim
+    ),
+    sq AS (
+      SELECT l.label, l.vec_id, (l.v - c.c) * (l.v - c.c) AS s
+      FROM labeled l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+    ),
+    inert AS (
+      SELECT label,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+             CAST(CAST(SUM(CAST(s AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               AS inertia
+      FROM sq GROUP BY label
+    ),
+    cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             CAST(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               AS csq
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2
+    ),
+    nearest AS (
+      SELECT la, lb, csq,
+             ROW_NUMBER() OVER (PARTITION BY la ORDER BY csq, lb) AS rk
+      FROM cd
+    )
+    SELECT i.label, i.n_vecs,
+           {stable_round_sql('i.inertia')} AS inertia,
+           {stable_round_sql('i.inertia / CAST(i.n_vecs AS DOUBLE)')}
+             AS mean_sq_dist,
+           n.lb AS nearest_label,
+           {stable_round_sql('n.csq')} AS nearest_centroid_sq_dist
+    FROM inert i JOIN nearest n ON n.la = i.label AND n.rk = 1
+    """,
+    doc="Clustering quality report: per label, vector count, exact "
+        "within-cluster inertia (decimal-summed squared distances to "
+        "the exact-mean centroid) and the squared distance to the "
+        "nearest other centroid (ties broken by label) — the "
+        "compactness/separation evidence behind IVF cell routing and "
+        "ANN recall expectations. The k x k centroid table is the "
+        "only pairwise object; corpus rows flow through one (label, "
+        "dim) centroid join.",
+)
+def s30_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    labeled = (dims.join(e.select("vec_id", "label"), "vec_id")
+               .localCheckpoint(eager=False))  # centroid + distance pass
+    cent = (labeled.groupBy("label", "dim")
+            .agg((F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("c"))
+            .localCheckpoint(eager=False))  # reused three times
+    sq = (labeled.join(cent, ["label", "dim"])
+          .select("label", "vec_id",
+                  ((F.col("v") - F.col("c"))
+                   * (F.col("v") - F.col("c"))).alias("s")))
+    inert = sq.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("s").cast("decimal(30,10)")).cast("double")
+        .alias("inertia"))
+    ca = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("cva"))
+    cb = cent.select(F.col("label").alias("lb"), "dim", F.col("c").alias("cvb"))
+    cd = (ca.join(cb, "dim")
+          .filter(F.col("la") != F.col("lb"))
+          .groupBy("la", "lb")
+          .agg(F.sum(((F.col("cva") - F.col("cvb"))
+                      * (F.col("cva") - F.col("cvb")))
+                     .cast("decimal(30,10)")).cast("double").alias("csq")))
+    w = W.partitionBy("la").orderBy("csq", "lb")
+    nearest = (cd.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1))
+    j = inert.join(nearest, inert.label == nearest.la)
+    return j.select(
+        "label", "n_vecs",
+        stable_round(F.col("inertia")).alias("inertia"),
+        stable_round(F.col("inertia") / F.col("n_vecs").cast("double"))
+        .alias("mean_sq_dist"),
+        F.col("lb").alias("nearest_label"),
+        stable_round(F.col("csq")).alias("nearest_centroid_sq_dist"))
