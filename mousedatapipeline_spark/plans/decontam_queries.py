@@ -377,3 +377,47 @@ def t21_shared_span_localization(spark: SparkSession,
         F.count(F.lit(1)).cast("bigint").alias("run_len"))
     return runs.groupBy("d1", "d2", "n_shared").agg(
         F.max("run_len").cast("bigint").alias("max_run"))
+
+
+@register(
+    "t22_dedup_adjusted_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT source, md5(text) AS h,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT source, h, n_tok, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM t GROUP BY source, h, n_tok
+    )
+    SELECT source,
+           CAST(SUM(n_tok * n_copies) AS BIGINT) AS raw_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS unique_tokens,
+           CAST(SUM(n_tok * (n_copies - 1)) AS BIGINT)
+             AS duplicated_tokens
+    FROM g GROUP BY source
+    """,
+    doc="Dedup-adjusted token accounting: per source, the raw token "
+        "count, the count after exact dedup (each distinct text "
+        "counted once), and the tokens that exact dedup would remove "
+        "— the correction between a naive corpus-size claim and the "
+        "effective training budget (c03 plans mixtures from the "
+        "former; this query says how wrong that is per source). One "
+        "groupBy on (source, content-hash), then the source rollup.",
+)
+def t22_dedup_adjusted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        T.content_hash(F.col("text")).alias("h"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    g = t.groupBy("source", "h", "n_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    return g.groupBy("source").agg(
+        F.sum(F.col("n_tok") * F.col("n_copies")).cast("bigint")
+        .alias("raw_tokens"),
+        F.sum("n_tok").cast("bigint").alias("unique_tokens"),
+        F.sum(F.col("n_tok") * (F.col("n_copies") - 1)).cast("bigint")
+        .alias("duplicated_tokens"))
