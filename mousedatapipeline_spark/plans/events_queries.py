@@ -736,8 +736,11 @@ def e15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med"))
+    # Checkpoint: dev feeds the MAD pass AND the final aggregation —
+    # without materialization the events scan + median join reruns.
     dev = (ev.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+           .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+           .localCheckpoint(eager=False))
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad"))
     j = dev.join(F.broadcast(mad), "event_type")
@@ -777,9 +780,13 @@ def e15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e16_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # Checkpoint: du derives the day spine AND probes the range join —
+    # exchange reuse is not guaranteed, and this is the one
+    # corpus-sized stage the doc promises runs once.
     du = (ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"),
                     "user_id")
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))
     days = du.select("d").distinct() \
         .select(F.col("d").alias("anchor"))
     j = du.join(F.broadcast(days),

@@ -1602,7 +1602,7 @@ def q39_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS valid_to_us
       FROM events
     ),
-    t AS (SELECT CAST(quantile_cont(epoch_us(ts), 0.5) AS BIGINT)
+    t AS (SELECT CAST(FLOOR(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT)
             AS t0 FROM events)
     SELECT user_id,
            event_type AS state_at_t0,
@@ -1631,7 +1631,11 @@ def q40_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type",
         F.col("ts_us").alias("valid_from_us"),
         F.lead("ts_us").over(w).alias("valid_to_us"))
-    t0 = ev.agg(F.percentile("ts_us", 0.5).cast("bigint").alias("t0"))
+    # FLOOR on both sides: Spark's double->bigint cast truncates while
+    # DuckDB's rounds half-to-even — a fractional interpolated median
+    # would otherwise pick different anchor instants.
+    t0 = ev.agg(F.floor(F.percentile("ts_us", 0.5)).cast("bigint")
+                .alias("t0"))
     return (iv.join(F.broadcast(t0))
             .filter((F.col("valid_from_us") <= F.col("t0"))
                     & (F.col("valid_to_us").isNull()

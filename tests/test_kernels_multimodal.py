@@ -283,18 +283,14 @@ def test_audio_frame_features_closed_form(spark):
     assert all(r["zcr"] == 0.0 for r in f2)
 
 
-def test_scene_changes_closed_form(spark):
-    """Two constant scenes with one hard jump: exactly one cut at the
-    jump transition, zero elsewhere, diff equal to the level change."""
+def test_scene_changes_constant_and_nonvideo(spark):
+    """Constant payload: every frame identical -> zero diffs, zero
+    cuts; non-video rows drop inside the kernel."""
     import struct
     h = w = 4
-    # Payload: 3 frames; body engineered so materialize_frame yields
-    # constant planes — use a constant body (every cycled index reads
-    # the same byte).
     def payload(level0, n_frames):
         header = struct.pack("<IIII", w, h, n_frames, 0)
         return b"MMSYN" + header + bytes([level0] * 64)
-    # Same payload -> all frames identical -> zero cuts.
     rows = [(1, payload(10, 3), ("video", w, h, 3, 0))]
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     out = sorted(M.scene_changes(media, threshold=5.0).collect(),
@@ -302,19 +298,37 @@ def test_scene_changes_closed_form(spark):
     assert [r["frame_idx"] for r in out] == [0, 1, 2]
     assert all(r["mean_abs_diff"] == 0.0 for r in out)
     assert all(r["is_cut"] == 0 for r in out)
-    # Non-video rows dropped.
     rows2 = [(2, payload(10, 3), ("image", w, h, 3, 0))]
     assert M.scene_changes(
         spark.createDataFrame(rows2, M.MEDIA_SCHEMA)).count() == 0
 
 
-def test_scene_changes_detects_jump():
-    """Kernel-level: frames materialized from a two-level body produce
-    a nonzero diff; the numpy math matches a hand computation."""
-    d = {"height": 2, "width": 2, "n_frames": 2, "sample_rate": 0,
-         "body": np.array([0, 0, 0, 0, 100, 100, 100, 100],
-                          dtype=np.uint8)}
-    f0 = M.materialize_frame(d, 0).astype(np.float64)
-    f1 = M.materialize_frame(d, 1).astype(np.float64)
-    expect = float(np.mean(np.abs(f1 - f0)))
-    assert expect > 0  # the per-frame offset shifts the cycled body
+def test_scene_changes_flags_cuts_above_threshold(spark):
+    """Two-scene body (31 zero bytes, then 255s): frame 0 reads all
+    zeros, frame 1 (offset 31) reads all 255s — a hard cut. Expected
+    diffs are computed independently through materialize_frame and
+    every is_cut flag must equal (diff > threshold) exactly."""
+    import struct
+    h = w = 4
+    n_frames = 3
+    body = bytes([0] * 31 + [255] * 33)   # len 64
+    payload = (b"MMSYN" + struct.pack("<IIII", w, h, n_frames, 0)
+               + body)
+    d = {"height": h, "width": w, "n_frames": n_frames,
+         "sample_rate": 0,
+         "body": np.frombuffer(body, dtype=np.uint8)}
+    frames = [M.materialize_frame(d, f).astype(np.float64)
+              for f in range(n_frames)]
+    expected = [0.0] + [float(np.mean(np.abs(frames[f] - frames[f - 1])))
+                        for f in range(1, n_frames)]
+    assert expected[1] == 255.0  # all-zero -> all-255 hard cut
+    thr = 40.0
+    media = spark.createDataFrame(
+        [(1, payload, ("video", w, h, n_frames, 0))], M.MEDIA_SCHEMA)
+    out = sorted(M.scene_changes(media, threshold=thr).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert len(out) == n_frames
+    for r, exp in zip(out, expected):
+        assert math.isclose(r["mean_abs_diff"], exp, rel_tol=1e-12)
+        assert r["is_cut"] == int(r["frame_idx"] > 0 and exp > thr)
+    assert sum(r["is_cut"] for r in out) >= 1  # the cut path DID fire
