@@ -694,3 +694,71 @@ def t19_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c.tok_end") - F.col("c.tok_start") + 1).cast("bigint")
         .alias("n_tokens"),
         F.md5(F.col("c.chunk")).alias("chunk_hash"))
+
+
+@register(
+    "t23_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_sql_marker_count(T.LANG_MARKERS['en'])} AS en_score,
+             {_sql_marker_count(T.LANG_MARKERS['de'])} AS de_score,
+             {_sql_marker_count(T.LANG_MARKERS['fr'])} AS fr_score,
+             {_sql_marker_count(T.LANG_MARKERS['es'])} AS es_score,
+             {_SQL_CJK} AS cjk_chars
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN cjk_chars > 0 THEN 'zh'
+                  WHEN en_score >= de_score AND en_score >= fr_score
+                       AND en_score >= es_score THEN 'en'
+                  WHEN de_score >= fr_score AND de_score >= es_score
+                       THEN 'de'
+                  WHEN fr_score >= es_score THEN 'fr'
+                  ELSE 'es' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {stable_round_sql(
+               'CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) '
+               'OVER (PARTITION BY lang) AS DOUBLE)')} AS row_share
+    FROM pred GROUP BY lang, predicted
+    """,
+    doc="Language-ID confusion matrix: the t02 classifier's predicted "
+        "label against the ground-truth lang column, with per-true-"
+        "language row shares (recall on the diagonal) — the accuracy "
+        "evidence behind using t02's prediction as a routing signal "
+        "(the s25/s26/s30 measure-your-operator pattern applied to "
+        "text). One grouped scan; the normalizing window runs on the "
+        "|langs|^2 matrix.",
+)
+def t23_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    scored = d.select(
+        "lang",
+        T.marker_count(toks, T.LANG_MARKERS["en"]).alias("en_score"),
+        T.marker_count(toks, T.LANG_MARKERS["de"]).alias("de_score"),
+        T.marker_count(toks, T.LANG_MARKERS["fr"]).alias("fr_score"),
+        T.marker_count(toks, T.LANG_MARKERS["es"]).alias("es_score"),
+        T.cjk_count(F.col("text")).alias("cjk_chars"))
+    en, de = F.col("en_score"), F.col("de_score")
+    fr, es = F.col("fr_score"), F.col("es_score")
+    pred = (F.when(F.col("cjk_chars") > 0, F.lit("zh"))
+            .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+            .when((de >= fr) & (de >= es), F.lit("de"))
+            .when(fr >= es, F.lit("fr"))
+            .otherwise(F.lit("es")))
+    m = (scored.select("lang", pred.alias("predicted"))
+         .groupBy("lang", "predicted")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = W.partitionBy("lang")
+    return m.select(
+        "lang", "predicted", "n",
+        stable_round(F.col("n").cast("double")
+                     / F.sum("n").over(w).cast("double"))
+        .alias("row_share"))
