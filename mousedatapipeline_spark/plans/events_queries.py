@@ -800,3 +800,73 @@ def e16_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").cast("bigint").alias("wau"))
             .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"),
                     "dau", "wau"))
+
+
+@register(
+    "e17_hourly_anomalies",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hr, n,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS w_n,
+             CAST(SUM(n) OVER tw AS BIGINT) AS w_sum,
+             CAST(SUM(n * n) OVER tw AS BIGINT) AS w_sumsq
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           n, w_n,
+           {stable_round_sql(
+               'CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE)')} AS base_mean,
+           {stable_round_sql(
+               '(CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE)'
+               ' / CAST(w_n AS DOUBLE))'
+               ' / SQRT((CAST(w_sumsq AS DOUBLE)'
+               ' - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE)'
+               ' / CAST(w_n AS DOUBLE)) / CAST(w_n - 1 AS DOUBLE)'
+               ' + 1.0)')} AS zscore
+    FROM w WHERE w_n >= 3
+    """,
+    doc="Time-series anomaly scores: each hour's event count against "
+        "the trailing 6-hour baseline (mean and variance from EXPLICIT "
+        "integer window sums — sum, sum-of-squares — so both engines "
+        "compute identical IEEE expressions; built-in stddev "
+        "implementations differ in summation order). +1 variance "
+        "floor keeps flat baselines finite. The rolling window runs "
+        "on the hourly aggregate (|types| x |hours| rows), never the "
+        "event stream; warm-up hours (fewer than 3 baseline points) "
+        "are excluded.",
+)
+def e17_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("hr"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tw = W.partitionBy("event_type").orderBy("hr").rowsBetween(-6, -1)
+    w = h.select(
+        "event_type", "hr", "n",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("w_n"),
+        F.sum("n").over(tw).cast("bigint").alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(tw).cast("bigint")
+        .alias("w_sumsq"))
+    mean = F.col("w_sum").cast("double") / F.col("w_n").cast("double")
+    var = ((F.col("w_sumsq").cast("double")
+            - F.col("w_sum").cast("double") * F.col("w_sum").cast("double")
+            / F.col("w_n").cast("double"))
+           / (F.col("w_n") - 1).cast("double"))
+    return (w.filter(F.col("w_n") >= 3)
+            .select("event_type",
+                    F.date_format("hr", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"),
+                    "n", "w_n",
+                    stable_round(mean).alias("base_mean"),
+                    stable_round((F.col("n").cast("double") - mean)
+                                 / F.sqrt(var + 1.0)).alias("zscore")))
