@@ -762,3 +762,42 @@ def t23_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("n").cast("double")
                      / F.sum("n").over(w).cast("double"))
         .alias("row_share"))
+
+
+@register(
+    "t24_text_normalization",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[\t\n\r\x0b\x0c ]+', ' ', 'g'),
+               '[^ -~]', '', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS norm_hash,
+           CAST(length(text) - length(norm) AS BIGINT) AS n_removed_chars,
+           CAST(norm <> text AS INT) AS changed
+    FROM n
+    """,
+    doc="Text normalization (the canonicalization stage every dedup "
+        "hash depends on): lowercase, collapse all whitespace runs to "
+        "single spaces, strip non-printable/non-ASCII bytes, trim — "
+        "as a pure regexp_replace chain in the Java-regex ∩ RE2 "
+        "subset (the t07 pattern discipline), so both engines rewrite "
+        "identical spans. Output is the normalized-content hash plus "
+        "change accounting; zero shuffles, whole-stage codegen.",
+)
+def t24_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")),
+                         "[\\t\\n\\r\\x0b\\x0c ]+", " "),
+        "[^ -~]", ""))
+    n = d.select("doc_id", "text", norm.alias("norm"))
+    return n.select(
+        "doc_id",
+        F.md5("norm").alias("norm_hash"),
+        (F.length("text") - F.length("norm")).cast("bigint")
+        .alias("n_removed_chars"),
+        (F.col("norm") != F.col("text")).cast("int").alias("changed"))
