@@ -1043,3 +1043,72 @@ def m16_daily_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(dsum("transmission") / n.cast("double"))
         .alias("mean_transmission"),
         stable_round(F.max("direct_flux")).alias("max_flux"))
+
+
+@register(
+    "m17_repetition_drift_qc",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_orderkey AS batch,
+             CAST(l_orderkey % 3 AS INT) AS configuration,
+             (1.0 - l_discount) AS transmission
+      FROM lineitem
+    ),
+    g AS (
+      SELECT batch, configuration,
+             CAST(COUNT(*) AS BIGINT) AS n_reps,
+             CAST(CAST(SUM(CAST(transmission AS DECIMAL(30,10)))
+                  AS VARCHAR) AS DOUBLE) AS t_sum,
+             CAST(CAST(SUM(CAST(transmission * transmission
+                  AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS t_sumsq
+      FROM m GROUP BY batch, configuration
+    )
+    SELECT batch, configuration, n_reps,
+           {stable_round_sql('t_sum / CAST(n_reps AS DOUBLE)')} AS t_mean,
+           {stable_round_sql(
+               'CASE WHEN n_reps > 1 THEN '
+               'SQRT(GREATEST((t_sumsq - t_sum * t_sum '
+               '/ CAST(n_reps AS DOUBLE)) '
+               '/ CAST(n_reps - 1 AS DOUBLE), 0.0)) '
+               '/ (t_sum / CAST(n_reps AS DOUBLE)) ELSE 0.0 END')}
+             AS cv,
+           CAST(n_reps > 1 AND
+                SQRT(GREATEST((t_sumsq - t_sum * t_sum
+                     / CAST(n_reps AS DOUBLE))
+                     / CAST(n_reps - 1 AS DOUBLE), 0.0))
+                / (t_sum / CAST(n_reps AS DOUBLE)) > 0.05
+                AS INT) AS drift_flag
+    FROM g
+    """,
+    doc="Repetition-stability QC (the drift gate A1/A2 stacking "
+        "implicitly assumes: repetitions of one (batch, configuration) "
+        "measure the SAME sample state): per group, the coefficient of "
+        "variation of transmission across repetitions from explicit "
+        "decimal sums (sum + sum-of-squares — identical IEEE "
+        "expressions both engines, GREATEST(...,0) absorbing the "
+        "catastrophic-cancellation negative), flagged above 5% CV. "
+        "A flagged batch means the beam or sample moved mid-series "
+        "and its stack statistics are averaging different states. "
+        "One shuffle.",
+)
+def m17_repetition_drift_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = measurements(spark, sf_dir)
+    g = m.groupBy("batch", "configuration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.sum(F.col("transmission").cast("decimal(30,10)"))
+        .cast("double").alias("t_sum"),
+        F.sum((F.col("transmission") * F.col("transmission"))
+              .cast("decimal(30,10)")).cast("double").alias("t_sumsq"))
+    mean = F.col("t_sum") / F.col("n_reps").cast("double")
+    var = F.greatest(
+        (F.col("t_sumsq") - F.col("t_sum") * F.col("t_sum")
+         / F.col("n_reps").cast("double"))
+        / (F.col("n_reps") - 1).cast("double"),
+        F.lit(0.0))
+    cv = F.when(F.col("n_reps") > 1, F.sqrt(var) / mean).otherwise(0.0)
+    return g.select(
+        "batch", "configuration", "n_reps",
+        stable_round(mean).alias("t_mean"),
+        stable_round(cv).alias("cv"),
+        ((F.col("n_reps") > 1) & (cv > 0.05)).cast("int")
+        .alias("drift_flag"))
