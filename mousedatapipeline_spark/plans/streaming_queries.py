@@ -798,3 +798,103 @@ def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros("session_window.end").cast("bigint")
                     .alias("session_end_us"),
                     "n_events"))
+
+
+# --------------------------------------------------------------------------
+# w09: streaming top-k maintenance. The top-k-by-value rows per event
+# type, maintained incrementally: each micro-batch's local top-k
+# unions into the persisted k-row-per-type state and re-truncates —
+# a monoid fold (top-k of a union = top-k of top-k's), so state is
+# bounded at k x |types| rows forever and the result equals the batch
+# top-k of all history. Ties break on event_id for determinism.
+# --------------------------------------------------------------------------
+_W09_K = 5
+
+
+def _w09_topk(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    return (df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _W09_K).drop("rk"))
+
+
+def _w09_merge(batch: DataFrame, batch_id: int, state_dir: Path) -> None:
+    spark = batch.sparkSession
+    b = _w09_topk(batch.select("event_type", "event_id", "value"))
+    versions = sorted(p for p in state_dir.glob("v*")
+                      if int(p.name[1:]) < batch_id)  # replay-idempotent
+    if versions:
+        prev = spark.read.parquet(str(versions[-1]))
+        b = _w09_topk(prev.unionByName(b))
+    b.write.mode("overwrite").parquet(str(state_dir / f"v{batch_id:06d}"))
+
+
+@register(
+    "w09_stream_topk",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(rk AS INT) AS rank, event_id,
+           {stable_round_sql('value')} AS value
+    FROM r WHERE rk <= {_W09_K}
+    """,
+    doc="Streaming top-k maintenance: per event type, the k highest-"
+        "value events maintained across file-per-trigger batches by a "
+        "monoid fold (top-k of union of top-k's), state bounded at "
+        "k x |types| rows forever, replay-idempotent via the strictly-"
+        "below-batch-id version read. The drained state must equal "
+        "the batch top-k over all history — ties broken on event_id "
+        "on both sides.",
+)
+def w09_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w09_"))
+    landing = work / "landing"
+    landing.mkdir()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    tmp = work / "_tmp"
+    ev.repartitionByRange(3, "event_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+
+    state_dir = work / "state"
+    state_dir.mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.format("parquet")
+              .schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: _w09_merge(b, i, state_dir))
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = sorted(state_dir.glob("v*"))[-1]
+    from pyspark.sql import Window as W2
+    w = W2.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id")
+    return (spark.read.parquet(str(final))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("event_type", "rank", "event_id",
+                    stable_round(F.col("value")).alias("value")))
