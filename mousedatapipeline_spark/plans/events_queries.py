@@ -870,3 +870,50 @@ def e17_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stable_round(mean).alias("base_mean"),
                     stable_round((F.col("n").cast("double") - mean)
                                  / F.sqrt(var + 1.0)).alias("zscore")))
+
+
+@register(
+    "e18_time_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS dy,
+             event_type, value
+      FROM events
+    ),
+    long AS (
+      SELECT 'hour' AS grain, hr AS bucket, event_type, value FROM base
+      UNION ALL
+      SELECT 'day', dy, event_type, value FROM base
+    )
+    SELECT grain, bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(value AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS value_sum
+    FROM long GROUP BY grain, bucket, event_type
+    """,
+    doc="Multi-granularity time rollup: hourly AND daily aggregates of "
+        "one event scan via GROUPING SETS over the two precomputed "
+        "bucket columns — one Expand + one aggregation pass, never "
+        "two reads (the oracle spells the UNION; Spark's plan is the "
+        "single-scan form, the q36 discipline applied to time). The "
+        "dashboard query family served by one job.",
+)
+def e18_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hr"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        .alias("dy"),
+        "event_type", "value")
+    g = base.groupingSets([["hr", "event_type"], ["dy", "event_type"]],
+                          "hr", "dy", "event_type")
+    agg = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                stable_round(dsum("value")).alias("value_sum"))
+    return agg.select(
+        F.when(F.col("hr").isNotNull(), F.lit("hour"))
+        .otherwise(F.lit("day")).alias("grain"),
+        F.coalesce("hr", "dy").alias("bucket"),
+        "event_type", "n_events", "value_sum")

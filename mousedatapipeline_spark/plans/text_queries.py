@@ -801,3 +801,69 @@ def t24_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length("norm")).cast("bigint")
         .alias("n_removed_chars"),
         (F.col("norm") != F.col("text")).cast("int").alias("changed"))
+
+
+@register(
+    "t25_token_entropy",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(toks) > 0 THEN
+               -list_reduce(list_prepend(0.0,
+                 list_transform(list_distinct(toks), t ->
+                   (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE))
+                   * LN(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)))),
+                 (a, b) -> a + b)
+             ELSE 0.0 END AS h
+      FROM tk
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           {stable_round_sql('h')} AS entropy,
+           {stable_round_sql(
+               'CASE WHEN n_distinct > 1 THEN '
+               'h / LN(CAST(n_distinct AS DOUBLE)) ELSE 0.0 END')}
+             AS norm_entropy
+    FROM e
+    """,
+    doc="Token-distribution entropy quality signal: per document, "
+        "Shannon entropy of the token frequency distribution and its "
+        "normalization by ln(vocab) — near-0 flags degenerate "
+        "repetition (one token dominating), near-1 flags maximally "
+        "flat text; complements t09's repetition ratios with an "
+        "information measure. Entirely row-local (distinct-token "
+        "fold over the token array, O(distinct x len) per row, zero "
+        "shuffles); identical left-fold order both engines makes the "
+        "raw float entropy bit-identical before rounding.",
+)
+def t25_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    staged = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("bigint")
+    nd = F.size(F.array_distinct("toks")).cast("bigint")
+
+    def term(t):
+        p = (F.size(F.filter("toks", lambda x: x == t)).cast("double")
+             / F.size("toks").cast("double"))
+        return p * F.log(p)
+
+    h = F.when(
+        F.size("toks") > 0,
+        -F.aggregate(F.array_distinct("toks"), F.lit(0.0),
+                     lambda acc, t: acc + term(t))
+    ).otherwise(F.lit(0.0))
+    e = staged.select("doc_id", n.alias("n_tokens"),
+                      nd.alias("n_distinct"), h.alias("h"))
+    return e.select(
+        "doc_id", "n_tokens", "n_distinct",
+        stable_round(F.col("h")).alias("entropy"),
+        stable_round(F.when(F.col("n_distinct") > 1,
+                            F.col("h")
+                            / F.log(F.col("n_distinct").cast("double")))
+                     .otherwise(F.lit(0.0))).alias("norm_entropy"))
