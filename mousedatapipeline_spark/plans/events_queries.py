@@ -917,3 +917,66 @@ def e18_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("day")).alias("grain"),
         F.coalesce("hr", "dy").alias("bucket"),
         "event_type", "n_events", "value_sum")
+
+
+@register(
+    "e19_weekly_churn",
+    oracle="""
+    WITH wu AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+      FROM events
+    ),
+    weeks AS (SELECT DISTINCT wk FROM wu)
+    SELECT strftime(w.wk, '%Y-%m-%d') AS week,
+           CAST(COUNT(cur.user_id) AS BIGINT) AS n_active,
+           CAST(COUNT(CASE WHEN prev.user_id IS NULL
+                           THEN cur.user_id END) AS BIGINT) AS n_new,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wu p
+            WHERE p.wk = w.wk - INTERVAL 7 DAY
+              AND NOT EXISTS (SELECT 1 FROM wu c
+                              WHERE c.wk = w.wk
+                                AND c.user_id = p.user_id))
+             AS n_churned
+    FROM weeks w
+    LEFT JOIN wu cur ON cur.wk = w.wk
+    LEFT JOIN wu prev ON prev.wk = w.wk - INTERVAL 7 DAY
+                     AND prev.user_id = cur.user_id
+    GROUP BY w.wk
+    """,
+    doc="Week-over-week retention accounting: per week, active users, "
+        "users newly absent from the previous week (churned) and users "
+        "present now but not before (new) — the anti-join pair every "
+        "growth dashboard runs. The (week, user) pairs deduplicate "
+        "once (the only corpus-sized stage); the three counts come "
+        "from self-joins of that per-week roster keyed on (week, "
+        "user), each shuffle bounded by the roster, not the events.",
+)
+def e19_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wu = (ev.select(F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+                    "user_id")
+          .distinct()
+          .localCheckpoint(eager=False))  # three consumers below
+    cur = wu.select("wk", "user_id")
+    prev = wu.select(F.date_add("wk", 7).alias("wk"),
+                     F.col("user_id"), F.lit(1).alias("was_prev"))
+    act = (cur.join(prev, ["wk", "user_id"], "left")
+           .groupBy("wk")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+                F.count(F.when(F.col("was_prev").isNull(), 1))
+                .cast("bigint").alias("n_new")))
+    churn = (wu.select(F.date_add("wk", 7).alias("wk"), "user_id")
+             .join(cur.withColumn("still", F.lit(1)),
+                   ["wk", "user_id"], "left")
+             .filter(F.col("still").isNull())
+             .groupBy("wk")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned")))
+    weeks = wu.select("wk").distinct()
+    return (weeks.join(act, "wk", "left").join(churn, "wk", "left")
+            .select(F.date_format("wk", "yyyy-MM-dd").alias("week"),
+                    F.coalesce("n_active", F.lit(0)).cast("bigint")
+                    .alias("n_active"),
+                    F.coalesce("n_new", F.lit(0)).cast("bigint")
+                    .alias("n_new"),
+                    F.coalesce("n_churned", F.lit(0)).cast("bigint")
+                    .alias("n_churned")))
