@@ -1934,3 +1934,81 @@ def s30_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_sq_dist"),
         F.col("lb").alias("nearest_label"),
         stable_round(F.col("csq")).alias("nearest_centroid_sq_dist"))
+
+
+# --------------------------------------------------------------------------
+# s32: split-drift check — do the s13-style md5 train/val/test splits
+# carry the same embedding distribution? Per (split, label): counts
+# and exact-decimal mean vector norms; per split: the share of each
+# label. A skewed label share or shifted norm says the split key
+# correlates with content and offline eval numbers will lie.
+# --------------------------------------------------------------------------
+_S32_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "s32_split_drift",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    s AS (
+      SELECT e.vec_id, e.label, n.norm,
+             {{split_case}} AS split
+      FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+    )
+    SELECT split, label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(norm AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_norm,
+           {stable_round_sql(
+               'CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) '
+               'OVER (PARTITION BY split) AS DOUBLE)')} AS label_share
+    FROM s GROUP BY split, label
+    """,
+    doc="Split-drift audit: per (split, label) of the deterministic "
+        "md5 train/val/test assignment, vector counts, exact-decimal "
+        "mean embedding norm, and the label share within the split — "
+        "a skewed share or shifted norm means the split key correlates "
+        "with content and offline eval will mislead. The split "
+        "predicate is the s13 scan-stage expression; one grouped "
+        "aggregation; the normalizing window runs on the "
+        "|splits| x |labels| matrix.",
+)
+def s32_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mousedatapipeline_spark.operators import sampling as SA
+
+    e = load(spark, sf_dir, "embeddings")
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    norms = S.vector_norms(dims, "vec_id")
+    s = SA.dataset_split(
+        e.select("vec_id", "label").join(norms, "vec_id"),
+        "vec_id", _S32_SPLITS)
+    g = s.groupBy("split", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (F.sum(F.col("norm").cast("decimal(30,10)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_norm_raw"))
+    w = W.partitionBy("split")
+    return g.select(
+        "split", "label", "n_vecs",
+        stable_round(F.col("mean_norm_raw")).alias("mean_norm"),
+        stable_round(F.col("n_vecs").cast("double")
+                     / F.sum("n_vecs").over(w).cast("double"))
+        .alias("label_share"))
+
+
+def _finalize_s32_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.operators import sampling as SA
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s32_split_drift"]
+    _REGISTRY["s32_split_drift"] = replace(
+        spec, oracle=spec.oracle.format(
+            split_case=SA.split_sql_case("e.vec_id", _S32_SPLITS)))
+
+
+_finalize_s32_oracle()
