@@ -38,7 +38,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "orient_by_degree"]
+
+
+def orient_by_degree(edges: DataFrame, src: str = "d1",
+                     dst: str = "d2",
+                     degrees: DataFrame | None = None) -> DataFrame:
+    """Re-orient undirected edges by the (degree, id) total order.
+
+    Returns one row per input edge with columns ``(src, dst)`` such
+    that (degree(src), src) < (degree(dst), dst). Under this
+    orientation every vertex's OUT-degree is O(sqrt(m)) — a vertex
+    with out-degree d has d neighbors of rank >= its own, so
+    rank-order out-degree is bounded by the count of vertices of
+    degree >= d, and d * d <= sum(degrees) = 2m — which caps the
+    fan-out of a wedge join (the Ortmann/Brandes "degree ordering"
+    used by every scalable triangle counter). Plain id orientation
+    lacks this bound: a low-id hub keeps its full fan-out.
+
+    Cost: one degree aggregate over the edge list + two equi-joins to
+    attach endpoint degrees — both shuffles on the vertex id, skew
+    handled by AQE. Pass ``degrees`` (columns ``v, deg``) to reuse an
+    already-computed undirected degree table. The triangle SET is
+    orientation-invariant, so results of downstream wedge counting do
+    not change.
+    """
+    deg = degrees if degrees is not None else (
+        edges.select(F.explode(F.array(src, dst)).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg")))
+    d1 = deg.select(F.col("v").alias(src), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias(dst), F.col("deg").alias("deg2"))
+    ranked = edges.join(d1, src).join(d2, dst)
+    fwd = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col(src) < F.col(dst)))
+    return ranked.select(
+        F.when(fwd, F.col(src)).otherwise(F.col(dst)).alias(src),
+        F.when(fwd, F.col(dst)).otherwise(F.col(src)).alias(dst))
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,

@@ -88,10 +88,11 @@ def _load_all() -> None:
 # the two round-1 reds (m02/m08), and anything newly added — register
 # first, and the already-proven ones go last.
 #
-# ROTATION (next round): fold CORRECTNESS_r02.json's green names into a
-# _R02_GREEN set below so the still-unrowed remainder (at 122 queries
-# the 50-row budget can't cover all 74 unproven at once) claims the
-# prefix next time. Repeat per round until every query has a row.
+# ROTATION: each round, fold the new CORRECTNESS_r{N}.json green names
+# into a _R{N}_GREEN set below so the still-unrowed remainder claims
+# the ~50-row prefix next time. Repeat per round until every query has
+# a row; queries whose implementation changed after their row go back
+# into the pool via _STALE_PROOF.
 _R01_GREEN = frozenset({
     "q01_pricing_summary", "q02_order_census", "q03_region_revenue",
     "q04_asof_view_before_purchase", "q05_window_propagation",
@@ -112,6 +113,43 @@ _R01_GREEN = frozenset({
     "t12_vocab_coverage", "t13_source_dashboard", "s18_bloom_decontam",
 })
 
+# Green rows earned in CORRECTNESS_r02.json (all 50 sampled passed).
+_R02_GREEN = frozenset({
+    "m02_background_thickness", "m08_average_to_counts",
+    "m10_mask_diameter", "m11_stacker_freshness", "m12_canstack_checklist",
+    "m13_nexus_ingest_merge", "m14_stacked_sink_roundtrip",
+    "m16_daily_ops_dashboard", "m17_repetition_drift_qc",
+    "q31_scalable_percentiles", "q32_grouping_sets",
+    "q34_bucketed_join_roundtrip", "q35_scd2_intervals",
+    "q36_unpivot_metrics", "q37_distribution_ranks",
+    "q38_constraint_audit", "q39_partition_backfill",
+    "q40_point_in_time_lookup", "s01_exact_dedup", "s02_ngram_jaccard",
+    "s03_minhash_lsh", "s04_simhash", "s05_knn_cosine", "s06_ann_lsh",
+    "s07_label_centroids", "s08_ann_ivf", "s09_embedding_neardup",
+    "s10_kmeans_ivf", "s14_neardup_components", "s19_lsh_verified_neardup",
+    "s20_centroid_outliers", "s21_semantic_dedup", "s22_incremental_neardup",
+    "s23_embedding_quantization", "s24_containment_neardup",
+    "s25_ann_recall", "s26_minhash_accuracy", "s27_triangle_count",
+    "s28_threshold_sweep", "s29_bbit_minhash", "t14_unigram_surprisal",
+    "t15_bigram_surprisal", "t17_classifier_filter", "t18_novelty_scan",
+    "t19_rag_chunking", "t21_shared_span_localization",
+    "t22_dedup_adjusted_tokens", "t23_langid_confusion",
+    "t24_text_normalization", "t25_token_entropy",
+})
+
+# Queries whose implementation changed AFTER their last green driver row:
+# the proof is stale, so they rejoin the unproven pool (rotation rule).
+# e11 swapped its global row_number window for bucketed_exact_quantiles
+# after its r01 row (ADVICE.md r02); s24 gained the empty-shingle-set
+# guard, s27 the degree-ordered wedge orientation, and w08 the
+# single-sentinel no-data-batch drain — all after their r02 rows.
+_STALE_PROOF = frozenset({
+    "e11_conversion_latency", "s24_containment_neardup",
+    "s27_triangle_count", "w08_stream_session_window",
+})
+
+_PROVEN = (_R01_GREEN | _R02_GREEN) - _STALE_PROOF
+
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
@@ -122,7 +160,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # checks claim the slots and the weak/slow checks yield the tail.
     def rank(item):
         n, s = item
-        return (n in _R01_GREEN, s.oracle is None, n.startswith("w"))
+        return (n in _PROVEN, s.oracle is None, n.startswith("w"))
     return dict(sorted(_REGISTRY.items(), key=rank))
 
 

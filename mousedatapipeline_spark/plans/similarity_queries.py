@@ -14,6 +14,7 @@ from mousedatapipeline_spark.functions.rounding import (
     stable_round,
     stable_round_sql,
 )
+from mousedatapipeline_spark.operators import graph as G
 from mousedatapipeline_spark.operators import similarity as S
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
@@ -1343,6 +1344,10 @@ def s24_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         S.shingle_set_col(F.col("text")).alias("shs"),
     ).withColumn("n", F.size("shs").cast("bigint"))
+    # Sub-3-char docs have an empty shingle set: the oracle's shingle
+    # self-join can never emit them, and pairing one divides by
+    # min(|A|,|B|) = 0 (same guard s26/s29 apply).
+    sets = sets.filter(F.size("shs") > 0)
     pairs = S.blocked_pairs(
         sets, ["lang", "source"], {"shs": "shs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,
@@ -1562,14 +1567,12 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # s27: triangle counting on the near-dup graph — density diagnostics
 # for dedup clusters (a clique-ish component is one duplicated source;
-# a sparse chain is transitive drift). Edges keep their (d1 < d2) id
-# orientation — a valid total order, so every triangle is counted
-# exactly once — and the wedge join fans out per oriented out-degree.
-# Id order does NOT carry the O(sqrt(m)) bound of true degree
-# ordering: a low-id hub keeps its full fan-out. At corpus scale,
-# re-orient by (degree, id) first (one degree aggregate + a join) to
-# get that bound; at this block-bounded edge set the id order
-# suffices and saves the extra pass.
+# a sparse chain is transitive drift). Edges are re-oriented by the
+# (degree, id) total order (operators/graph.orient_by_degree) before
+# the wedge join: the oriented out-degree is then O(sqrt(m)), which
+# bounds the wedge fan-out — the Ortmann/Brandes bound every scalable
+# triangle counter relies on. The triangle SET is orientation-
+# invariant, so the oracle (and the per-vertex counts) are unchanged.
 # --------------------------------------------------------------------------
 @register(
     "s27_triangle_count",
@@ -1619,27 +1622,32 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-dup edge set (s02's Jaccard >= 0.6 pairs): per doc, its "
         "degree, triangle membership count, and 2T/d(d-1) — clique-"
         "like duplication clusters score ~1, transitive-drift chains "
-        "~0. Edges stay (d1 < d2)-oriented (already a valid total "
-        "order: the id ordering caps oriented out-degree like the "
-        "degree ordering does on power-law graphs), the wedge join is "
-        "edge-to-edge on the middle vertex, and the closing check is "
-        "one more equi-join — never a cartesian.",
+        "~0. Edges are re-oriented by (degree, id) — oriented "
+        "out-degree O(sqrt(m)), the scalable wedge bound — the wedge "
+        "join is edge-to-edge on the middle vertex, and the closing "
+        "check is one more equi-join — never a cartesian.",
 )
 def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (s02_ngram_jaccard(spark, sf_dir).select("d1", "d2")
              .localCheckpoint(eager=False))  # three joins + degrees
-    e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-    e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
-    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    deg = (edges.select(F.explode(F.array("d1", "d2")).alias("v"))
+           .groupBy("v")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    # One degree table serves both the orientation and the output; the
+    # oriented edge list feeds three join branches, so materialize it.
+    oriented = G.orient_by_degree(
+        edges, "d1", "d2",
+        degrees=deg.select("v", F.col("degree").alias("deg")),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = oriented.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = oriented.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
     tri = (e1.join(e2, "b")
            .join(e3, ["a", "c"])
            .select("a", "b", "c"))
     pertri = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
               .groupBy("v")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
-    deg = (edges.select(F.explode(F.array("d1", "d2")).alias("v"))
-           .groupBy("v")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
     j = deg.join(pertri, "v", "left")
     ntri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
     coef = F.when(

@@ -731,11 +731,12 @@ def w07_stream_quantile_histogram(spark: SparkSession,
     oracle=SESSION_WINDOW_ORACLE_SQL,
     doc="Watermarked NATIVE streaming session windows (the e14 "
         "expression under a real watermark, vs w02's "
-        "applyInPandasWithState): time-chunked files drain one per "
+        "applyInPandasWithState): time-chunked files drain two per "
         "trigger; session state merges across triggers and each "
         "session emits (append mode) only when the watermark passes "
         "its end — state is bounded by open sessions, never history. "
-        "Two far-future sentinel files advance the watermark so every "
+        "One far-future sentinel event in the final trigger plus the "
+        "closing no-data micro-batch advance the watermark so every "
         "real session finalizes before the drain ends; the sink must "
         "then equal the batch sessionization (e14's oracle).",
 )
@@ -744,31 +745,32 @@ def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = work / "landing"
     landing.mkdir()
     n_real = write_time_chunks(spark, sf_dir, landing, n_chunks=3)
-    # Sentinels: far-future events for a filtered-out user. Watermark
-    # advances from sentinel #1's event time at the START of the batch
-    # that processes sentinel #2, which is when every real session
-    # (end <= max real ts + 30 min) finalizes and emits. The max event
-    # time comes from the LAST chunk file (range partitioning put the
-    # top ts range there) — no second scan of the events table.
+    # Sentinel: ONE far-future event for a filtered-out user. It lands
+    # in the final data trigger and pushes the stream's max event time
+    # past every real session end (end <= max real ts + 30 min); the
+    # closing no-data micro-batch (noDataMicroBatches, Spark default)
+    # then advances the watermark from it and finalizes every real
+    # session before the availableNow drain terminates — no second
+    # sentinel trigger needed. The max event time comes from the LAST
+    # chunk file (range partitioning put the top ts range there) — no
+    # second scan of the events table.
     last_chunk = sorted(landing.glob("chunk*.parquet"))[-1]
     max_us = spark.read.parquet(str(last_chunk)).agg(
         F.max("ts_us")).collect()[0][0]
-    for k in range(2):
-        sent = spark.createDataFrame(
-            [(-1, max_us + (k + 1) * 864_000_000_000)],
-            _SESSION_STREAM_SCHEMA)
-        dest = landing / f"zz_sentinel{k}.parquet"
-        tmp = work / f"_sent{k}"
-        sent.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        shutil.move(str(next(Path(tmp).glob("part-*.parquet"))), str(dest))
-        os.utime(dest, (1_000_000_000 + n_real + k,
-                        1_000_000_000 + n_real + k))
-        shutil.rmtree(tmp)
+    sent = spark.createDataFrame(
+        [(-1, max_us + 864_000_000_000)], _SESSION_STREAM_SCHEMA)
+    dest = landing / "zz_sentinel0.parquet"
+    tmp = work / "_sent0"
+    sent.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    shutil.move(str(next(Path(tmp).glob("part-*.parquet"))), str(dest))
+    os.utime(dest, (1_000_000_000 + n_real, 1_000_000_000 + n_real))
+    shutil.rmtree(tmp)
 
-    # Two files per trigger: batches land as [c0,c1], [c2,sent0],
-    # [sent1] — real-session state still merges across the first two
-    # triggers (the semantics under test), while the per-trigger
-    # state-store/sink fixed costs drop from 5 triggers to 3.
+    # Two files per trigger: batches land as [c0,c1], [c2,sentinel] —
+    # real-session state still merges across the two triggers (the
+    # semantics under test), and the watermark flush rides the free
+    # no-data batch: 2 state-store/sink triggers instead of r02's 3
+    # (r01 had 5).
     stream = (spark.readStream.schema(_SESSION_STREAM_SCHEMA)
               .option("maxFilesPerTrigger", 2)
               .parquet(str(landing))

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "mousedatapipeline_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # NULL-on-divide-by-zero (pre-Spark-4 semantics): the DuckDB
+        # oracles return NULL for x/0 on every numeric type, while
+        # Spark 4's ANSI default raises DIVIDE_BY_ZERO — a
+        # data-dependent abort the oracle can never mirror.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")

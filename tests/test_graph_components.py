@@ -54,3 +54,45 @@ def test_nonconvergence_raises(spark):
                                 "a: bigint, b: bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ndf, edf, "id", "a", "b", max_iter=1)
+
+
+# --- orient_by_degree (s27's wedge-bound guard) ----------------------------
+
+def _orient(spark, edges):
+    from mousedatapipeline_spark.operators.graph import orient_by_degree
+    edf = spark.createDataFrame(edges, "d1: bigint, d2: bigint")
+    return [(r.d1, r.d2) for r in orient_by_degree(edf).collect()]
+
+
+def test_orient_star_hub_has_zero_outdegree(spark):
+    # Star with LOW-id hub 0: id orientation gives the hub out-degree n
+    # (the unbounded-fan-out failure mode); degree orientation must
+    # point every edge INTO the hub (leaves have degree 1 < hub's n).
+    n = 8
+    got = _orient(spark, [(0, i) for i in range(1, n + 1)])
+    assert sorted(got) == [(i, 0) for i in range(1, n + 1)]
+
+
+def test_orient_is_degree_id_total_order(spark):
+    # Mixed graph: triangle + pendant. Degrees: 1:3, 2:2, 3:2, 4:1.
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    got = _orient(spark, edges)
+    deg = {1: 3, 2: 2, 3: 2, 4: 1}
+    assert len(got) == len(edges)
+    for u, v in got:
+        assert (deg[u], u) < (deg[v], v)
+    # Same undirected edge set in and out.
+    assert {frozenset(e) for e in got} == {frozenset(e) for e in edges}
+
+
+def test_orient_triangle_count_invariant(spark):
+    # Wedge-join triangle count over oriented edges equals the known
+    # count regardless of orientation scheme: K4 has 4 triangles.
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    from mousedatapipeline_spark.operators.graph import orient_by_degree
+    edf = spark.createDataFrame(edges, "d1: bigint, d2: bigint")
+    o = orient_by_degree(edf)
+    e1 = o.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = o.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = o.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    assert e1.join(e2, "b").join(e3, ["a", "c"]).count() == 4
