@@ -262,3 +262,71 @@ def top_freq_fraction(grams: Column) -> Column:
     return F.when(
         F.size(grams) > 0, best.cast("double") / F.size(grams)) \
         .otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (DataFrame-level): the Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better")
+# operation — REMOVE long substrings that already occur earlier in the
+# corpus, keeping the first occurrence. The suffix-array formulation
+# is inherently sequential; the distributed re-expression anchors on
+# non-overlapping token-chunk hashes (the t11/t21 unit): a duplicated
+# substring of length >= (min_run+1)*chunk - 1 tokens must contain at
+# least min_run consecutive duplicated chunks (pigeonhole), so runs of
+# removable chunks locate the removable spans.
+# --------------------------------------------------------------------------
+
+# Occurrence keys pack (doc_id, chunk_idx) into one BIGINT so "earliest
+# occurrence corpus-wide" is a single map-side-combinable MIN — no
+# window over the (possibly mega-hot) chunk-hash partition. Bounds the
+# per-doc chunk count; 1e9 * 8 tokens/chunk = docs up to 8B tokens.
+_OCC_KEY_SPAN = 1_000_000_000
+
+
+def remove_duplicate_spans(docs, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           chunk: int = 8, min_run: int = 2):
+    """Remove runs of >= ``min_run`` consecutive ``chunk``-token chunks
+    whose content occurs earlier in the corpus (earlier = smaller
+    (doc_id, position)). Returns one row per input doc:
+    ``(id_col, n_tokens, n_removed, clean_text)``.
+
+    Plan shape (100 TB): chunking is row-local; "earliest occurrence"
+    is one groupBy(hash) MIN (partial agg absorbs hot boilerplate
+    chunks); the probe is a corpus-keyed equi-join on the hash (1:1
+    with occurrences — no fan-out); the gaps-and-islands window
+    partitions by doc (bounded by a doc's chunk count); reconstruction
+    joins the removal set back by doc id and filters the token array
+    with a JVM higher-order function. No UDFs, no broadcast
+    dependence, no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    ch = (base.select(
+        id_col,
+        F.posexplode(chunk_hashes(F.col("t"), chunk)).alias("idx", "h"))
+        .select(id_col, F.col("idx").cast("bigint").alias("idx"), "h")
+        .withColumn("pk", F.col(id_col) * _OCC_KEY_SPAN + F.col("idx")))
+    first = ch.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    rmv = (ch.join(first, "h")
+           .filter(F.col("pk") > F.col("first_pk"))
+           .select(id_col, "idx"))
+    w = Window.partitionBy(id_col).orderBy("idx")
+    isl = rmv.withColumn("grp", F.col("idx") - F.row_number().over(w))
+    run_w = Window.partitionBy(id_col, "grp")
+    removed = (isl.withColumn("run_len", F.count(F.lit(1)).over(run_w))
+               .filter(F.col("run_len") >= min_run)
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("idx")).alias("rm")))
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.array_contains(rm, F.floor(i / chunk)))
+    return (base.join(removed, id_col, "left")
+            .select(id_col,
+                    F.size("t").cast("bigint").alias("n_tokens"),
+                    (F.size("t") - F.size(kept)).cast("bigint")
+                    .alias("n_removed"),
+                    F.array_join(kept, " ").alias("clean_text")))

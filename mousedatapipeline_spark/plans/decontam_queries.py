@@ -421,3 +421,69 @@ def t22_dedup_adjusted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("unique_tokens"),
         F.sum(F.col("n_tok") * (F.col("n_copies") - 1)).cast("bigint")
         .alias("duplicated_tokens"))
+
+
+@register(
+    "t26_substring_removal",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS idx,
+             doc_id * {T._OCC_KEY_SPAN} + j AS pk,
+             md5(array_to_string(
+               t[({SPAN_CHUNK}*j+1):({SPAN_CHUNK}*j+{SPAN_CHUNK})], ' '))
+               AS h
+      FROM tk, UNNEST(generate_series(0, len(t) // {SPAN_CHUNK} - 1)) AS u(j)
+    ),
+    fst AS (SELECT h, MIN(pk) AS first_pk FROM ch GROUP BY h),
+    rmv AS (
+      SELECT doc_id, idx,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY idx) AS grp
+      FROM ch JOIN fst USING (h) WHERE pk > first_pk
+    ),
+    runs AS (
+      SELECT doc_id, grp FROM rmv
+      GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+    ),
+    rmset AS (
+      SELECT rmv.doc_id, LIST(rmv.idx) AS rm
+      FROM rmv JOIN runs ON runs.doc_id = rmv.doc_id
+                        AND runs.grp = rmv.grp
+      GROUP BY rmv.doc_id
+    ),
+    built AS (
+      SELECT tk.doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             list_transform(
+               list_filter(generate_series(1, len(t)),
+                           i -> NOT list_contains(
+                                  COALESCE(rm, []),
+                                  (i - 1) // {SPAN_CHUNK})),
+               i -> t[i]) AS kept
+      FROM tk LEFT JOIN rmset ON rmset.doc_id = tk.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM built
+    """,
+    doc="Exact-substring dedup, the Lee et al. 2022 training-data "
+        "operation t11/t21 only DETECT: per document, remove runs of "
+        ">= 2 consecutive duplicated 8-token chunks whose content "
+        "already occurred earlier in the corpus (earliest (doc, "
+        "position) occurrence wins and is kept), and reconstruct the "
+        "cleaned text. Chunk-hash anchoring replaces the sequential "
+        "suffix array: one map-side-combinable MIN over the chunk "
+        "hash picks winners (no window over hot-boilerplate hash "
+        "partitions), a corpus-keyed join marks losers, per-doc "
+        "gaps-and-islands finds the runs, and a JVM higher-order "
+        "filter rebuilds the token stream. operators/text.py:"
+        "remove_duplicate_spans.",
+)
+def t26_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.remove_duplicate_spans(
+        d, id_col="doc_id", text_col="text",
+        chunk=SPAN_CHUNK, min_run=2)

@@ -616,31 +616,37 @@ def e12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Join-key skew diagnostics for the salting decision (the e04 "
         "hot-key fallback is chosen FROM numbers like these): per-key "
         "counts in one shuffle, then key count, max/mean hot-key ratio "
-        "and top-10 concentration. The ranking window runs on the "
-        "per-key aggregate (|keys| rows, not |events|); at open-ended "
-        "key cardinality the top-10 share would switch to a "
-        "TakeOrdered top-k + broadcast-back instead of the window.",
+        "and top-10 concentration. The top-10 share comes from a "
+        "TakeOrderedAndProject top-k (per-partition heaps, driver "
+        "merge of k rows) broadcast back against the global aggregate "
+        "— no global-order window at ANY key cardinality, so the plan "
+        "has no single-partition stage.",
 )
 def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load(spark, sf_dir, "events").select("user_id")
-    per_key = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    ranked = per_key.select(
-        "cnt", F.row_number().over(
-            W.orderBy(F.col("cnt").desc(), "user_id")).alias("rk"))
+    # One shuffle builds per-key counts; it feeds both the global
+    # aggregate and the top-k, so materialize it once.
+    per_key = (ev.groupBy("user_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+               .localCheckpoint(eager=False))
+    top10 = (per_key.orderBy(F.col("cnt").desc(), "user_id").limit(10)
+             .agg(F.sum("cnt").cast("bigint").alias("top10_cnt")))
     n_keys = F.count(F.lit(1))
     n_events = F.sum("cnt")
-    return ranked.agg(
+    stats = per_key.agg(
         n_keys.cast("bigint").alias("n_keys"),
         n_events.cast("bigint").alias("n_events"),
-        F.max("cnt").cast("bigint").alias("max_cnt"),
-        stable_round(F.max("cnt").cast("double") * n_keys.cast("double")
-                     / n_events.cast("double")).alias("skew_ratio"),
-        stable_round(F.sum(F.when(F.col("rk") <= 10, F.col("cnt"))
-                           .otherwise(F.lit(0))).cast("double")
-                     / n_events.cast("double")).alias("top10_share"))
+        F.max("cnt").cast("bigint").alias("max_cnt"))
+    return (stats.join(F.broadcast(top10))
+            .select("n_keys", "n_events", "max_cnt",
+                    stable_round(
+                        F.col("max_cnt").cast("double")
+                        * F.col("n_keys").cast("double")
+                        / F.col("n_events").cast("double"))
+                    .alias("skew_ratio"),
+                    stable_round(F.col("top10_cnt").cast("double")
+                                 / F.col("n_events").cast("double"))
+                    .alias("top10_share")))
 
 
 # Shared manual-sessionization oracle: e14 (batch session_window)

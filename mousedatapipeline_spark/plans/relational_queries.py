@@ -962,9 +962,16 @@ def q24_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="Exact per-group percentiles (median / p90 / p99 of extended "
-        "price per return flag): single shuffle on the group key; "
-        "linear interpolation matches quantile_cont bit-exactly.",
+    doc="ORACLE-SUPPORT REFERENCE, not the production path: exact "
+        "per-group percentiles via Spark's `percentile()` (median / "
+        "p90 / p99 of extended price per return flag), whose value-> "
+        "count buffer grows with per-group distinct values — the one "
+        "memory-weak plan in the catalog at 100x. Production should "
+        "use q31_scalable_percentiles (two-pass exact, spillable "
+        "sort) or q33_approx_percentiles (mergeable GK sketch). Kept "
+        "because its linear interpolation matches quantile_cont "
+        "bit-exactly, pinning the exact semantics the other two are "
+        "judged against.",
 )
 def q25_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

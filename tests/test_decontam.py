@@ -132,3 +132,45 @@ def test_s17_shuffle_deterministic_and_dense(spark):
     # interleaved positions never collide
     inter = [i for _, _, _, i in a]
     assert len(set(inter)) == len(inter)
+
+
+# --- remove_duplicate_spans (t26, Lee-et-al-style substring removal) ------
+
+def _rds(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    out = T.remove_duplicate_spans(df, chunk=2, min_run=2, **kw)
+    return {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in out.collect()}
+
+
+def test_substring_removal_keeps_first_occurrence(spark):
+    # chunk=2, min_run=2 => a removable span is >= 2 consecutive
+    # duplicated 2-token chunks. Doc 2 repeats doc 1's first 4 tokens
+    # (chunks [a b][c d]) verbatim at chunk-aligned positions.
+    docs = [(1, "a b c d x y"), (2, "a b c d p q")]
+    got = _rds(spark, docs)
+    assert got[1] == (6, 0, "a b c d x y")       # first occurrence kept
+    assert got[2] == (6, 4, "p q")               # run of 2 chunks removed
+
+
+def test_substring_removal_short_run_kept(spark):
+    # Only ONE duplicated chunk (< min_run) => nothing removed.
+    docs = [(1, "a b x x"), (2, "a b z w")]
+    got = _rds(spark, docs)
+    assert got[2] == (4, 0, "a b z w")
+
+
+def test_substring_removal_within_doc_repeat(spark):
+    # The same doc repeating its own chunks: first instance kept,
+    # later run removed (corpus order is (doc_id, position)).
+    docs = [(1, "a b c d a b c d")]
+    got = _rds(spark, docs)
+    assert got[1] == (8, 4, "a b c d")
+
+
+def test_substring_removal_tail_tokens_survive(spark):
+    # Trailing tokens that never filled a chunk are never removed,
+    # even when every full chunk goes.
+    docs = [(1, "a b c d"), (2, "a b c d z")]
+    got = _rds(spark, docs)
+    assert got[2] == (5, 4, "z")

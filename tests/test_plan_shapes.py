@@ -584,3 +584,14 @@ def test_c02_canonical_join_is_not_hint_pinned(spark):
     broadcast hint would OOM at scale — the hash table IS the corpus."""
     opt = _optimized(spark, "c02_dedup_funnel_report")
     assert "strategy=broadcast" not in opt, opt
+
+
+@_needs_data
+def test_e13_top10_is_take_ordered_no_window(spark):
+    """The skew report's top-10 share must come from a TakeOrdered
+    top-k (per-partition heaps), never a global-order window — a
+    single-partition WindowExec would bottleneck at open key
+    cardinality."""
+    plan = _plan(spark, "e13_skew_report")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
