@@ -123,21 +123,40 @@ def mm02_resized_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm03_phash_neardup",
-    oracle=None,  # hash kernel upstream: rows-only; closed-form tests
+    # End-to-end SQL gate without reproducing the hash kernel: minted
+    # payloads are a pure function of payload_key = doc_id % 150, so
+    # equal keys MUST surface as hamming-0 pairs (kernel determinism +
+    # LSH completeness), and the 150 distinct minted payloads have no
+    # cross-key aHash collision within hamming 3 (deterministic
+    # payloads — a fixed, pytest-pinned property, vanishingly rare for
+    # 64-bit hashes). The expected pair set is therefore exactly the
+    # same-key pairs — a broken kernel (hash collapse -> extra pairs)
+    # or a broken band join (missed buckets -> missing pairs) breaks
+    # the hash either way.
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 150 AS k FROM documents
+               WHERE doc_id < 300)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS INT) AS hamming
+    FROM m a JOIN m b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
     doc="Perceptual-hash image dedup (LAION-style): aHash of frame 0 "
         "via one narrow mapInPandas pass, then banded LSH over the "
         "64-bit hash (4 x 16-bit bands, pigeonhole-complete for "
         "hamming <= 3) with an exact bit_count(xor) verify — the "
         "MinHash->verify shape applied to media. Payload collisions "
         "are minted deliberately (doc_id % 150 payload key) so the "
-        "detector has real duplicates to find.",
+        "detector has real duplicates to find; the oracle pins the "
+        "full kernel->LSH->verify chain to that known duplicate set.",
 )
 def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.multimodal import (
         ahash_media,
         phash_neardup_pairs,
     )
-    docs = (load(spark, sf_dir, "documents").select("doc_id").limit(300)
+    # doc_id < 300, not limit(300): the media subset must be the same
+    # deterministic set the oracle selects (doc_ids are dense from 0).
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
             .withColumn("payload_key", F.col("doc_id") % 150))
     media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
     return phash_neardup_pairs(ahash_media(media), max_hamming=3)

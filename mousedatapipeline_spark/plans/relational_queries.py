@@ -1301,30 +1301,73 @@ def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("revenue_d").cast("double")).alias("revenue"))
 
 
+_Q33_ACC = 10000  # GK accuracy parameter: rank error <= 1/acc
+
+
 @register(
     "q33_approx_percentiles",
-    oracle=None,  # GK-sketch output is implementation-defined; the
-    # rank-error bound is pytest-asserted against the exact q31 result
+    # The GK sketch's VALUES are implementation-defined (DuckDB cannot
+    # reproduce them), but its rank-error GUARANTEE is checkable: the
+    # Spark side computes each approx value's exact rank span and
+    # emits an integer within_bound flag; the oracle asserts the
+    # guarantee holds — every (flag, quantile) row flagged 1 — plus
+    # the group sizes, so a sketch regression breaks the hash.
+    oracle="""
+    SELECT l_returnflag, q_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS INT) AS within_bound
+    FROM lineitem
+    CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) v(q_label)
+    GROUP BY l_returnflag, q_label
+    """,
     doc="The 100-TB percentile path: approx_percentile (Spark's "
         "built-in Greenwald-Khanna-style mergeable quantile sketch, "
         "accuracy 10000 => rank error <= 1e-4) per return flag — "
         "O(sketch) executor state and map-side merge where q25's exact "
         "percentile buffers whole groups and q31 pays a full sort. "
-        "Rows-only for the driver; tests/test_sketches.py pins the "
-        "rank-error bound against the exact answer.",
+        "Output is the DRIVER-CHECKABLE form of the sketch contract: "
+        "per (flag, quantile), whether the approx value's exact rank "
+        "span intersects [(q-eps)n, (q+eps)n] (one extra broadcast-"
+        "probe pass computes the rank span); the oracle pins every "
+        "flag at within_bound=1. Production reads the values "
+        "themselves from this same sketch (q16 profiles with it); "
+        "exact values live in q31.",
 )
 def q33_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice")
-    acc = 10000
-    return li.groupBy("l_returnflag").agg(
+    eps = 1.0 / _Q33_ACC
+    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    ap = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
-        .getItem(0).alias("p50"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
-        .getItem(1).alias("p90"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
-        .getItem(2).alias("p99"))
+        F.percentile_approx(
+            "l_extendedprice", [q for q, _ in qs], _Q33_ACC).alias("pa"))
+    # Exact rank span of each returned value: one more corpus pass
+    # against the broadcast (|flags| rows) sketch output. rank_low =
+    # #values strictly below, rank_high = #values <= — the value's
+    # tied-rank interval is (rank_low, rank_high].
+    probe = li.join(F.broadcast(ap), "l_returnflag")
+    spans = probe.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        *[agg for i in range(len(qs)) for agg in (
+            F.sum((F.col("l_extendedprice") < F.col("pa")[i])
+                  .cast("long")).alias(f"lo{i}"),
+            F.sum((F.col("l_extendedprice") <= F.col("pa")[i])
+                  .cast("long")).alias(f"hi{i}"))])
+    # The guarantee is on INTEGER ranks: the returned element's rank
+    # span must intersect [floor((q-eps)n), ceil((q+eps)n)].
+    nn = F.col("n").cast("double")
+    checks = [
+        F.struct(
+            F.lit(lbl).alias("q_label"),
+            ((F.col(f"lo{i}") + 1 <= F.ceil((q + eps) * nn))
+             & (F.col(f"hi{i}") >= F.floor((q - eps) * nn)))
+            .cast("int").alias("within_bound"))
+        for i, (q, lbl) in enumerate(qs)]
+    return (spans.select("l_returnflag", "n",
+                         F.explode(F.array(*checks)).alias("c"))
+            .select("l_returnflag", F.col("c.q_label").alias("q_label"),
+                    "n", F.col("c.within_bound").alias("within_bound")))
 
 
 @register(

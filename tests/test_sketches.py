@@ -150,19 +150,17 @@ def test_q33_approx_percentiles_within_rank_error(spark):
     documented rank error of the exact two-pass answer (q31), and its
     plan must not carry the exact percentile's whole-group buffers."""
     qs = catalog.all_queries()
-    exact = {r["l_returnflag"]: r
-             for r in qs["q31_scalable_percentiles"].spark(spark, SF_DIR)
-             .collect()}
     approx = qs["q33_approx_percentiles"].spark(spark, SF_DIR)
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "percentile(" not in plan.lower().replace(
         "percentile_approx", ""), plan
-    for r in approx.collect():
-        ex = exact[r["l_returnflag"]]
-        # rank error 1e-4 of n rows => value between neighboring exact
-        # percentiles at these small sfs; assert within 2% relative
-        for p in ("p50", "p90", "p99"):
-            assert abs(r[p] - ex[p]) / ex[p] < 0.02, (p, r, ex)
+    rows = approx.collect()
+    # 3 quantiles per return flag, every one inside the GK rank window
+    # (the query emits its own exact-rank-span check; the oracle pins
+    # the same all-ones shape).
+    assert len(rows) == 3 * len({r["l_returnflag"] for r in rows})
+    for r in rows:
+        assert r["within_bound"] == 1, r
 
 
 def test_cms_estimate_unseen_key_returns_zero(spark):
