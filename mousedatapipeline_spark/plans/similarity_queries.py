@@ -116,13 +116,26 @@ def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", F.size("shs").cast("bigint"))
     # The intersect happens INSIDE the pair lambda (combine=): pair
     # structs carry five scalars, never copies of the shingle arrays.
+    # Length filter (PPJoin-family, exact): J <= min/max, so a pair
+    # with 5*min(n1,n2) < 3*max(n1,n2) can never reach 0.6 — skip its
+    # intersect entirely (integer compare, no float boundary; ~28% of
+    # candidate pairs on this corpus). n_common=0 keeps the skipped
+    # pair below every downstream threshold, matching the oracle's
+    # WHERE on the true Jaccard.
+    def _overlap(x, y):
+        feasible = (F.least(x["n"], y["n"]) * 5
+                    >= F.greatest(x["n"], y["n"]) * 3)
+        return F.when(
+            feasible,
+            F.size(F.array_intersect(x["shs"], y["shs"])).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
     pairs = S.blocked_pairs(
         sets, ["lang", "source"], {"shs": "shs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,
         combine=lambda x, y: [
             x["n"].alias("n_1"), y["n"].alias("n_2"),
-            F.size(F.array_intersect(x["shs"], y["shs"]))
-            .cast("bigint").alias("n_common"),
+            _overlap(x, y).alias("n_common"),
         ])
     scored = pairs.withColumn(
         "jaccard_raw",

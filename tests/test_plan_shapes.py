@@ -148,6 +148,9 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "k01_cms_heavy_hitters",
                                   "t14_unigram_surprisal",
                                   "c03_mixture_plan",
+                                  # 1-row global stats x 1-row top-10
+                                  # sum (scalar-subquery shape)
+                                  "e13_skew_report",
                                   "q40_point_in_time_lookup",
                                   # calendar-sized day spine broadcast
                                   # against the deduped (day, user)
