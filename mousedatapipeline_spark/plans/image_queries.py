@@ -281,3 +281,52 @@ def m15_kernel_flux_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(dsum("transmission") / n.cast("double"), 4)
         .alias("mean_transmission"),
         stable_round(F.min("transmission"), 4).alias("min_transmission"))
+
+
+@register(
+    "mm06_media_dedup_clusters",
+    # Same end-to-end gate as mm03: payloads are a pure function of
+    # doc_id % 150, so the component structure is known — each key's
+    # doc set is one cluster, canonical = min id. A broken kernel,
+    # band join, or component loop all perturb the clusters.
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 150 AS k FROM documents
+               WHERE doc_id < 300),
+    g AS (SELECT k, CAST(MIN(doc_id) AS BIGINT) AS comp,
+                 CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM m GROUP BY k)
+    SELECT m.doc_id AS media_id, g.comp AS component_id, g.n_members,
+           CAST(m.doc_id = g.comp AS INT) AS is_canonical
+    FROM m JOIN g ON m.k = g.k
+    """,
+    doc="Media dedup END TO END: aHash kernel -> banded-LSH candidate "
+        "pairs -> exact hamming verify (mm03's pipeline) -> "
+        "connected components -> one canonical asset per cluster "
+        "(s14's rollup applied to media). The full LAION-style image "
+        "dedup pass: what survives is the min-id representative of "
+        "each perceptual-duplicate cluster. Payloads never leave the "
+        "hash kernel; the component loop iterates 8-byte hash pairs.",
+)
+def mm06_media_dedup_clusters(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from mousedatapipeline_spark.operators.multimodal import (
+        ahash_media,
+        phash_neardup_pairs,
+    )
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    pairs = phash_neardup_pairs(ahash_media(media), max_hamming=3)
+    nodes = docs.select(F.col("doc_id").alias("media_id"))
+    cc = connected_components(nodes, pairs.select("d1", "d2"),
+                              "media_id", "d1", "d2")
+    sizes = cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (cc.join(sizes, "component_id")
+            .select("media_id", "component_id", "n_members",
+                    (F.col("media_id") == F.col("component_id"))
+                    .cast("int").alias("is_canonical")))

@@ -2033,3 +2033,76 @@ def _finalize_s32_oracle() -> None:
 
 
 _finalize_s32_oracle()
+
+
+# --------------------------------------------------------------------------
+# s33: cross-source duplication matrix — WHERE near-dups come from.
+# s02/s24 block by (lang, source), so they can never see a doc copied
+# BETWEEN sources; s19's LSH candidates band by lang only, so its
+# verified pairs include exactly those cross-source copies. One rollup
+# over the verified pair set answers the curation question "which
+# sources duplicate each other" (mirror detection, licensing leaks,
+# scraper overlap) that decides per-source dedup budgets.
+# --------------------------------------------------------------------------
+@register(
+    "s33_cross_source_dup_matrix",
+    # The pair set IS s19's registered oracle (composed verbatim, s25
+    # pattern) — one source of truth for the near-dup definition.
+    oracle="""
+    WITH lab AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(x.source, y.source) AS source_a,
+           GREATEST(x.source, y.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN x.source <> y.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross,
+           {mean_j} AS mean_jaccard
+    FROM ({s19}) p
+    JOIN lab x ON p.d1 = x.doc_id
+    JOIN lab y ON p.d2 = y.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix over s19's verified near-dup "
+        "pairs (LSH bands by lang only, so cross-source copies are "
+        "visible): per unordered source pair, the pair count, the "
+        "strictly-cross-source count, and the mean verified Jaccard — "
+        "the 'which sources copy from each other' heatmap that sets "
+        "per-source dedup budgets. The rollup joins only the pair set "
+        "(bounded by near-dup mass, never the corpus) against the "
+        "doc->source labels; the matrix is at most |sources|^2 rows.",
+)
+def s33_cross_source_dup_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    pairs = s19_lsh_verified_neardup(spark, sf_dir)
+    lab = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (pairs
+         .join(lab.select(F.col("doc_id").alias("d1"),
+                          F.col("source").alias("src1")), "d1")
+         .join(lab.select(F.col("doc_id").alias("d2"),
+                          F.col("source").alias("src2")), "d2"))
+    n = F.count(F.lit(1))
+    return (j.groupBy(
+        F.least("src1", "src2").alias("source_a"),
+        F.greatest("src1", "src2").alias("source_b"))
+        .agg(n.cast("bigint").alias("n_pairs"),
+             F.sum((F.col("src1") != F.col("src2")).cast("int"))
+             .cast("bigint").alias("n_cross"),
+             stable_round(dsum("jaccard") / n.cast("double"))
+             .alias("mean_jaccard")))
+
+
+def _finalize_s33_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s33_cross_source_dup_matrix"]
+    _REGISTRY["s33_cross_source_dup_matrix"] = replace(
+        spec, oracle=spec.oracle.format(
+            s19=_registered_oracle("s19_lsh_verified_neardup"),
+            mean_j=stable_round_sql(
+                "CAST(CAST(SUM(CAST(p.jaccard AS DECIMAL(30,10)))"
+                " AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")))
+
+
+_finalize_s33_oracle()

@@ -867,3 +867,143 @@ def t25_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("h")
                             / F.log(F.col("n_distinct").cast("double")))
                      .otherwise(F.lit(0.0))).alias("norm_entropy"))
+
+
+MERGE_TOP = 20  # merge candidates emitted per BPE statistics round
+
+
+@register(
+    "t27_bpe_merge_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    pr AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair
+      FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pr GROUP BY pair)
+    SELECT pair, cnt, rank FROM (
+      SELECT pair, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+               AS rank
+      FROM c
+    ) WHERE rank <= {MERGE_TOP}
+    """,
+    doc="BPE-style merge statistics — one round of the pair-counting "
+        "loop every tokenizer-training run iterates: adjacent token "
+        "pairs as a row-local array expression (no self-join on "
+        "position), one corpus groupBy for pair frequencies, and the "
+        "top-20 merge candidates ranked (cnt desc, pair) off the "
+        "vocab-sized aggregate — the window never sees the corpus, "
+        "same shape as t12. At 100 TB the candidate table is the only "
+        "global state a distributed BPE trainer keeps per round.",
+)
+def t27_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(F.explode(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), 2)).alias("pair"))
+    c = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "pair")
+    ranked = c.select("pair", "cnt",
+                      F.row_number().over(w).cast("bigint").alias("rank"))
+    return ranked.filter(F.col("rank") <= MERGE_TOP)
+
+
+DSIR_BUCKETS = 1024  # hashed bigram feature space (DSIR-style)
+_SQL_BIGRAM_BUCKET = ("((ascii(substr(g, 1, 1)) * 8191 "
+                      "+ ascii(substr(g, len(g), 1)) * 131 "
+                      "+ len(g)) % 2147483647) % 1024")
+
+
+def _bigram_bucket(g: F.Column) -> F.Column:
+    """Hashed-bigram feature bucket, integer arithmetic identical to
+    _SQL_BIGRAM_BUCKET (first/last codepoint + length — collisions are
+    PART of the method: DSIR scores hashed feature buckets, not exact
+    n-grams)."""
+    return ((F.ascii(F.substring(g, 1, 1)).cast("bigint") * 8191
+             + F.ascii(F.substring(g, F.length(g), F.lit(1)))
+             .cast("bigint") * 131
+             + F.length(g).cast("bigint"))
+            % 2_147_483_647) % DSIR_BUCKETS
+
+
+@register(
+    "t28_dsir_importance",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, lang, {_SQL_BIGRAM_BUCKET} AS b
+      FROM (
+        SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+        FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      )
+    ),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
+            FROM ex WHERE lang = 'en' GROUP BY b),
+    cor AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_c
+            FROM ex GROUP BY b),
+    tt AS (SELECT SUM(cnt_t) AS tot_t FROM tgt),
+    tc AS (SELECT SUM(cnt_c) AS tot_c FROM cor),
+    s AS (
+      SELECT ex.doc_id,
+             LN(CAST(COALESCE(tgt.cnt_t, 0) + 1 AS DOUBLE))
+               - LN(CAST((SELECT tot_t FROM tt) + {DSIR_BUCKETS}
+                         AS DOUBLE))
+               - LN(CAST(cor.cnt_c + 1 AS DOUBLE))
+               + LN(CAST((SELECT tot_c FROM tc) + {DSIR_BUCKETS}
+                         AS DOUBLE)) AS lr
+      FROM ex JOIN cor ON ex.b = cor.b
+              LEFT JOIN tgt ON ex.b = tgt.b
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(lr AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS importance
+    FROM s GROUP BY doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling'): "
+        "each doc scored by the mean log-ratio of a hashed-bigram "
+        "unigram model fit on the TARGET slice (lang='en' here) vs "
+        "the full corpus, add-1 smoothed over the 1024-bucket feature "
+        "space — the weight importance resampling (s12/s16's samplers) "
+        "consumes. Bucket tables are <= 1024 rows (broadcast); "
+        "per-doc means use the decimal-accumulated dsum, t14's "
+        "established sum-of-logs parity pattern. One corpus scan, one "
+        "groupBy(doc_id).",
+)
+def t28_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    d = load(spark, sf_dir, "documents")
+    ex = (d.select(
+        "doc_id", "lang",
+        F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
+        .alias("g"))
+        .select("doc_id", "lang", _bigram_bucket(F.col("g")).alias("b")))
+    tgt = (ex.filter(F.col("lang") == "en").groupBy("b")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t")))
+    cor = ex.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_c"))
+    tt = tgt.agg(F.sum("cnt_t").alias("tot_t"))
+    tc = cor.agg(F.sum("cnt_c").alias("tot_c"))
+    s = (ex.join(F.broadcast(cor), "b")
+         .join(F.broadcast(tgt), "b", "left")
+         .join(F.broadcast(tt)).join(F.broadcast(tc))
+         .select(
+             "doc_id",
+             (F.log(F.coalesce(F.col("cnt_t"), F.lit(0))
+                    .cast("double") + 1.0)
+              - F.log((F.col("tot_t") + DSIR_BUCKETS).cast("double"))
+              - F.log(F.col("cnt_c").cast("double") + 1.0)
+              + F.log((F.col("tot_c") + DSIR_BUCKETS).cast("double")))
+             .alias("lr")))
+    n = F.count(F.lit(1))
+    return s.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_feats"),
+        stable_round(dsum("lr") / n.cast("double")).alias("importance"))

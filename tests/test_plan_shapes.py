@@ -147,6 +147,9 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # by the corpus token total
                                   "k01_cms_heavy_hitters",
                                   "t14_unigram_surprisal",
+                                  # 1-row target/corpus totals joined
+                                  # to the feature stream (same shape)
+                                  "t28_dsir_importance",
                                   "c03_mixture_plan",
                                   # 1-row global stats x 1-row top-10
                                   # sum (scalar-subquery shape)
