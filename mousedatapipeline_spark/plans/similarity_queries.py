@@ -2106,3 +2106,59 @@ def _finalize_s33_oracle() -> None:
 
 
 _finalize_s33_oracle()
+
+
+# --------------------------------------------------------------------------
+# s34: quality-aware canonical selection — s14 keeps min(doc_id) per
+# near-dup cluster, but a production dedup keeps the BEST member.
+# Composition: s14's components x t03's Gopher-style quality score,
+# winner = argmax(quality, tie doc_id asc) per component. This is the
+# decision rule RefinedWeb/FineWeb-class pipelines apply after fuzzy
+# dedup: drop duplicates, keep the highest-quality exemplar.
+# --------------------------------------------------------------------------
+@register(
+    "s34_quality_canonical",
+    oracle="""
+    SELECT doc_id, component_id, n_members, quality,
+           CAST(ROW_NUMBER() OVER (PARTITION BY component_id
+                                   ORDER BY quality DESC, doc_id) = 1
+                AS INT) AS keep
+    FROM ({s14}) c JOIN ({t03}) q USING (doc_id)
+    """,
+    doc="Quality-aware canonical selection per near-dup cluster: s14's "
+        "connected components joined to t03's quality score; one "
+        "member per component keeps (argmax quality, doc_id "
+        "tie-break), everything else is the dedup drop set. The "
+        "ranking window partitions by component (bounded by cluster "
+        "size, never global); both inputs are registered queries, so "
+        "the oracle composes their SQL verbatim — one near-dup "
+        "definition, one quality definition, no drift.",
+)
+def s34_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mousedatapipeline_spark.plans.text_queries import (
+        t03_quality_score,
+    )
+    cc = s14_neardup_components(spark, sf_dir).select(
+        "doc_id", "component_id", "n_members")
+    q = t03_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = cc.join(q, "doc_id")
+    w = W.partitionBy("component_id").orderBy(F.desc("quality"), "doc_id")
+    return j.select(
+        "doc_id", "component_id", "n_members", "quality",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"))
+
+
+def _finalize_s34_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s34_quality_canonical"]
+    _REGISTRY["s34_quality_canonical"] = replace(
+        spec, oracle=spec.oracle.format(
+            s14=_registered_oracle("s14_neardup_components"),
+            t03=_registered_oracle("t03_quality_score")))
+
+
+_finalize_s34_oracle()

@@ -148,3 +148,120 @@ def k02_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(F.broadcast(est), "lang")
         .select("lang", "n_exact",
                 stable_round(F.col("hll_est_raw")).alias("hll_est")))
+
+
+def _k03_oracle_sql() -> str:
+    reg_expr, rho_expr = K.hll_registers_sql("uh")
+    return f"""
+    WITH ev AS (SELECT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             (user_id * 2654435761) % {K.MOD} AS uh
+      FROM ev
+    ),
+    ty AS (SELECT DISTINCT event_type FROM ev),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM ty a JOIN ty b ON a.event_type < b.event_type
+    ),
+    stream AS (
+      SELECT p.ta, p.tb, h.uh FROM h JOIN pairs p ON h.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, h.uh FROM h JOIN pairs p ON h.event_type = p.tb
+    ),
+    reg1 AS (
+      SELECT event_type, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM h GROUP BY 1, 2
+    ),
+    est1 AS (
+      SELECT event_type, {K.HLL_EST_SQL} AS e FROM reg1
+      GROUP BY event_type
+    ),
+    regu AS (
+      SELECT ta, tb, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM stream GROUP BY 1, 2, 3
+    ),
+    estu AS (
+      SELECT ta, tb, {K.HLL_EST_SQL} AS eu FROM regu GROUP BY ta, tb
+    ),
+    dp AS (SELECT DISTINCT event_type, user_id FROM ev),
+    ex AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_exact_both
+      FROM dp a JOIN dp b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.ta, u.tb,
+           COALESCE(ex.n_exact_both, 0) AS n_exact_both,
+           {stable_round_sql('ea.e')} AS est_a,
+           {stable_round_sql('eb.e')} AS est_b,
+           {stable_round_sql('u.eu')} AS est_union,
+           {stable_round_sql('ea.e + eb.e - u.eu')} AS est_intersect
+    FROM estu u
+    JOIN est1 ea ON ea.event_type = u.ta
+    JOIN est1 eb ON eb.event_type = u.tb
+    LEFT JOIN ex ON ex.ta = u.ta AND ex.tb = u.tb
+    """
+
+
+@register(
+    "k03_hll_set_ops",
+    oracle=_k03_oracle_sql(),
+    doc="HLL set algebra — the mergeability that makes sketches worth "
+        "keeping: per event-type pair, distinct-user estimates for "
+        "each side, their UNION (register-wise max over one fanned-out "
+        "stream — never a distinct over the union of raw streams), "
+        "and the inclusion-exclusion INTERSECTION estimate, next to "
+        "the exact both-types count. All register arithmetic is the "
+        "k02 integer rho chain + exactly-representable power-of-two "
+        "sums, so the oracle reproduces the estimates bit-for-bit. "
+        "The |types|^2 pair spine is broadcast; shuffles carry <= 64 "
+        "register rows per (pair, partition) map-side.",
+)
+def k03_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    h = (ev.select(
+        "event_type",
+        ((F.col("user_id") * F.lit(2654435761)) % K.MOD).alias("uh"))
+        .localCheckpoint(eager=False))  # per-type regs + two pair fans
+    ty = h.select("event_type").distinct()
+    pairs = (ty.select(F.col("event_type").alias("ta"))
+             .join(ty.select(F.col("event_type").alias("tb")))
+             .filter(F.col("ta") < F.col("tb")))
+    est1 = K.hll_estimate(
+        K.hll_registers(h, "uh", ["event_type"]), ["event_type"])
+    stream = (
+        h.join(F.broadcast(pairs), h.event_type == pairs.ta)
+        .select("ta", "tb", "uh")
+        .union(
+            h.join(F.broadcast(pairs), h.event_type == pairs.tb)
+            .select("ta", "tb", "uh")))
+    estu = (K.hll_estimate(
+        K.hll_registers(stream, "uh", ["ta", "tb"]), ["ta", "tb"])
+        .withColumnRenamed("hll_est_raw", "eu"))
+    dp = ev.distinct()
+    ex = (dp.select(F.col("event_type").alias("ta"),
+                    F.col("user_id").alias("u1"))
+          .join(dp.select(F.col("event_type").alias("tb"),
+                          F.col("user_id").alias("u1")), "u1")
+          .filter(F.col("ta") < F.col("tb"))
+          .groupBy("ta", "tb")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_both")))
+    ea = est1.select(F.col("event_type").alias("ta"),
+                     F.col("hll_est_raw").alias("e_a"))
+    eb = est1.select(F.col("event_type").alias("tb"),
+                     F.col("hll_est_raw").alias("e_b"))
+    return (estu
+            .join(F.broadcast(ea), "ta")
+            .join(F.broadcast(eb), "tb")
+            .join(ex, ["ta", "tb"], "left")
+            .select(
+                "ta", "tb",
+                F.coalesce("n_exact_both", F.lit(0)).cast("bigint")
+                .alias("n_exact_both"),
+                stable_round(F.col("e_a")).alias("est_a"),
+                stable_round(F.col("e_b")).alias("est_b"),
+                stable_round(F.col("eu")).alias("est_union"),
+                stable_round(F.col("e_a") + F.col("e_b") - F.col("eu"))
+                .alias("est_intersect")))

@@ -146,6 +146,9 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # heavy-hitter threshold, t14 scales
                                   # by the corpus token total
                                   "k01_cms_heavy_hitters",
+                                  # |types|^2 pair spine cross (tiny,
+                                  # broadcast) for HLL set algebra
+                                  "k03_hll_set_ops",
                                   "t14_unigram_surprisal",
                                   # 1-row target/corpus totals joined
                                   # to the feature stream (same shape)
