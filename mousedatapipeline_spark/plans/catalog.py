@@ -150,6 +150,18 @@ _STALE_PROOF = frozenset({
 
 _PROVEN = (_R01_GREEN | _R02_GREEN) - _STALE_PROOF
 
+# Queries ADDED in round 3: they have local oracle checks but no
+# driver row, like everything unproven — yet the round-2 backlog
+# (e*/w*/c*/k* and friends) has waited longer and exactly fills the
+# ~50-row budget, so round-3 additions yield the prefix to it and
+# claim rows next round.
+_R03_NEW = frozenset({
+    "t26_substring_removal", "t27_bpe_merge_stats",
+    "t28_dsir_importance", "s33_cross_source_dup_matrix",
+    "s34_quality_canonical", "k03_hll_set_ops",
+    "mm06_media_dedup_clusters",
+})
+
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
@@ -160,7 +172,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # checks claim the slots and the weak/slow checks yield the tail.
     def rank(item):
         n, s = item
-        return (n in _PROVEN, s.oracle is None, n.startswith("w"))
+        return (n in _PROVEN, s.oracle is None, n in _R03_NEW,
+                n.startswith("w"))
     return dict(sorted(_REGISTRY.items(), key=rank))
 
 
