@@ -159,7 +159,8 @@ _R03_NEW = frozenset({
     "t26_substring_removal", "t27_bpe_merge_stats",
     "t28_dsir_importance", "s33_cross_source_dup_matrix",
     "s34_quality_canonical", "k03_hll_set_ops",
-    "mm06_media_dedup_clusters",
+    "mm06_media_dedup_clusters", "s35_hard_negatives",
+    "t30_split_contamination",
 })
 
 

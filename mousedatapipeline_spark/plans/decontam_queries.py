@@ -487,3 +487,99 @@ def t26_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.remove_duplicate_spans(
         d, id_col="doc_id", text_col="text",
         chunk=SPAN_CHUNK, min_run=2)
+
+
+@register(
+    "t30_split_contamination",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             {{split_case}} AS split
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, split, g
+      FROM (SELECT doc_id, split,
+                   list_distinct([array_to_string(
+                       t[i:i+{NGRAM - 1}], ' ')
+                     FOR i IN generate_series(1, len(t) - {NGRAM - 1})])
+                   AS gs
+            FROM (SELECT doc_id, split, {_SQL_TOKENS} AS t FROM sp)
+            WHERE len(t) >= {NGRAM}),
+           UNNEST(gs) AS u(g)
+    ),
+    tr AS (SELECT DISTINCT g FROM ex WHERE split = 'train'),
+    per AS (
+      SELECT e.split, e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM ex e LEFT JOIN tr ON e.g = tr.g
+      WHERE e.split <> 'train'
+      GROUP BY 1, 2
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(CAST(n_hit AS DOUBLE) '
+               '/ CAST(n_grams AS DOUBLE) AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_contamination
+    FROM per GROUP BY split
+    """,
+    doc="Split-leakage audit — the check every train/val/test cut "
+        "should ship with: using s13's deterministic md5 split "
+        "assignment, the fraction of each held-out doc's distinct "
+        "5-grams that also occur in ANY train-split doc, rolled up "
+        "per split (doc count, docs >= 50% contaminated via an "
+        "integer-safe 2*hit >= grams compare, mean contamination). "
+        "The train gram set joins corpus-keyed (t18's shape, no "
+        "broadcast dependence); one groupBy(doc) then a 2-row "
+        "rollup.",
+)
+def t30_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators import sampling as SA
+    from mousedatapipeline_spark.operators.aggregates import dsum
+    from mousedatapipeline_spark.plans.curation_queries import (
+        SPLIT_FRACTIONS,
+    )
+    d = SA.dataset_split(load(spark, sf_dir, "documents"),
+                         "doc_id", SPLIT_FRACTIONS)
+    grams = F.array_distinct(
+        T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
+    ex = (d.select("doc_id", "split", F.explode(grams).alias("g"))
+          .localCheckpoint(eager=False))  # train set AND eval probe
+    tr = (ex.filter(F.col("split") == "train")
+          .select("g").distinct().withColumn("hit", F.lit(1)))
+    per = (ex.filter(F.col("split") != "train")
+           .join(tr, "g", "left")
+           .groupBy("split", "doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+                .alias("n_hit")))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return per.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_hit") * 2 >= F.col("n_grams")).cast("int"))
+        .cast("bigint").alias("n_flagged"),
+        stable_round(dsum(frac) / F.count(F.lit(1)).cast("double"))
+        .alias("mean_contamination"))
+
+
+def _finalize_t30_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.operators import sampling as SA
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    from mousedatapipeline_spark.plans.curation_queries import (
+        SPLIT_FRACTIONS,
+    )
+    spec = _REGISTRY["t30_split_contamination"]
+    _REGISTRY["t30_split_contamination"] = replace(
+        spec, oracle=spec.oracle.format(
+            split_case=SA.split_sql_case("doc_id", SPLIT_FRACTIONS)))
+
+
+_finalize_t30_oracle()

@@ -2162,3 +2162,145 @@ def _finalize_s34_oracle() -> None:
 
 
 _finalize_s34_oracle()
+
+
+# --------------------------------------------------------------------------
+# s35: hard-negative mining — the contrastive-training data op: for
+# each anchor vector, the most similar candidate with a DIFFERENT
+# label. Run inside the IVF cell structure (s08's coarse quantizer):
+# a cell collects the vectors the quantizer finds confusable, which is
+# exactly where embedding-space hard negatives live, and it bounds the
+# candidate set (never all-pairs). Anchors are the probe subset
+# (vec_id < 100), the s08 convention for keeping the demo bounded;
+# production fans the same plan over everything.
+# --------------------------------------------------------------------------
+@register(
+    "s35_hard_negatives",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    centroids AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, dim
+    ),
+    cdots AS (
+      SELECT d.vec_id, c.label,
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.label
+    ),
+    assign AS (
+      SELECT vec_id, label AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY {stable_round_sql('dot')} DESC, label) AS rn
+            FROM cdots)
+      WHERE rn = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, eq.label AS q_label, q.cell,
+             c.vec_id AS cid, ec.label AS neg_label
+      FROM assign q
+      JOIN assign c ON q.cell = c.cell
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+      WHERE q.vec_id < 100 AND eq.label <> ec.label
+    ),
+    dots AS (
+      SELECT cand.qid, cand.q_label, cand.cell, cand.cid,
+             cand.neg_label,
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM cand JOIN dims q ON cand.qid = q.vec_id
+                JOIN dims c ON cand.cid = c.vec_id AND q.dim = c.dim
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    cos AS (
+      SELECT qid, q_label, cell, cid, neg_label,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN dot / (qn.norm * cn.norm) ELSE 0.0 END AS cosine
+      FROM dots JOIN norms qn ON qid = qn.vec_id
+                JOIN norms cn ON cid = cn.vec_id
+    ),
+    ranked AS (
+      SELECT qid, q_label, cell, cid, neg_label,
+             {stable_round_sql('cosine')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY {stable_round_sql('cosine')} DESC, cid) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_cross
+      FROM cos
+    )
+    SELECT qid, q_label, cell, n_cross,
+           cid AS neg_id, neg_label, cosine
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor "
+        "(probe subset vec_id < 100), the highest-cosine candidate "
+        "with a different label among its IVF cellmates (s08's coarse "
+        "quantizer defines the cells — confusable vectors share one), "
+        "plus the cross-label candidate count. Candidate volume is "
+        "bounded by cell size; the argmax is one map-side-combinable "
+        "max-of-struct per anchor, and the anchor set broadcasts.",
+)
+def s35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(30,10)"
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    centroids = labeled.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(dec)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+    cent_arr = centroids.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+    cdots = (vecs.join(F.broadcast(cent_arr.withColumnRenamed(
+        "label", "clabel")))
+        .withColumn("dot", S.ddot(F.col("v"), F.col("c"))))
+    best = cdots.groupBy("vec_id").agg(
+        F.max(F.struct(
+            stable_round(F.col("dot")).alias("rd"),
+            (-F.col("clabel")).alias("nl"),
+            F.col("label").alias("label"),
+            F.col("v").alias("v"),
+            F.col("norm").alias("norm"))).alias("b"))
+    assign = best.select(
+        "vec_id", (-F.col("b.nl")).alias("cell"),
+        F.col("b.label").alias("label"),
+        F.col("b.v").alias("v"), F.col("b.norm").alias("norm"))
+    assign = assign.localCheckpoint(eager=False)  # both probe sides
+    qa = assign.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label"),
+        "cell", F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    ca = assign.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("neg_label"),
+        "cell", F.col("v").alias("cv2"), F.col("norm").alias("cnorm"))
+    cand = (F.broadcast(qa).join(ca, "cell")
+            .filter(F.col("q_label") != F.col("neg_label")))
+    cos = cand.withColumn(
+        "cosine",
+        stable_round(
+            F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                   S.ddot(F.col("qv"), F.col("cv2"))
+                   / (F.col("qnorm") * F.col("cnorm")))
+            .otherwise(F.lit(0.0))))
+    hardest = cos.groupBy("qid", "q_label", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cross"),
+        F.max(F.struct(
+            F.col("cosine").alias("cosine"),
+            (-F.col("cid")).alias("nc"),
+            F.col("neg_label").alias("neg_label"))).alias("b"))
+    return hardest.select(
+        "qid", "q_label", "cell", "n_cross",
+        (-F.col("b.nc")).alias("neg_id"),
+        F.col("b.neg_label").alias("neg_label"),
+        F.col("b.cosine").alias("cosine"))
