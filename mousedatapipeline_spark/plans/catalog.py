@@ -160,7 +160,7 @@ _R03_NEW = frozenset({
     "t28_dsir_importance", "s33_cross_source_dup_matrix",
     "s34_quality_canonical", "k03_hll_set_ops",
     "mm06_media_dedup_clusters", "s35_hard_negatives",
-    "t30_split_contamination",
+    "t30_split_contamination", "w10_stream_decontam",
 })
 
 

@@ -900,3 +900,97 @@ def w09_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .select("event_type", "rank", "event_id",
                     stable_round(F.col("value")).alias("value")))
+
+
+@register(
+    "w10_stream_decontam",
+    # Same exact semantics as s18 (oracle copied from its registration
+    # below — one decontamination definition): streaming/batch parity
+    # is the contract, the bloom is an internal pre-filter either way.
+    oracle="__PATCHED_FROM_S18__",
+    doc="Streaming decontamination gate — the admission check a crawl "
+        "ingest runs BEFORE a doc enters the corpus: document chunks "
+        "drain one file per trigger; each micro-batch probes the "
+        "pre-built 8 KB eval-gram Bloom literal inside its scan stage "
+        "and confirms survivors with the exact broadcast semi-join "
+        "(s18's two-phase shape per batch — no false positives reach "
+        "the sink), appending flagged doc ids. The drained sink must "
+        "equal s18's batch answer. Per-trigger cost: the batch's own "
+        "grams only; the bloom literal and broadcast eval set are "
+        "fixed, history never rescanned.",
+)
+def w10_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators import bloom
+    from mousedatapipeline_spark.operators import text as TX
+    from mousedatapipeline_spark.plans.decontam_queries import (
+        EVAL_MOD,
+        NGRAM,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w10_"))
+    landing = work / "landing"
+    landing.mkdir()
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = work / "_tmp"
+    d.repartitionByRange(3, "doc_id").write.mode("overwrite") \
+        .parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+
+    # The eval suite is static (production: a fixed benchmark set), so
+    # its gram set and Bloom literal are built ONCE batch-side; each
+    # micro-batch reuses both.
+    grams = F.array_distinct(
+        TX.ngrams_from_tokens(TX.tokens(F.col("text")), NGRAM))
+    ev = (d.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select(F.explode(grams).alias("gram"))
+          .distinct().localCheckpoint(eager=False))
+    blit = bloom.bloom_bits_literal(ev, "gram")
+
+    sink = str(work / "sink")
+
+    def probe(batch: DataFrame, _bid: int) -> None:
+        ex = (batch.filter(F.col("doc_id") % EVAL_MOD != 0)
+              .select("doc_id", F.explode(grams).alias("gram")))
+        cand = ex.filter(bloom.might_contain(blit, "gram"))
+        hit = (cand.join(F.broadcast(ev), "gram", "left_semi")
+               .select("doc_id").distinct())
+        hit.write.mode("append").parquet(sink)
+
+    chunk_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.format("parquet")
+              .schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(probe)
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Each doc lives in exactly one chunk, so the union of per-batch
+    # hits is already distinct across batches.
+    return spark.read.parquet(sink).select("doc_id")
+
+
+def _finalize_w10_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["w10_stream_decontam"]
+    _REGISTRY["w10_stream_decontam"] = replace(
+        spec, oracle=_REGISTRY["s18_bloom_decontam"].oracle)
+
+
+_finalize_w10_oracle()
