@@ -161,6 +161,7 @@ _R03_NEW = frozenset({
     "s34_quality_canonical", "k03_hll_set_ops",
     "mm06_media_dedup_clusters", "s35_hard_negatives",
     "t30_split_contamination", "w10_stream_decontam",
+    "s36_product_quantization", "t31_dedup_savings_by_source",
 })
 
 

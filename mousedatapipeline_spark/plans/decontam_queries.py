@@ -583,3 +583,57 @@ def _finalize_t30_oracle() -> None:
 
 
 _finalize_t30_oracle()
+
+
+@register(
+    "t31_dedup_savings_by_source",
+    # t26's registered oracle composed verbatim (patched below) — one
+    # removal definition shared between the row-level op and this
+    # planning rollup.
+    oracle="__PATCHED_FROM_T26__",
+    doc="Substring-dedup savings report: t26's removal results rolled "
+        "up per source — document count, raw tokens, tokens the "
+        "chunk-run removal deletes, and the savings share — the "
+        "per-source number that says where the duplication actually "
+        "lives and prices the dedup pass (t22 gives the exact-dup "
+        "equivalent). Joins t26's per-doc rows (corpus-keyed) to the "
+        "doc->source labels, then a |sources|-row rollup.",
+)
+def t31_dedup_savings_by_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    per = t26_substring_removal(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_removed")
+    lab = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = per.join(lab, "doc_id")
+    raw = F.sum("n_tokens")
+    rm = F.sum("n_removed")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        raw.cast("bigint").alias("raw_tokens"),
+        rm.cast("bigint").alias("removed_tokens"),
+        stable_round(rm.cast("double") / raw.cast("double"))
+        .alias("savings_share"))
+
+
+def _finalize_t31_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    t26 = _REGISTRY["t26_substring_removal"].oracle
+    spec = _REGISTRY["t31_dedup_savings_by_source"]
+    _REGISTRY["t31_dedup_savings_by_source"] = replace(
+        spec, oracle=f"""
+    WITH lab AS (SELECT doc_id, source FROM documents)
+    SELECT lab.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(p.n_removed) AS BIGINT) AS removed_tokens,
+           {stable_round_sql(
+               'CAST(SUM(p.n_removed) AS DOUBLE)'
+               ' / CAST(SUM(p.n_tokens) AS DOUBLE)')} AS savings_share
+    FROM ({t26}) p JOIN lab ON p.doc_id = lab.doc_id
+    GROUP BY lab.source
+    """)
+
+
+_finalize_t31_oracle()

@@ -2304,3 +2304,118 @@ def s35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.nc")).alias("neg_id"),
         F.col("b.neg_label").alias("neg_label"),
         F.col("b.cosine").alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# s36: product quantization — the FAISS-standard embedding compression
+# for billion-vector indexes: split each 64-dim vector into 4 16-dim
+# subvectors, quantize each against a per-subspace codebook (the
+# label-trained centroids, this catalog's s07/s08 convention), emit
+# the 4-way code and the reconstruction error. At 100 TB the PQ code
+# (4 small ints) replaces the 256-byte vector in the index; the
+# error column is the fidelity audit that decides the codebook size.
+# --------------------------------------------------------------------------
+_PQ_SUBS = 4
+_PQ_WIDTH = 16  # dims per subspace (4 x 16 = 64)
+
+
+@register(
+    "s36_product_quantization",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    sdims AS (
+      SELECT vec_id, dim, v, CAST((dim - 1) // {_PQ_WIDTH} AS INT) AS sub
+      FROM dims
+    ),
+    labeled AS (
+      SELECT e.label, d.vec_id, d.dim, d.sub, d.v
+      FROM embeddings e JOIN sdims d ON e.vec_id = d.vec_id
+    ),
+    cent AS (
+      SELECT label, sub, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, sub, dim
+    ),
+    dist AS (
+      SELECT d.vec_id, d.sub, c.label,
+             {stable_round_sql(
+                 'CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv)'
+                 ' AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)')} AS dd
+      FROM sdims d JOIN cent c ON d.dim = c.dim AND d.sub = c.sub
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, sub, label, dd
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, sub ORDER BY dd, label) AS rn
+            FROM dist)
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           STRING_AGG(CAST(label AS VARCHAR), '-' ORDER BY sub) AS code,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(dd AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+    doc="Product quantization (PQ): each vector split into 4 16-dim "
+        "subvectors, each assigned to its nearest per-subspace "
+        "codeword (label-trained centroids, the s07/s08 codebook "
+        "convention) by exact L2, emitting the joined 4-way code and "
+        "the total squared reconstruction error. Codebooks broadcast "
+        "(|labels| x 4 subarrays); per-vector work is 4 slices x 10 "
+        "distance folds, all row-local JVM expressions; the argmin is "
+        "a map-side-combinable min-of-struct. No shuffle touches the "
+        "raw vectors after the one training aggregate.",
+)
+def s36_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    dec = "decimal(30,10)"
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("v", s * _PQ_WIDTH + 1, _PQ_WIDTH)
+                     .alias("sv"))
+            for s in range(_PQ_SUBS)])).alias("x")
+    ).select("vec_id", F.col("x.sub").alias("sub"),
+             F.col("x.sv").alias("sv"))
+    # Codebook training: per (label, sub) centroid subarray via the
+    # exact decimal per-dim mean (one skew-free shuffle).
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    cent = (labeled.groupBy("label", "dim")
+            .agg((F.sum(F.col("v").cast(dec)).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("cv"))
+            .withColumn("sub", ((F.col("dim") - 1) / _PQ_WIDTH)
+                        .cast("int"))
+            .groupBy("label", "sub")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"]).alias("cw")))
+    # Decimal fold, not a double fold: the oracle's SUM(CAST(term AS
+    # DECIMAL)) rounds each (identical-IEEE) squared term to 10 digits
+    # then sums exactly — a double fold drifts ~1ulp and one row at
+    # sf0.01 lands on a rounding boundary stable_round cannot absorb.
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x.cast(dec)).cast(dec)).cast("double")
+    scored = (subs.join(F.broadcast(cent), "sub")
+              .withColumn("dd", stable_round(d2)))
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dd").alias("dd"),
+                       F.col("label").alias("label"))).alias("b"))
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("sub", F.col("b.label").alias("label")))),
+                lambda s: s["label"].cast("string")), "-").alias("code"),
+        stable_round(dsum(F.col("b.dd"))).alias("recon_err"))
