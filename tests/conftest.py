@@ -16,6 +16,8 @@ def spark() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        # session.py parity: oracles assume NULL-on-divide-by-zero
+        .config("spark.sql.ansi.enabled", "false")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
