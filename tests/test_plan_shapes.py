@@ -604,3 +604,22 @@ def test_e13_top10_is_take_ordered_no_window(spark):
     plan = _plan(spark, "e13_skew_report")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+@_needs_data
+def test_s36_codebook_join_is_broadcast(spark):
+    """PQ assignment must broadcast the (|labels| x 4)-row codebook
+    against the subvector stream — a shuffle join here would move the
+    corpus for a kilobyte-class build side."""
+    plan = _plan(spark, "s36_product_quantization")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@_needs_data
+def test_t26_no_cartesian_and_bounded_shuffles(spark):
+    """Substring removal: chunk-hash groupBy, probe join, per-doc
+    islands window, reconstruction join — bounded shuffle count, no
+    pair blowup anywhere."""
+    plan = _plan(spark, "t26_substring_removal")
+    assert "CartesianProduct" not in plan, plan
+    assert _count_shuffles(plan) <= 8, plan
