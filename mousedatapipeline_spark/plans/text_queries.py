@@ -985,7 +985,10 @@ def t28_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
         .alias("g"))
-        .select("doc_id", "lang", _bigram_bucket(F.col("g")).alias("b")))
+        .select("doc_id", "lang", _bigram_bucket(F.col("g")).alias("b"))
+        # Three consumers (target counts, corpus counts, probe join):
+        # materialize the tokenize+hash stream once.
+        .localCheckpoint(eager=False))
     tgt = (ex.filter(F.col("lang") == "en").groupBy("b")
            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t")))
     cor = ex.groupBy("b").agg(
