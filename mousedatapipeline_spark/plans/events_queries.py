@@ -986,3 +986,45 @@ def e19_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_new"),
                     F.coalesce("n_churned", F.lit(0)).cast("bigint")
                     .alias("n_churned")))
+
+
+@register(
+    "e20_decayed_engagement",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+    sc AS (
+      SELECT user_id,
+             value / CAST(1::BIGINT << LEAST(
+                 date_diff('day', CAST(ts AS DATE),
+                           (SELECT d0 FROM anchor)), 52) AS DOUBLE)
+               AS dv
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(dv AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS engagement
+    FROM sc GROUP BY user_id
+    """,
+    doc="Recency-weighted engagement score — the decay-weighted signal "
+        "sampling/curriculum decisions consume: per user, sum of "
+        "event values halved per day of age against the corpus max "
+        "date. The decay is 2^-age via an integer shift (capped at "
+        "52), so each weighted term is an EXACT power-of-two scaling "
+        "of the input double — no libm exp, bit-identical across "
+        "engines; sums go through the decimal accumulator. One 1-row "
+        "anchor broadcast + one groupBy(user_id).",
+)
+def e20_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date("ts").alias("d"))
+    anchor = ev.agg(F.max("d").alias("d0"))
+    age = F.least(F.datediff(F.col("d0"), F.col("d")), F.lit(52))
+    dv = (F.col("value")
+          / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
+                   "least(datediff(d0, d), 52)) AS DOUBLE)"))
+    sc = ev.join(F.broadcast(anchor)).select("user_id", dv.alias("dv"))
+    return sc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        stable_round(dsum("dv")).alias("engagement"))

@@ -50,3 +50,33 @@ def test_stable_round_is_close_to_true_round(spark):
         got = spark.range(1).select(
             stable_round(F.lit(x)).alias("v")).collect()[0]["v"]
         assert abs(got - round(x, 6)) <= 1.1e-6
+
+
+def test_registration_order_is_verification_policy():
+    """The catalog prefix is evidence policy: every query WITHOUT a
+    green driver row must register before every proven one (the driver
+    samples a ~50-query prefix per round), with rows-only checks last
+    within the unproven block."""
+    from mousedatapipeline_spark.plans.catalog import (
+        _PROVEN,
+        all_queries,
+    )
+    qs = all_queries()
+    names = list(qs)
+    first_proven = next(i for i, n in enumerate(names) if n in _PROVEN)
+    # no unproven query after the first proven one
+    for n in names[first_proven:]:
+        assert n in _PROVEN, (
+            f"unproven query {n!r} ranked after proven block")
+    # rows-only checks yield the prefix to hash-gated ones: within the
+    # unproven block no oracled query may rank after a rows-only one
+    unproven = names[:first_proven]
+    seen_rows_only = False
+    for n in unproven:
+        if qs[n].oracle is None:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracled {n!r} ranked after a rows-only query")
+    # every _PROVEN name actually exists (typo guard for the rotation)
+    assert _PROVEN <= set(names)

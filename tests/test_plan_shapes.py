@@ -157,6 +157,8 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # 1-row global stats x 1-row top-10
                                   # sum (scalar-subquery shape)
                                   "e13_skew_report",
+                                  # 1-row max-date anchor broadcast
+                                  "e20_decayed_engagement",
                                   "q40_point_in_time_lookup",
                                   # calendar-sized day spine broadcast
                                   # against the deduped (day, user)
