@@ -162,7 +162,7 @@ _R03_NEW = frozenset({
     "mm06_media_dedup_clusters", "s35_hard_negatives",
     "t30_split_contamination", "w10_stream_decontam",
     "s36_product_quantization", "t31_dedup_savings_by_source",
-    "e20_decayed_engagement",
+    "e20_decayed_engagement", "mm07_audio_neardup",
 })
 
 

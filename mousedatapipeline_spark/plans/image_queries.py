@@ -330,3 +330,36 @@ def mm06_media_dedup_clusters(spark: SparkSession,
             .select("media_id", "component_id", "n_members",
                     (F.col("media_id") == F.col("component_id"))
                     .cast("int").alias("is_canonical")))
+
+
+@register(
+    "mm07_audio_neardup",
+    # Minted-key oracle, mm03's trick on the audio modality: payloads
+    # are pure functions of doc_id % 150, media_type is key % 3
+    # (audio = 1), so the expected pair set is exactly the same-key
+    # AUDIO pairs at hamming 0 — kernel, banded LSH, and verify are
+    # all on the hook for the hash to match.
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 150 AS k FROM documents
+               WHERE doc_id < 300 AND (doc_id % 150) % 3 = 1)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS INT) AS hamming
+    FROM m a JOIN m b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+    doc="Audio near-dup: 64-bit sign-pattern fingerprint per clip "
+        "(zero-crossing structure of the first samples — gain-"
+        "invariant, the audio analogue of the image aHash) through "
+        "the SAME banded-LSH + "
+        "bit_count verify stages as mm03 — one near-dup machine, two "
+        "modalities. Payloads never leave the kernel; only 8-byte "
+        "fingerprints reach the relational stages.",
+)
+def mm07_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_neardup_pairs,
+    )
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    return phash_neardup_pairs(audio_fingerprint(media), max_hamming=3)

@@ -332,3 +332,23 @@ def test_scene_changes_flags_cuts_above_threshold(spark):
         assert math.isclose(r["mean_abs_diff"], exp, rel_tol=1e-12)
         assert r["is_cut"] == int(r["frame_idx"] > 0 and exp > thr)
     assert sum(r["is_cut"] for r in out) >= 1  # the cut path DID fire
+
+
+def test_audio_fingerprint_sign_pattern():
+    """Closed form: alternating-sign PCM yields alternating bits in
+    the leading positions and zero padding beyond the clip length."""
+    import numpy as np
+
+    from mousedatapipeline_spark.operators.multimodal import (
+        audio_fingerprint_kernel,
+    )
+    pcm = np.array([1.0, -1.0] * 16)  # 32 samples: 1010... then pad
+    fp = audio_fingerprint_kernel(pcm)
+    bits = np.unpackbits(
+        np.frombuffer(int(fp).to_bytes(8, "big", signed=True),
+                      dtype=np.uint8))
+    assert list(bits[:32]) == [1, 0] * 16
+    assert list(bits[32:]) == [0] * 32
+    # determinism + gain invariance
+    assert audio_fingerprint_kernel(pcm * 0.01) == fp
+    assert audio_fingerprint_kernel(np.array([])) == 0
