@@ -46,6 +46,9 @@ PROBE = [
     "q31_scalable_percentiles", "t01_token_stats",
     "t14_unigram_surprisal", "t26_substring_removal",
     "e02_sessionization", "e13_skew_report", "k03_hll_set_ops",
+    "t28_dsir_importance", "t30_split_contamination",
+    "s36_product_quantization", "e16_rolling_active_users",
+    "e20_decayed_engagement", "q35_scd2_intervals",
     # duplicate-mass family: pair emitters (expected superlinear in
     # duplicate multiplicity, linear in distinct content)
     "s01_exact_dedup", "s03_minhash_lsh",
