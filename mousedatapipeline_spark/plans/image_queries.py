@@ -363,3 +363,53 @@ def mm07_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("payload_key", F.col("doc_id") % 150))
     media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
     return phash_neardup_pairs(audio_fingerprint(media), max_hamming=3)
+
+
+@register(
+    "mm08_audio_framing_census",
+    # The framing loop's arithmetic is a pure function of the minted
+    # payload key: body_len = 64 + (k % 13) * 16 bytes -> n_samples =
+    # body_len / 2 int16s -> 64-sample windows every 32 samples (one
+    # short frame when the clip is under a window). The oracle derives
+    # those counts in SQL, so the driver hash gates the kernel's
+    # hop/window arithmetic — the classic off-by-one surface of every
+    # framing loop — while mm04 keeps the float feature stats under
+    # closed-form tests.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, doc_id % 150 AS k FROM documents
+      WHERE doc_id < 300 AND (doc_id % 150) % 3 = 1
+    ),
+    d AS (
+      SELECT doc_id AS media_id,
+             32 + (k % 13) * 8 AS ns
+      FROM m
+    )
+    SELECT media_id,
+           CAST(CASE WHEN ns < 64 THEN 1
+                     ELSE (ns - 64) // 32 + 1 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN ns < 64 THEN ns
+                     ELSE ((ns - 64) // 32 + 1) * 64 END AS BIGINT)
+             AS sum_samples
+    FROM d
+    """,
+    doc="Audio framing census: per clip, the frame count and total "
+        "framed samples produced by the mm04 kernel (64-sample "
+        "windows, 32-sample hop, one short frame under a window) — "
+        "driver-hash-gated against the closed-form framing arithmetic "
+        "of the minted payloads. Catches hop/window off-by-ones that "
+        "float-feature checks cannot pin.",
+)
+def mm08_audio_framing_census(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    frames = audio_frame_features(media, frame_len=64, hop=32)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("n_samples").cast("bigint").alias("sum_samples"))
