@@ -1694,3 +1694,76 @@ def q40_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("state_at_t0"),
                     F.col("valid_from_us").cast("bigint")
                     .alias("valid_from_us")))
+
+
+# --------------------------------------------------------------------------
+# q41: grouped closed-form least squares — trend fitting as a pure
+# aggregation, no ML library, no iteration: the five moments (n, Sx,
+# Sy, Sxy, Sxx[, Syy]) are exact decimal sums (order-independent), and
+# slope/intercept/r2 are derived from them with identical double
+# arithmetic in both engines. The 100-TB shape of regression: one
+# map-side-combinable aggregate, O(|groups|) state, zero extra passes.
+# --------------------------------------------------------------------------
+@register(
+    "q41_grouped_linear_fit",
+    oracle=f"""
+    WITH mo AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {stable_round_sql(
+               '(CAST(n AS DOUBLE) * sxy - sx * sy)'
+               ' / (CAST(n AS DOUBLE) * sxx - sx * sx)')} AS slope,
+           {stable_round_sql(
+               '(sy - (CAST(n AS DOUBLE) * sxy - sx * sy)'
+               ' / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)'
+               ' / CAST(n AS DOUBLE)')} AS intercept,
+           {stable_round_sql(
+               '((CAST(n AS DOUBLE) * sxy - sx * sy)'
+               ' * (CAST(n AS DOUBLE) * sxy - sx * sy))'
+               ' / ((CAST(n AS DOUBLE) * sxx - sx * sx)'
+               ' * (CAST(n AS DOUBLE) * syy - sy * sy))')} AS r2
+    FROM mo
+    """,
+    doc="Grouped least-squares trend fit (extended price vs quantity "
+        "per return flag): slope, intercept, and r2 from the five "
+        "exact-decimal moments of one aggregation pass — regression "
+        "as a map-side-combinable aggregate with O(|groups|) state. "
+        "Narrow decimals (12,2)/(18,2) keep every product inside "
+        "38-digit precision, so the moments are exact and the "
+        "double-side derivation is bit-identical across engines.",
+)
+def q41_grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"))
+    mo = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return mo.select(
+        "l_returnflag", "n",
+        stable_round(slope).alias("slope"),
+        stable_round((F.col("sy") - slope * F.col("sx")) / nn)
+        .alias("intercept"),
+        stable_round((num * num)
+                     / (den * (nn * F.col("syy")
+                               - F.col("sy") * F.col("sy")))).alias("r2"))

@@ -26,7 +26,11 @@ pytestmark = pytest.mark.skipif(
 # sketch estimate, surprisal means.
 _QUERIES = ["m01_stacked_summary", "t13_source_dashboard",
             "q17_rollup_revenue", "s20_centroid_outliers",
-            "k02_hll_distinct", "t14_unigram_surprisal"]
+            "k02_hll_distinct", "t14_unigram_surprisal",
+            # round-3 float surfaces: substring-removal reconstruction,
+            # DSIR log-ratio means, PQ distance folds, HLL set algebra
+            "t26_substring_removal", "t28_dsir_importance",
+            "s36_product_quantization", "k03_hll_set_ops"]
 
 
 def _norm(v):
