@@ -1010,3 +1010,78 @@ def t28_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_feats"),
         stable_round(dsum("lr") / n.cast("double")).alias("importance"))
+
+
+@register(
+    "t32_zipf_fit",
+    oracle=f"""
+    WITH ex AS (
+      SELECT lang, t AS term
+      FROM (SELECT lang, {_SQL_TOKENS} AS ts FROM documents),
+           UNNEST(ts) AS u(t)
+    ),
+    c AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM ex GROUP BY lang, term
+    ),
+    r AS (
+      SELECT lang,
+             LN(CAST(ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY freq DESC, term) AS DOUBLE))
+               AS x,
+             LN(CAST(freq AS DOUBLE)) AS y
+      FROM c
+    ),
+    mo AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           {stable_round_sql(
+               '(CAST(n_terms AS DOUBLE) * sxy - sx * sy)'
+               ' / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)')}
+             AS zipf_slope
+    FROM mo
+    """,
+    doc="Zipf-law fit per language: least-squares slope of ln(freq) "
+        "vs ln(rank) over the full vocabulary (natural corpora sit "
+        "near -1; synthetic or templated text drifts off) — a "
+        "corpus-health diagnostic that catches generation artifacts "
+        "the per-doc quality scores cannot. q41's exact-moment "
+        "closed form over t12's vocab machinery: the ranking window "
+        "runs per language on the vocab-sized aggregate, the moments "
+        "are decimal sums (t14's sum-of-logs parity pattern), and the "
+        "slope derivation is identical double arithmetic.",
+)
+def t32_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import DEC
+
+    d = load(spark, sf_dir, "documents")
+    c = (d.select("lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+         .groupBy("lang", "term")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    r = c.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"))
+    mo = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+        .alias("sxx"))
+    nn = F.col("n_terms").cast("double")
+    slope = ((nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return mo.select("lang", "n_terms",
+                     stable_round(slope).alias("zipf_slope"))
