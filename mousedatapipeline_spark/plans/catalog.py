@@ -164,7 +164,7 @@ _R03_NEW = frozenset({
     "s36_product_quantization", "t31_dedup_savings_by_source",
     "e20_decayed_engagement", "mm07_audio_neardup",
     "mm08_audio_framing_census", "q41_grouped_linear_fit",
-    "t32_zipf_fit",
+    "t32_zipf_fit", "s37_ivf_probe_sweep",
 })
 
 

@@ -2419,3 +2419,190 @@ def s36_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct("sub", F.col("b.label").alias("label")))),
                 lambda s: s["label"].cast("string")), "-").alias("code"),
         stable_round(dsum(F.col("b.dd"))).alias("recon_err"))
+
+
+# --------------------------------------------------------------------------
+# s37: multi-probe IVF recall sweep — the missing number behind s08's
+# single-cell probe: how much recall does each extra probed cell buy?
+# Queries rank ALL cells by quantizer dot product; for probe depth
+# P in {1,2,3} the candidate set is the union of the P nearest cells'
+# members, re-ranked by exact cosine, and compared to the brute-force
+# top-3. One candidate-cosine computation serves every depth (a
+# candidate carries the probe rank of its cell; depth P filters
+# crn <= P) — the sweep costs one pass, not three.
+# --------------------------------------------------------------------------
+_S37_NQ = 50      # query subset (vec_id < 50)
+_S37_K = 3        # recall@K
+_S37_MAX_P = 3    # deepest probe
+
+
+@register(
+    "s37_ivf_probe_sweep",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    centroids AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, dim
+    ),
+    cdots AS (
+      SELECT d.vec_id, c.label,
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.label
+    ),
+    cellrank AS (
+      SELECT vec_id, label AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {stable_round_sql('dot')} DESC,
+                                         label) AS crn
+      FROM cdots
+    ),
+    assign AS (SELECT vec_id, cell FROM cellrank WHERE crn = 1),
+    exdots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims q JOIN dims c ON q.dim = c.dim
+      WHERE q.vec_id < {_S37_NQ} AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    excos AS (
+      SELECT qid, cid,
+             {stable_round_sql(
+                 'CASE WHEN qn.norm > 0 AND cn.norm > 0 '
+                 'THEN dot / (qn.norm * cn.norm) ELSE 0.0 END')} AS rcos
+      FROM exdots JOIN norms qn ON qid = qn.vec_id
+                  JOIN norms cn ON cid = cn.vec_id
+    ),
+    exact3 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rcos DESC, cid) AS rn
+        FROM excos)
+      WHERE rn <= {_S37_K}
+    ),
+    cand AS (
+      SELECT qr.vec_id AS qid, a.vec_id AS cid, qr.crn
+      FROM cellrank qr JOIN assign a ON a.cell = qr.cell
+      WHERE qr.vec_id < {_S37_NQ} AND qr.crn <= {_S37_MAX_P}
+        AND a.vec_id <> qr.vec_id
+    ),
+    cancos AS (
+      SELECT cand.qid, cand.cid, cand.crn, e.rcos
+      FROM cand JOIN excos e ON e.qid = cand.qid AND e.cid = cand.cid
+    ),
+    probes AS (SELECT p FROM (VALUES (1), (2), (3)) t(p)),
+    retrieved AS (
+      SELECT p, qid, cid FROM (
+        SELECT pr.p, c.qid, c.cid, ROW_NUMBER() OVER (
+            PARTITION BY pr.p, c.qid
+            ORDER BY c.rcos DESC, c.cid) AS rn
+        FROM cancos c JOIN probes pr ON c.crn <= pr.p)
+      WHERE rn <= {_S37_K}
+    ),
+    nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n FROM exact3)
+    SELECT r.p AS n_probes,
+           CAST(COUNT(x.cid) AS BIGINT) AS n_hits,
+           (SELECT n FROM nq) AS n_queries,
+           {stable_round_sql(
+               'CAST(COUNT(x.cid) AS DOUBLE) '
+               f'/ ({_S37_K}.0 * CAST((SELECT n FROM nq) AS DOUBLE))')}
+             AS recall
+    FROM retrieved r
+    LEFT JOIN exact3 x ON x.qid = r.qid AND x.cid = r.cid
+    GROUP BY r.p
+    """,
+    doc="Multi-probe IVF recall sweep: recall@3 of the s08 quantizer "
+        "probing its 1, 2, and 3 nearest cells, against the exact "
+        "brute-force top-3 (s05 semantics) over the vec_id < 50 query "
+        "set. Candidates carry the probe rank of their cell, so one "
+        "exact-cosine pass serves all depths; the ranking windows run "
+        "per (depth, query) on candidate rows only. The number that "
+        "decides nprobe in production FAISS-style deployments.",
+)
+def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import DEC
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = (vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+            .localCheckpoint(eager=False))  # quantizer + exact + probe
+    dims = S.vector_dims(e, "vec_id", "embedding")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    centroids = labeled.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+    cent_arr = centroids.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+    cdots = (vecs.join(F.broadcast(
+        cent_arr.withColumnRenamed("label", "cell")))
+        .withColumn("dot", S.ddot(F.col("v"), F.col("c"))))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        stable_round(F.col("dot")).desc(), F.col("cell"))
+    cellrank = (cdots.select("vec_id", "cell", "v", "norm",
+                             F.row_number().over(wcell).alias("crn"))
+                .localCheckpoint(eager=False))  # queries + assignment
+    assign = cellrank.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("cid"), "cell",
+        F.col("v").alias("cv2"), F.col("norm").alias("cnorm"))
+    # Exact top-3 baseline: the <=50 query arrays broadcast against
+    # the corpus (s05's declared brute-force shape).
+    qa = vecs.filter(F.col("vec_id") < _S37_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    allc = (F.broadcast(qa)
+            .join(vecs.select(F.col("vec_id").alias("cid"),
+                              F.col("v").alias("cv2"),
+                              F.col("norm").alias("cnorm")))
+            .filter(F.col("qid") != F.col("cid")))
+    rcos = stable_round(
+        F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+               S.ddot(F.col("qv"), F.col("cv2"))
+               / (F.col("qnorm") * F.col("cnorm")))
+        .otherwise(F.lit(0.0)))
+    excos = (allc.select("qid", "cid", rcos.alias("rcos"))
+             .localCheckpoint(eager=False))  # exact3 + candidate lookup
+    wq = Window.partitionBy("qid").orderBy(F.desc("rcos"), "cid")
+    exact3 = (excos.select("qid", "cid",
+                           F.row_number().over(wq).alias("rn"))
+              .filter(F.col("rn") <= _S37_K).select("qid", "cid"))
+    # Probed candidates: query's 3 nearest cells x those cells' members.
+    qcells = cellrank.filter(
+        (F.col("vec_id") < _S37_NQ) & (F.col("crn") <= _S37_MAX_P)
+    ).select(F.col("vec_id").alias("qid"), "cell", "crn")
+    cand = (qcells.join(assign, "cell")
+            .filter(F.col("qid") != F.col("cid"))
+            .select("qid", "cid", "crn"))
+    cancos = cand.join(excos, ["qid", "cid"])
+    probes = spark.createDataFrame([(p,) for p in (1, 2, 3)], "p: int")
+    wr = Window.partitionBy("p", "qid").orderBy(F.desc("rcos"), "cid")
+    retrieved = (cancos.join(F.broadcast(probes),
+                             F.col("crn") <= F.col("p"))
+                 .select("p", "qid", "cid",
+                         F.row_number().over(wr).alias("rn"))
+                 .filter(F.col("rn") <= _S37_K))
+    nq = exact3.agg(F.countDistinct("qid").cast("bigint").alias("n"))
+    hits = (retrieved
+            .join(exact3.withColumn("hit", F.lit(1)), ["qid", "cid"],
+                  "left")
+            .groupBy("p")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                 .alias("n_hits")))
+    return (hits.join(F.broadcast(nq))
+            .select(F.col("p").alias("n_probes"), "n_hits",
+                    F.col("n").alias("n_queries"),
+                    stable_round(
+                        F.col("n_hits").cast("double")
+                        / (F.lit(float(_S37_K))
+                           * F.col("n").cast("double"))).alias("recall")))

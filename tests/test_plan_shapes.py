@@ -166,7 +166,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "e16_rolling_active_users",
                                   # composes s05, inheriting its
                                   # declared brute-force product
-                                  "s25_ann_recall"}
+                                  "s25_ann_recall",
+                                  # exact-baseline brute-force product
+                                  # (s05 shape) + 3-row probe spine
+                                  "s37_ivf_probe_sweep"}
 
 
 @_needs_data
