@@ -994,3 +994,66 @@ def _finalize_w10_oracle() -> None:
 
 
 _finalize_w10_oracle()
+
+
+@register(
+    "w12_stream_running_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id
+    """,
+    doc="Stateful running per-user profile — event count, distinct "
+        "types, first/last event time — maintained across triggers "
+        "with INTEGER-ONLY O(1) state (four scalars + a vocabulary-"
+        "bounded type csv): bit-exact emissions, no float "
+        "accumulation order to drift. Every output column is "
+        "monotone, so the drained sink reduces idempotently by "
+        "max(n_events) per key and must equal the batch aggregation. "
+        "(Authored for Spark 4's transformWithStateInPandas; that API "
+        "needs google.protobuf, absent here — streaming/stateful.py "
+        "documents the boundary and ships the applyInPandasWithState "
+        "equivalent.)",
+)
+def w12_stream_running_profile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_w12_"))
+    landing = work / "landing"
+    landing.mkdir()
+    write_time_chunks(spark, sf_dir, landing, n_chunks=2, full_rows=True)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(landing))
+              .select("user_id", "event_type", "ts_us"))
+    out = stateful.profile_stream(stream)
+    sink = str(work / "sink")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", str(work / "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    snap = spark.read.parquet(sink)
+    final = snap.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_types", "first_us", "last_us"))
+        .alias("b"))
+    return final.select(
+        "user_id", F.col("b.n_events").alias("n_events"),
+        F.col("b.n_types").alias("n_types"),
+        F.col("b.first_us").alias("first_us"),
+        F.col("b.last_us").alias("last_us"))

@@ -105,3 +105,75 @@ def dedupe_stream(events: DataFrame, keys: list[str], ts_col: str,
     """
     return events.withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
+# Running per-user profile with INTEGER-ONLY state: every emission is
+# bit-exact against the batch oracle (no float accumulation order to
+# drift). ENV BOUNDARY: Spark 4's successor API
+# (transformWithStateInPandas — named schema'd state slots, timers,
+# TTL) requires google.protobuf, absent from this container; the same
+# operator expressed against it crashes the streaming python runner at
+# init (ImportError in StateMessage_pb2), so this uses
+# applyInPandasWithState, whose semantics are identical for a single
+# value-state slot with no timers.
+# ---------------------------------------------------------------------------
+
+PROFILE_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_types", T.LongType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+# (n_events, seen event types as a sorted csv — bounded by the type
+# vocabulary, NOT event volume — first/last event time)
+PROFILE_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("types_csv", T.StringType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def _profile_update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: Any) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, csv, first_us, last_us = state.get
+        seen = set(csv.split(",")) if csv else set()
+    else:
+        n, seen, first_us, last_us = 0, set(), None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        seen.update(pdf["event_type"].tolist())
+        lo = int(pdf["ts_us"].min())
+        hi = int(pdf["ts_us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, ",".join(sorted(seen)), first_us, last_us))
+    yield pd.DataFrame([{
+        "user_id": key[0], "n_events": n, "n_types": len(seen),
+        "first_us": first_us, "last_us": last_us,
+    }])
+
+
+def profile_stream(events: DataFrame) -> DataFrame:
+    """Cumulative per-user profile (event count, distinct types,
+    first/last event time) as a stateful streaming operator.
+
+    Emits the key's cumulative profile at every trigger with data;
+    every emitted column is monotone (count, distinct-count, min/max
+    time), so the final answer per key is the max-n_events row — the
+    same idempotent replay-safe reduction as ``sessionize_stream``.
+    State is O(1) per key: four scalars plus a vocabulary-bounded csv.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _profile_update,
+        outputStructType=PROFILE_OUT_SCHEMA,
+        stateStructType=PROFILE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
