@@ -35,7 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "orient_by_degree"]
@@ -59,7 +59,11 @@ def orient_by_degree(edges: DataFrame, src: str = "d1",
     Cost: one degree aggregate over the edge list + two equi-joins to
     attach endpoint degrees — both shuffles on the vertex id, skew
     handled by AQE. Pass ``degrees`` (columns ``v, deg``) to reuse an
-    already-computed undirected degree table. The triangle SET is
+    already-computed undirected degree table; it MUST cover every
+    endpoint of ``edges`` — a stale/filtered table would otherwise
+    silently drop edges, so the join is left + assert_true (fails the
+    job loudly on the first uncovered endpoint instead of
+    undercounting triangles downstream). The triangle SET is
     orientation-invariant, so results of downstream wedge counting do
     not change.
     """
@@ -69,7 +73,18 @@ def orient_by_degree(edges: DataFrame, src: str = "d1",
         .agg(F.count(F.lit(1)).alias("deg")))
     d1 = deg.select(F.col("v").alias(src), F.col("deg").alias("deg1"))
     d2 = deg.select(F.col("v").alias(dst), F.col("deg").alias("deg2"))
-    ranked = edges.join(d1, src).join(d2, dst)
+    # The coverage check lives INSIDE the consumed expressions (a
+    # dropped side-column would be pruned away with its assertion).
+    msg = ("orient_by_degree: degrees table does not cover every "
+           "edge endpoint")
+
+    def checked(c: Column) -> Column:
+        return F.when(c.isNotNull(), c).otherwise(
+            F.raise_error(F.lit(msg)).cast("long"))
+
+    ranked = (edges.join(d1, src, "left").join(d2, dst, "left")
+              .withColumn("deg1", checked(F.col("deg1")))
+              .withColumn("deg2", checked(F.col("deg2"))))
     fwd = (F.col("deg1") < F.col("deg2")) | (
         (F.col("deg1") == F.col("deg2")) & (F.col(src) < F.col(dst)))
     return ranked.select(

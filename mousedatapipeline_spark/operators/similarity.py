@@ -362,3 +362,73 @@ def cosine_pairs(q_dims: DataFrame, c_dims: DataFrame,
             F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
                    F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
             .otherwise(F.lit(0.0))))
+
+
+# ---------------------------------------------------------------------------
+# Shared IVF coarse quantizer (s07/s08/s35/s37): ONE definition of the
+# centroid training and cell-assignment arithmetic that every oracle
+# mirrors — tie-break and rounding changes must happen here, nowhere
+# else, or a consumer silently desynchronizes from its oracle.
+# ---------------------------------------------------------------------------
+
+def train_label_centroids(e: DataFrame,
+                          dec: str = "decimal(30,10)") -> DataFrame:
+    """(label, c: array<double>): per-label centroid arrays via the
+    exact per-dim decimal mean — one skew-free (label, dim) shuffle;
+    the result is broadcast-class (|labels| rows)."""
+    dims = vector_dims(e, "vec_id", "embedding")
+    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
+    cent = labeled.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(dec)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("cv"))
+    return cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"]).alias("c"))
+
+
+def assign_cells(vecs: DataFrame, cent_arr: DataFrame,
+                 carry: Sequence[str] = ()) -> DataFrame:
+    """(vec_id, cell, *carry): each vector's argmax-dot cell.
+
+    Tie-break: (rounded dot DESC, lowest label) — the ROW_NUMBER order
+    every oracle uses. The argmax is ONE map-side-combinable
+    max-of-struct whose ordering fields are unique per vector, so the
+    ``carry`` payload columns (vector arrays, norms, true labels) ride
+    along without ever being compared and WITHOUT a window shuffle.
+    """
+    from mousedatapipeline_spark.functions.rounding import stable_round
+
+    cd = (vecs.join(F.broadcast(
+        cent_arr.withColumnRenamed("label", "__cl")))
+        .withColumn("__dot", ddot(F.col("v"), F.col("c"))))
+    b = cd.groupBy("vec_id").agg(
+        F.max(F.struct(
+            stable_round(F.col("__dot")).alias("rd"),
+            (-F.col("__cl")).alias("nl"),
+            *[F.col(c).alias(c) for c in carry])).alias("b"))
+    return b.select(
+        "vec_id", (-F.col("b.nl")).alias("cell"),
+        *[F.col(f"b.{c}").alias(c) for c in carry])
+
+
+def cell_ranks(vecs: DataFrame, cent_arr: DataFrame,
+               max_rank: int) -> DataFrame:
+    """(vec_id, cell, crn): each vector's ``max_rank`` nearest cells
+    by (rounded dot DESC, lowest label) — multi-probe IVF's probe
+    list. The ranking window sees SCALAR rows only (vec_id, cell,
+    rounded dot): vector arrays are projected away before the
+    |labels|-fan-out shuffle, and callers join payloads back by
+    vec_id (the 'no window over array-carrying rows' rule from s08)."""
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.functions.rounding import stable_round
+
+    dots = (vecs.select("vec_id", "v")
+            .join(F.broadcast(cent_arr.withColumnRenamed("label", "cell")))
+            .select("vec_id", "cell",
+                    stable_round(ddot(F.col("v"), F.col("c")))
+                    .alias("rdot")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("rdot"), F.col("cell"))
+    return (dots.select("vec_id", "cell",
+                        F.row_number().over(w).alias("crn"))
+            .filter(F.col("crn") <= max_rank))

@@ -146,6 +146,10 @@ _R02_GREEN = frozenset({
 _STALE_PROOF = frozenset({
     "e11_conversion_latency", "s24_containment_neardup",
     "s27_triangle_count", "w08_stream_session_window",
+    # s08's quantizer moved into the shared
+    # train_label_centroids/assign_cells helpers (plan-equivalent
+    # refactor, re-verified locally at both SFs) after its r02 row.
+    "s08_ann_ivf",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN) - _STALE_PROOF

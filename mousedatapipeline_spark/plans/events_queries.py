@@ -1020,10 +1020,12 @@ def e20_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "value", F.to_date("ts").alias("d"))
     anchor = ev.agg(F.max("d").alias("d0"))
-    age = F.least(F.datediff(F.col("d0"), F.col("d")), F.lit(52))
-    dv = (F.col("value")
-          / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), "
-                   "least(datediff(d0, d), 52)) AS DOUBLE)"))
+    # F.shiftleft only accepts a literal bit count, so the column-typed
+    # shift goes through the SQL form — the single decay definition.
+    cap = 52
+    dv = F.col("value") / F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), "
+        f"least(datediff(d0, d), {cap})) AS DOUBLE)")
     sc = ev.join(F.broadcast(anchor)).select("user_id", dv.alias("dv"))
     return sc.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -685,31 +685,12 @@ def s08_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
-    # Train the coarse quantizer: per-label mean per dim (same as s07).
-    dec = "decimal(30,10)"
-    dims = S.vector_dims(e, "vec_id", "embedding")
-    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
-    centroids = labeled.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast(dec)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("cv"))
-    cent_arr = centroids.groupBy("label").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s["cv"]).alias("c"))
-    # Assignment: every vector against the broadcast centroid arrays.
-    # argmax = max of (rounded dot, -label, payload) structs: the
-    # ordering fields are unique per vector, so the payload (v, norm)
-    # rides along without ever being compared.
-    cdots = vecs.join(F.broadcast(cent_arr)).withColumn(
-        "dot", S.ddot(F.col("v"), F.col("c")))
-    best = cdots.groupBy("vec_id").agg(
-        F.max(F.struct(
-            stable_round(F.col("dot")).alias("rd"),
-            (-F.col("label")).alias("nl"),
-            F.col("v").alias("v"),
-            F.col("norm").alias("norm"))).alias("b"))
-    assign = best.select(
-        "vec_id", (-F.col("b.nl")).alias("cell"),
-        F.col("b.v").alias("v"), F.col("b.norm").alias("norm"))
+    # Coarse quantizer: the ONE shared training + argmax-assignment
+    # definition (operators/similarity.train_label_centroids /
+    # assign_cells) that s35/s37 and every oracle mirror; (v, norm)
+    # ride the assignment's max-of-struct as carry payload.
+    cent_arr = S.train_label_centroids(e)
+    assign = S.assign_cells(vecs, cent_arr, carry=["v", "norm"])
     # The tiny (vec_id, cell, v, norm) table feeds BOTH probe sides;
     # checkpoint so the training+assignment subtree runs once.
     assign = assign.localCheckpoint(eager=False)
@@ -2249,34 +2230,17 @@ _finalize_s34_oracle()
         "max-of-struct per anchor, and the anchor set broadcasts.",
 )
 def s35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dec = "decimal(30,10)"
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
-    dims = S.vector_dims(e, "vec_id", "embedding")
-    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
-    centroids = labeled.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast(dec)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("cv"))
-    cent_arr = centroids.groupBy("label").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s["cv"]).alias("c"))
-    cdots = (vecs.join(F.broadcast(cent_arr.withColumnRenamed(
-        "label", "clabel")))
-        .withColumn("dot", S.ddot(F.col("v"), F.col("c"))))
-    best = cdots.groupBy("vec_id").agg(
-        F.max(F.struct(
-            stable_round(F.col("dot")).alias("rd"),
-            (-F.col("clabel")).alias("nl"),
-            F.col("label").alias("label"),
-            F.col("v").alias("v"),
-            F.col("norm").alias("norm"))).alias("b"))
-    assign = best.select(
-        "vec_id", (-F.col("b.nl")).alias("cell"),
-        F.col("b.label").alias("label"),
-        F.col("b.v").alias("v"), F.col("b.norm").alias("norm"))
+    # Shared quantizer (train_label_centroids/assign_cells — one
+    # tie-break definition for s08/s35/s37 and their oracles); the
+    # true label rides the assignment as carry payload.
+    cent_arr = S.train_label_centroids(e)
+    assign = S.assign_cells(vecs, cent_arr,
+                            carry=["label", "v", "norm"])
     assign = assign.localCheckpoint(eager=False)  # both probe sides
     qa = assign.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("q_label"),
@@ -2529,33 +2493,23 @@ _S37_MAX_P = 3    # deepest probe
 def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from mousedatapipeline_spark.operators.aggregates import DEC
-
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     vecs = (vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
             .localCheckpoint(eager=False))  # quantizer + exact + probe
-    dims = S.vector_dims(e, "vec_id", "embedding")
-    labeled = dims.join(e.select("vec_id", "label"), "vec_id")
-    centroids = labeled.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast(DEC)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("cv"))
-    cent_arr = centroids.groupBy("label").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s["cv"]).alias("c"))
-    cdots = (vecs.join(F.broadcast(
-        cent_arr.withColumnRenamed("label", "cell")))
-        .withColumn("dot", S.ddot(F.col("v"), F.col("c"))))
-    wcell = Window.partitionBy("vec_id").orderBy(
-        stable_round(F.col("dot")).desc(), F.col("cell"))
-    cellrank = (cdots.select("vec_id", "cell", "v", "norm",
-                             F.row_number().over(wcell).alias("crn"))
+    # Shared quantizer; cell_ranks windows over SCALAR (vec_id, cell,
+    # rounded-dot) rows only — arrays/norms join back by vec_id below,
+    # never riding the |labels|-fan-out ranking shuffle.
+    cent_arr = S.train_label_centroids(e)
+    cellrank = (S.cell_ranks(vecs, cent_arr, _S37_MAX_P)
                 .localCheckpoint(eager=False))  # queries + assignment
-    assign = cellrank.filter(F.col("crn") == 1).select(
-        F.col("vec_id").alias("cid"), "cell",
-        F.col("v").alias("cv2"), F.col("norm").alias("cnorm"))
+    assign = (cellrank.filter(F.col("crn") == 1)
+              .join(vecs, "vec_id")
+              .select(F.col("vec_id").alias("cid"), "cell",
+                      F.col("v").alias("cv2"),
+                      F.col("norm").alias("cnorm")))
     # Exact top-3 baseline: the <=50 query arrays broadcast against
     # the corpus (s05's declared brute-force shape).
     qa = vecs.filter(F.col("vec_id") < _S37_NQ).select(

@@ -127,11 +127,13 @@ PROFILE_OUT_SCHEMA = T.StructType([
     T.StructField("last_us", T.LongType()),
 ])
 
-# (n_events, seen event types as a sorted csv — bounded by the type
-# vocabulary, NOT event volume — first/last event time)
+# (n_events, seen event types as a sorted ARRAY — bounded by the type
+# vocabulary, NOT event volume — first/last event time). An array, not
+# a delimiter-joined string: a type containing the delimiter (or an
+# empty-string type) would corrupt the distinct count on restore.
 PROFILE_STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
-    T.StructField("types_csv", T.StringType()),
+    T.StructField("types", T.ArrayType(T.StringType())),
     T.StructField("first_us", T.LongType()),
     T.StructField("last_us", T.LongType()),
 ])
@@ -140,8 +142,8 @@ PROFILE_STATE_SCHEMA = T.StructType([
 def _profile_update(key: tuple, pdfs: Iterator[pd.DataFrame],
                     state: Any) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n, csv, first_us, last_us = state.get
-        seen = set(csv.split(",")) if csv else set()
+        n, types, first_us, last_us = state.get
+        seen = set(types)
     else:
         n, seen, first_us, last_us = 0, set(), None, None
     for pdf in pdfs:
@@ -151,7 +153,7 @@ def _profile_update(key: tuple, pdfs: Iterator[pd.DataFrame],
         hi = int(pdf["ts_us"].max())
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
-    state.update((n, ",".join(sorted(seen)), first_us, last_us))
+    state.update((n, sorted(seen), first_us, last_us))
     yield pd.DataFrame([{
         "user_id": key[0], "n_events": n, "n_types": len(seen),
         "first_us": first_us, "last_us": last_us,
@@ -166,7 +168,7 @@ def profile_stream(events: DataFrame) -> DataFrame:
     every emitted column is monotone (count, distinct-count, min/max
     time), so the final answer per key is the max-n_events row — the
     same idempotent replay-safe reduction as ``sessionize_stream``.
-    State is O(1) per key: four scalars plus a vocabulary-bounded csv.
+    State is O(1) per key: three scalars plus a vocabulary-bounded type array.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

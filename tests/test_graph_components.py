@@ -96,3 +96,15 @@ def test_orient_triangle_count_invariant(spark):
     e2 = o.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
     e3 = o.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
     assert e1.join(e2, "b").join(e3, ["a", "c"]).count() == 4
+
+
+def test_orient_rejects_incomplete_degrees_table(spark):
+    # A stale degrees table missing an endpoint must FAIL loudly, not
+    # silently drop the edge.
+    from pyspark.sql import functions as F2
+
+    from mousedatapipeline_spark.operators.graph import orient_by_degree
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "d1: bigint, d2: bigint")
+    partial = spark.createDataFrame([(1, 1), (2, 2)], "v: bigint, deg: bigint")
+    with pytest.raises(Exception, match="does not cover"):
+        orient_by_degree(edf, degrees=partial).collect()

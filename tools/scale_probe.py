@@ -3,9 +3,14 @@ a 10x-replicated sf0.1 ("sfx1", ~sf1-equivalent row counts).
 
 The driver ships testdata up to sf0.1 only; to test the claim "this
 plan survives a 10x scale-up", this tool replicates the sf0.1 tables
-K times with id offsets (doc_id/vec_id/event_id/user_id/l_orderkey
-shifted per replica; payload columns untouched) into a scratch dir and
-times a representative query slice at all three scales.
+K times with id offsets into a scratch dir and times a representative
+query slice at all three scales.
+
+Key-domain handling: an id column shared across tables (o_custkey and
+c_custkey, l_orderkey and o_orderkey) must shift by the SAME offset in
+every table, or replicated foreign keys point into the wrong replica
+and joins silently lose matches. Offsets are therefore computed once
+per DOMAIN (from the table that owns the key) and reused.
 
 Replication semantics (deliberate, documented): texts repeat across
 replicas, so the corpus gains exact/near duplicates with multiplicity
@@ -14,7 +19,7 @@ queries should scale ~linearly in rows; PAIR-EMITTING dedup queries
 (s01 groups, s03 bands) legitimately scale with duplicate mass
 (cluster-size-squared), which the report calls out rather than hides.
 
-Usage: python tools/scale_probe.py [K] [out.json]
+Usage: PYTHONPATH=. python tools/scale_probe.py [K] [out.json]
 """
 
 from __future__ import annotations
@@ -28,16 +33,27 @@ from pathlib import Path
 SCRATCH = Path("/tmp/mouse_scale_probe")
 BASE = "/root/testdata/sf0.1"
 
-# (table, id columns to offset per replica)
+# Key domains: domain name -> (owning table, owning column). Every
+# column in that domain shifts by the same owner-derived offset.
+DOMAINS = {
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "order": ("orders", "o_orderkey"),
+    "cust": ("customer", "c_custkey"),
+}
+
+# (table, {column: domain})
 TABLES = {
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id", "user_id"],
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "lineitem": {"l_orderkey": "order"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "customer": {"c_custkey": "cust"},
     # small dims copied as-is (they are fixed-size in TPC-H too)
-    "region": [], "nation": [], "supplier": [], "part": [],
+    "region": {}, "nation": {}, "supplier": {}, "part": {},
 }
 
 PROBE = [
@@ -57,31 +73,45 @@ PROBE = [
 
 def build_sfx(spark, k: int) -> str:
     from pyspark.sql import functions as F
+
+    from mousedatapipeline_spark.tables import load
+
     out = SCRATCH / f"sfx{k}"
-    if out.exists():
+    done = out / "_BUILD_COMPLETE"
+    if done.exists():
         return str(out)
+    if out.exists():  # interrupted build: partial tables are poison
+        shutil.rmtree(out)
     out.mkdir(parents=True)
-    for table, id_cols in TABLES.items():
-        src = f"{BASE}/{table}.parquet"
-        if not id_cols:
-            shutil.copy(src, out / f"{table}.parquet")
+    # One offset per key domain, taken from the owning table (tables
+    # are read through tables.load so events' TIMESTAMP(NANOS)
+    # handling is applied, same as every consumer).
+    span = {
+        dom: load(spark, BASE, tbl).agg(F.max(col)).collect()[0][0] + 1
+        for dom, (tbl, col) in DOMAINS.items()
+    }
+    for table, cols in TABLES.items():
+        df = load(spark, BASE, table)
+        if not cols:
+            df.write.mode("overwrite").parquet(
+                str(out / f"{table}.parquet"))
             continue
-        df = spark.read.parquet(src)
-        n = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
         rep = df.withColumn(
             "__r", F.explode(F.array(*[F.lit(i) for i in range(k)])))
-        for c in id_cols:
-            rep = rep.withColumn(c, F.col(c) + F.col("__r") * F.lit(n[c]))
+        for c, dom in cols.items():
+            rep = rep.withColumn(
+                c, F.col(c) + F.col("__r") * F.lit(span[dom]))
         (rep.drop("__r")
          .write.mode("overwrite").parquet(str(out / f"{table}.parquet")))
+    done.touch()
     return str(out)
 
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
-    from mousedatapipeline_spark.session import get_spark
     from mousedatapipeline_spark.plans.catalog import spark_queries
+    from mousedatapipeline_spark.session import get_spark
     spark = get_spark("scale_probe")
     qs = spark_queries()
     sfx = build_sfx(spark, k)
