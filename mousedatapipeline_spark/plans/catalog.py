@@ -169,7 +169,7 @@ _R03_NEW = frozenset({
     "e20_decayed_engagement", "mm07_audio_neardup",
     "mm08_audio_framing_census", "q41_grouped_linear_fit",
     "t32_zipf_fit", "s37_ivf_probe_sweep",
-    "w12_stream_running_profile",
+    "w12_stream_running_profile", "q42_orc_partitioned_roundtrip",
 })
 
 

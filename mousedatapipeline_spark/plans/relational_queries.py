@@ -1767,3 +1767,41 @@ def q41_grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((num * num)
                      / (den * (nn * F.col("syy")
                                - F.col("sy") * F.col("sy")))).alias("r2"))
+
+
+@register(
+    "q42_orc_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rev} AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """.format(rev=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Source/sink format breadth: orders written as "
+        "zstd-compressed ORC partitioned by o_orderstatus, read back "
+        "through the ORC source with a partition filter, and "
+        "aggregated — the answer must equal the same aggregation on "
+        "the original parquet (the oracle's side). The status "
+        "predicate prunes to one partition directory at the source "
+        "(same partition-pruning contract q39 plan-tests for "
+        "parquet); columnar pushdown and the decimal revenue math "
+        "are format-independent by construction.",
+)
+def q42_orc_partitioned_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="mouse_orc_") + "/orders_orc"
+    (orders.write.mode("overwrite")
+     .option("compression", "zstd")
+     .partitionBy("o_orderstatus")
+     .orc(out))
+    back = spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        stable_round(dsum("o_totalprice")).alias("revenue"))

@@ -628,3 +628,11 @@ def test_t26_no_cartesian_and_bounded_shuffles(spark):
     plan = _plan(spark, "t26_substring_removal")
     assert "CartesianProduct" not in plan, plan
     assert _count_shuffles(plan) <= 8, plan
+
+
+@_needs_data
+def test_q42_orc_scan_prunes_partition(spark):
+    """The ORC read-back must push the status predicate into partition
+    pruning (one directory scanned), not filter post-scan."""
+    plan = _plan(spark, "q42_orc_partitioned_roundtrip")
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus.*\]", plan), plan
