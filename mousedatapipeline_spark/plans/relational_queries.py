@@ -1805,3 +1805,47 @@ def q42_orc_partitioned_roundtrip(spark: SparkSession,
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         stable_round(dsum("o_totalprice")).alias("revenue"))
+
+
+@register(
+    "q43_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
+                           THEN o_orderpriority END) AS BIGINT)
+             AS n_with_priority,
+           MIN(CASE WHEN o_orderkey % 2 = 1
+                    THEN o_orderpriority END) AS min_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Schema evolution: a v1 batch (no priority column) and a v2 "
+        "batch (priority added) land in one dataset; the read uses "
+        "mergeSchema so v1 rows surface the new column as NULL — the "
+        "contract every long-lived ingest dataset needs when columns "
+        "are added mid-stream. The aggregation counts rows and "
+        "non-null priorities (v2 rows only — v1's evolved column is "
+        "NULL) and takes the min v2 priority as a value probe; the "
+        "oracle derives all three from the original table (v1 = even "
+        "orderkeys, priority nulled by construction). Footer merging "
+        "is a planning-time cost; the scan stays columnar.",
+)
+def q43_schema_evolution_merge(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    out = tempfile.mkdtemp(prefix="mouse_evo_") + "/orders_evo"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus")          # priority not yet added
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(out + "/batch=v1")
+    v2.write.mode("overwrite").parquet(out + "/batch=v2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count("o_orderpriority").cast("bigint")
+        .alias("n_with_priority"),
+        F.min("o_orderpriority").alias("min_priority"))
