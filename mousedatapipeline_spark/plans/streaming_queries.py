@@ -932,7 +932,10 @@ def w10_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing.mkdir()
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = work / "_tmp"
-    d.repartitionByRange(3, "doc_id").write.mode("overwrite") \
+    # Two chunks = two data triggers: the per-batch gate still runs
+    # across multiple triggers (the semantics under test) at the
+    # minimum state-store/sink fixed cost.
+    d.repartitionByRange(2, "doc_id").write.mode("overwrite") \
         .parquet(str(tmp))
     for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
         dest = landing / f"chunk{i:03d}.parquet"
