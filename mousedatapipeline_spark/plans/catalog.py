@@ -170,7 +170,7 @@ _R03_NEW = frozenset({
     "mm08_audio_framing_census", "q41_grouped_linear_fit",
     "t32_zipf_fit", "s37_ivf_probe_sweep",
     "w12_stream_running_profile", "q42_orc_partitioned_roundtrip",
-    "q43_schema_evolution_merge",
+    "q43_schema_evolution_merge", "e21_sequence_anomaly",
 })
 
 

@@ -1030,3 +1030,74 @@ def e20_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         stable_round(dsum("dv")).alias("engagement"))
+
+
+@register(
+    "e21_sequence_anomaly",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (SELECT user_id, prev_type, event_type AS next_type
+           FROM seq WHERE prev_type IS NOT NULL),
+    m AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM tr GROUP BY prev_type, next_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n_pair) AS BIGINT) AS n_prev FROM m
+      GROUP BY prev_type
+    ),
+    scored AS (
+      SELECT tr.user_id,
+             LN(CAST(tot.n_prev AS DOUBLE))
+               - LN(CAST(m.n_pair AS DOUBLE)) AS nll
+      FROM tr JOIN m ON tr.prev_type = m.prev_type
+                    AND tr.next_type = m.next_type
+              JOIN tot ON tr.prev_type = tot.prev_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(nll AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_nll
+    FROM scored GROUP BY user_id
+    """,
+    doc="Behavioral sequence anomaly score: each user's event stream "
+        "scored under the corpus first-order transition model (e12's "
+        "matrix) — mean negative log-likelihood of their transitions. "
+        "High scorers follow paths the population rarely takes (bot / "
+        "scraper / abuse triage); the matrix is |types|^2 rows "
+        "broadcast back to the transition stream, the per-user mean "
+        "uses the decimal accumulator (t14's sum-of-logs parity "
+        "pattern), and the only corpus-sized shuffles are the "
+        "sessionizing window and the final groupBy(user).",
+)
+def e21_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.select("user_id", F.col("event_type").alias("next_type"),
+                    F.lag("event_type").over(w).alias("prev_type"))
+          .filter(F.col("prev_type").isNotNull())
+          .localCheckpoint(eager=False))  # matrix AND scoring stream
+    m = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    tot = m.groupBy("prev_type").agg(
+        F.sum("n_pair").cast("bigint").alias("n_prev"))
+    nll = (F.log(F.col("n_prev").cast("double"))
+           - F.log(F.col("n_pair").cast("double")))
+    from mousedatapipeline_spark.operators.aggregates import dsum
+    scored = (tr.join(F.broadcast(m), ["prev_type", "next_type"])
+              .join(F.broadcast(tot), "prev_type")
+              .select("user_id", nll.alias("nll")))
+    n = F.count(F.lit(1))
+    return scored.groupBy("user_id").agg(
+        n.cast("bigint").alias("n_transitions"),
+        stable_round(dsum("nll") / n.cast("double")).alias("mean_nll"))
