@@ -1849,3 +1849,122 @@ def q43_schema_evolution_merge(spark: SparkSession,
         F.count("o_orderpriority").cast("bigint")
         .alias("n_with_priority"),
         F.min("o_orderpriority").alias("min_priority"))
+
+
+# --------------------------------------------------------------------------
+# q44: iterative ML as pure dataflow — two unrolled full-batch
+# gradient-descent steps of logistic regression, each step ONE
+# aggregation pass (5 decimal gradient sums + count) with the weight
+# vector broadcast back as a 1-row table. The shape that trains
+# quality classifiers (t17 consumes one) directly inside the engine:
+# per-step cost is a scan + map-side-combinable sums, state is
+# O(features), rounds unroll exactly like s10's k-means. Parity:
+# step 1's predictions are the constant 0.5 (w=0), so its gradient is
+# exact decimal arithmetic; step 2's sigmoid goes through libm exp,
+# whose <=1-ulp engine drift vanishes in the per-term DECIMAL(30,10)
+# cast (t14's transcendental-parity pattern); the accuracy threshold
+# compares the raw dot product against 0 — sigmoid(d) >= 0.5 iff
+# d >= 0 — an exact comparison.
+# --------------------------------------------------------------------------
+_Q44_D = 4  # embedding dims used as features (plus intercept x0)
+_Q44_JS = range(_Q44_D + 1)
+
+
+def _q44_sql() -> str:
+    dsum = ("CAST(CAST(SUM(CAST({t} AS DECIMAL(30,10))) AS VARCHAR)"
+            " AS DOUBLE)")
+    cols = ", ".join(
+        ["1.0 AS x0"] + [f"CAST(embedding[{j}] AS DOUBLE) AS x{j}"
+                         for j in range(1, _Q44_D + 1)])
+    g1 = ", ".join(
+        dsum.format(t=f"(0.5 - y) * x{j}")
+        + f" / CAST(COUNT(*) AS DOUBLE) AS g{j}" for j in _Q44_JS)
+    w1 = ", ".join(f"-g{j} AS w{j}" for j in _Q44_JS)
+    dot = " + ".join(f"w.w{j} * x.x{j}" for j in _Q44_JS)
+    g2 = ", ".join(
+        dsum.format(t=f"(p - y) * x{j}")
+        + f" / CAST(COUNT(*) AS DOUBLE) AS g{j}" for j in _Q44_JS)
+    w2 = ", ".join(f"w1.w{j} - g2.g{j} AS w{j}" for j in _Q44_JS)
+    xs = ", ".join(f"x.x{j}" for j in _Q44_JS)
+    wr = ", ".join(stable_round_sql(f"w.w{j}") + f" AS w{j}"
+                   for j in _Q44_JS)
+    wg = ", ".join(f"w.w{j}" for j in _Q44_JS)
+    return f"""
+    WITH X AS (
+      SELECT CAST(CASE WHEN label >= 5 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             {cols}
+      FROM embeddings
+    ),
+    G1 AS (SELECT {g1} FROM X),
+    W1 AS (SELECT {w1} FROM G1),
+    P AS (
+      SELECT x.y, {xs}, 1.0 / (1.0 + EXP(-({dot}))) AS p
+      FROM X x, W1 w
+    ),
+    G2 AS (SELECT {g2} FROM P),
+    W2 AS (SELECT {w2} FROM W1 w1, G2 g2),
+    SCORED AS (SELECT x.y, ({dot}) AS d FROM X x, W2 w)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (d >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {wr}
+    FROM SCORED, W2 w
+    GROUP BY {wg}
+    """
+
+
+@register(
+    "q44_logistic_regression_steps",
+    oracle=_q44_sql(),
+    doc="Logistic regression trained IN the engine: two unrolled "
+        "full-batch gradient steps over 4 embedding dims + intercept "
+        "(labels binarized at >= 5), each step one scan with 5 "
+        "map-side-combinable decimal gradient sums and the weight "
+        "vector broadcast back as a 1-row table — the k-means/PageRank "
+        "iteration shape applied to a classifier (what trains t17's "
+        "quality model without leaving Spark). Output: training-set "
+        "accuracy of the 2-step model (threshold on the raw dot, an "
+        "exact comparison) and the rounded weights.",
+)
+def q44_logistic_regression_steps(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    X = e.select(
+        (F.col("label") >= 5).cast("int").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        *[F.col("embedding").getItem(j - 1).cast("double")
+          .alias(f"x{j}") for j in range(1, _Q44_D + 1)]
+    ).localCheckpoint(eager=False)  # three passes (g1, g2, scoring)
+
+    def grads(df, resid):
+        n = F.count(F.lit(1))
+        return df.agg(*[
+            (F.sum((resid * F.col(f"x{j}")).cast(DEC)).cast("double")
+             / n.cast("double")).alias(f"g{j}") for j in _Q44_JS])
+
+    w1 = grads(X, F.lit(0.5) - F.col("y")).select(
+        *[(-F.col(f"g{j}")).alias(f"w{j}") for j in _Q44_JS])
+
+    def dot(prefix="w"):
+        out = None
+        for j in _Q44_JS:
+            term = F.col(f"{prefix}{j}") * F.col(f"x{j}")
+            out = term if out is None else out + term
+        return out
+
+    p = (X.join(F.broadcast(w1))
+         .withColumn("p", 1.0 / (1.0 + F.exp(-dot()))))
+    g2 = grads(p, F.col("p") - F.col("y"))
+    w2 = (w1.join(F.broadcast(g2))
+          .select(*[(F.col(f"w{j}") - F.col(f"g{j}")).alias(f"w{j}")
+                    for j in _Q44_JS]))
+    scored = (X.join(F.broadcast(w2))
+              .withColumn("d", dot()))
+    return (scored
+            .groupBy(*[F.col(f"w{j}") for j in _Q44_JS])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(((F.col("d") >= 0) == (F.col("y") == 1.0))
+                       .cast("int")).cast("bigint").alias("n_correct"))
+            .select("n", "n_correct",
+                    *[stable_round(F.col(f"w{j}")).alias(f"w{j}")
+                      for j in _Q44_JS]))

@@ -169,7 +169,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "s25_ann_recall",
                                   # exact-baseline brute-force product
                                   # (s05 shape) + 3-row probe spine
-                                  "s37_ivf_probe_sweep"}
+                                  "s37_ivf_probe_sweep",
+                                  # 1-row weight-vector broadcasts per
+                                  # unrolled gradient step
+                                  "q44_logistic_regression_steps"}
 
 
 @_needs_data
