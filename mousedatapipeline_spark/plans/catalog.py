@@ -171,7 +171,7 @@ _R03_NEW = frozenset({
     "t32_zipf_fit", "s37_ivf_probe_sweep",
     "w12_stream_running_profile", "q42_orc_partitioned_roundtrip",
     "q43_schema_evolution_merge", "e21_sequence_anomaly",
-    "q44_logistic_regression_steps",
+    "q44_logistic_regression_steps", "c04_quality_threshold_curve",
 })
 
 

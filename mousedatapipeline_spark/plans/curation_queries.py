@@ -640,3 +640,84 @@ def c03_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stable_round(rate).alias("sample_rate"),
                     F.floor(rate * F.col("n_tokens").cast("double"))
                     .cast("bigint").alias("planned_tokens")))
+
+
+@register(
+    "c04_quality_threshold_curve",
+    # t03's registered oracle composed verbatim (patched below): ONE
+    # quality definition shared with the per-doc scorer.
+    oracle="__PATCHED_FROM_T03__",
+    doc="Quality-threshold calibration curve: per (lang, quality "
+        "decile bucket), document and token counts plus the share of "
+        "the language's tokens KEPT if the cut were set at that "
+        "bucket — the evidence behind t03's fixed 0.5 verdict and the "
+        "knob c03's mixture planner trades against. Buckets are fixed "
+        "(floor(quality*10), capped at 9) so the histogram is "
+        "scan-stage; the cumulative windows run on the <=10-row "
+        "per-lang aggregate, never the corpus.",
+)
+def c04_quality_threshold_curve(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.plans.text_queries import (
+        t03_quality_score,
+    )
+    q = t03_quality_score(spark, sf_dir).select("doc_id", "lang",
+                                                "quality")
+    tk = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("bigint")
+        .alias("n_tok"))
+    b = (q.join(tk, "doc_id")
+         .select("lang",
+                 F.least(F.floor(F.col("quality") * 10), F.lit(9))
+                 .cast("int").alias("bucket"), "n_tok"))
+    g = b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"))
+    w_cum = (Window.partitionBy("lang")
+             .orderBy(F.desc("bucket"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("lang")
+    return g.select(
+        "lang", "bucket", "n_docs", "tokens",
+        stable_round(F.sum("tokens").over(w_cum).cast("double")
+                     / F.sum("tokens").over(w_all).cast("double"))
+        .alias("kept_token_share"))
+
+
+def _finalize_c04_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    t03 = _REGISTRY["t03_quality_score"].oracle
+    spec = _REGISTRY["c04_quality_threshold_curve"]
+    _REGISTRY["c04_quality_threshold_curve"] = replace(
+        spec, oracle=f"""
+    WITH q AS ({t03}),
+    tk AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT q.lang,
+             CAST(LEAST(FLOOR(q.quality * 10), 9) AS INT) AS bucket,
+             tk.n_tok
+      FROM q JOIN tk ON q.doc_id = tk.doc_id
+    ),
+    g AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens
+      FROM b GROUP BY lang, bucket
+    )
+    SELECT lang, bucket, n_docs, tokens,
+           {stable_round_sql(
+               'CAST(SUM(tokens) OVER (PARTITION BY lang '
+               'ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) '
+               'AS DOUBLE) / CAST(SUM(tokens) OVER '
+               '(PARTITION BY lang) AS DOUBLE)')} AS kept_token_share
+    FROM g
+    """)
+
+
+_finalize_c04_oracle()
