@@ -687,6 +687,10 @@ def c04_quality_threshold_curve(spark: SparkSession,
 def _finalize_c04_oracle() -> None:
     from dataclasses import replace
 
+    # Cross-module reference: force the defining module to register
+    # first (direct imports of THIS module must not depend on catalog
+    # load order).
+    import mousedatapipeline_spark.plans.text_queries  # noqa: F401
     from mousedatapipeline_spark.plans.catalog import _REGISTRY
     t03 = _REGISTRY["t03_quality_score"].oracle
     spec = _REGISTRY["c04_quality_threshold_curve"]

@@ -2134,6 +2134,8 @@ def s34_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _finalize_s34_oracle() -> None:
     from dataclasses import replace
 
+    # Cross-module reference (t03): force its module to register first.
+    import mousedatapipeline_spark.plans.text_queries  # noqa: F401
     from mousedatapipeline_spark.plans.catalog import _REGISTRY
     spec = _REGISTRY["s34_quality_canonical"]
     _REGISTRY["s34_quality_canonical"] = replace(

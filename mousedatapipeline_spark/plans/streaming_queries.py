@@ -990,6 +990,8 @@ def w10_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _finalize_w10_oracle() -> None:
     from dataclasses import replace
 
+    # Cross-module reference (s18): force its module to register first.
+    import mousedatapipeline_spark.plans.decontam_queries  # noqa: F401
     from mousedatapipeline_spark.plans.catalog import _REGISTRY
     spec = _REGISTRY["w10_stream_decontam"]
     _REGISTRY["w10_stream_decontam"] = replace(
