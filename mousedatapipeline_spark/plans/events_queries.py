@@ -1101,3 +1101,119 @@ def e21_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("user_id").agg(
         n.cast("bigint").alias("n_transitions"),
         stable_round(dsum("nll") / n.cast("double")).alias("mean_nll"))
+
+
+# --------------------------------------------------------------------------
+# e22: bootstrap inference at scale — the error bar every corpus
+# metric should carry. Classic bootstrap resamples the dataset B
+# times (B passes, driver-side RNG — both non-starters at 100 TB);
+# the online/Poisson-weighted bootstrap (Oza & Russell's online
+# bagging) instead gives every ROW a deterministic per-replica weight
+# and folds all B replicas into ONE aggregation pass with 2B
+# map-side-combinable sums. Weights derive from integer hash
+# arithmetic on (event_id, replica) — identical in both engines, so
+# the oracle reproduces every replica exactly. E[w]=1 (w in {0,1,2}
+# with p = 1/4, 1/2, 1/4), approximating Poisson(1) resampling.
+# --------------------------------------------------------------------------
+_E22_B = 32  # bootstrap replicas
+
+
+def _e22_w_sql(k: int) -> str:
+    return (f"CASE ((event_id * {2 * k + 3} * 1103515245 + {k}) "
+            f"% 2147483647) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 "
+            f"ELSE 1 END")
+
+
+def _e22_sql() -> str:
+    dsum = ("CAST(CAST(SUM(CAST({t} AS DECIMAL(30,10))) AS VARCHAR)"
+            " AS DOUBLE)")
+    aggs = ", ".join(
+        dsum.format(t=f"value * ({_e22_w_sql(k)})") + f" AS sv{k}, "
+        f"CAST(SUM({_e22_w_sql(k)}) AS BIGINT) AS sw{k}"
+        for k in range(_E22_B))
+    ms = ", ".join(
+        f"sv{k} / CAST(sw{k} AS DOUBLE) AS m{k}" for k in range(_E22_B))
+    mbar_chain = "m0"
+    for k in range(1, _E22_B):
+        mbar_chain = f"({mbar_chain} + m{k})"
+    var_chain = "(m0 - mbar) * (m0 - mbar)"
+    for k in range(1, _E22_B):
+        var_chain = f"({var_chain} + (m{k} - mbar) * (m{k} - mbar))"
+    return f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum.format(t='value')} AS sv,
+             {aggs}
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sv / CAST(n AS DOUBLE) AS mean_v, {ms}
+      FROM agg
+    ),
+    c AS (
+      SELECT event_type, n, mean_v,
+             {mbar_chain} / {float(_E22_B)} AS mbar,
+             {', '.join(f'm{k}' for k in range(_E22_B))}
+      FROM m
+    )
+    SELECT event_type, n,
+           {stable_round_sql('mean_v')} AS mean_value,
+           {stable_round_sql(
+               f'SQRT(({var_chain}) / {float(_E22_B - 1)})')}
+             AS boot_stderr
+    FROM c
+    """
+
+
+@register(
+    "e22_bootstrap_stderr",
+    oracle=_e22_sql(),
+    doc="Bootstrap standard error for the per-type mean event value "
+        "via the online (Poisson-weighted) bootstrap: 32 deterministic "
+        "hash-weighted replicas folded into ONE aggregation pass (64 "
+        "map-side-combinable sums), replica means and their stddev "
+        "derived row-locally from the aggregate — B-replica inference "
+        "at the cost of one scan, no RNG, no repeated passes. The "
+        "error bar every corpus-level quality metric should ship "
+        "with; weights are integer arithmetic on (event_id, replica), "
+        "so the oracle reproduces every replica exactly.",
+)
+def e22_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value")
+
+    def w(k: int):
+        h = ((F.col("event_id") * (2 * k + 3) * 1103515245 + k)
+             % 2147483647) % 4
+        return (F.when(h == 0, F.lit(0))
+                .when(h == 1, F.lit(2)).otherwise(F.lit(1)))
+
+    dec = "decimal(30,10)"
+    aggs = []
+    for k in range(_E22_B):
+        aggs.append(F.sum((F.col("value") * w(k)).cast(dec))
+                    .cast("double").alias(f"sv{k}"))
+        aggs.append(F.sum(w(k)).cast("bigint").alias(f"sw{k}"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
+        *aggs)
+    m = agg.select(
+        "event_type", "n",
+        (F.col("sv") / F.col("n").cast("double")).alias("mean_v"),
+        *[(F.col(f"sv{k}") / F.col(f"sw{k}").cast("double"))
+          .alias(f"m{k}") for k in range(_E22_B)])
+    mbar = F.col("m0")
+    for k in range(1, _E22_B):
+        mbar = mbar + F.col(f"m{k}")
+    c = m.withColumn("mbar", mbar / float(_E22_B))
+    var = (F.col("m0") - F.col("mbar")) * (F.col("m0") - F.col("mbar"))
+    for k in range(1, _E22_B):
+        var = var + ((F.col(f"m{k}") - F.col("mbar"))
+                     * (F.col(f"m{k}") - F.col("mbar")))
+    return c.select(
+        "event_type", "n",
+        stable_round(F.col("mean_v")).alias("mean_value"),
+        stable_round(F.sqrt(var / float(_E22_B - 1)))
+        .alias("boot_stderr"))
