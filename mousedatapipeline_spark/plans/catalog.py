@@ -172,7 +172,7 @@ _R03_NEW = frozenset({
     "w12_stream_running_profile", "q42_orc_partitioned_roundtrip",
     "q43_schema_evolution_merge", "e21_sequence_anomaly",
     "q44_logistic_regression_steps", "c04_quality_threshold_curve",
-    "e22_bootstrap_stderr",
+    "e22_bootstrap_stderr", "t33_heaps_fit",
 })
 
 

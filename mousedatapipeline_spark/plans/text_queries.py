@@ -1085,3 +1085,119 @@ def t32_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
     return mo.select("lang", "n_terms",
                      stable_round(slope).alias("zipf_slope"))
+
+
+_T33_POINTS = 10  # prefix grid: vocab measured at 10%, 20%, ... of docs
+
+
+@register(
+    "t33_heaps_fit",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+           UNNEST(ts) AS u(t)
+    ),
+    fst AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM tk GROUP BY term
+    ),
+    ntok AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+      GROUP BY doc_id
+    ),
+    mx AS (SELECT MAX(doc_id) AS md FROM documents),
+    grid AS (
+      SELECT CAST(i AS BIGINT) AS i,
+             ((SELECT md FROM mx) + 1) * i / {_T33_POINTS} - 1
+               AS cut_doc
+      FROM UNNEST(generate_series(1, {_T33_POINTS})) AS g(i)
+    ),
+    pts AS (
+      SELECT g.i,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM ntok
+              WHERE doc_id <= g.cut_doc) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fst
+              WHERE first_doc <= g.cut_doc) AS vocab
+      FROM grid g
+    ),
+    lg AS (
+      SELECT i, n_tokens, vocab,
+             LN(CAST(n_tokens AS DOUBLE)) AS x,
+             LN(CAST(vocab AS DOUBLE)) AS y
+      FROM pts WHERE n_tokens > 0 AND vocab > 0
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM lg
+    )
+    SELECT np,
+           (SELECT CAST(MAX(n_tokens) AS BIGINT) FROM lg) AS n_tokens,
+           (SELECT CAST(MAX(vocab) AS BIGINT) FROM lg) AS vocab,
+           {stable_round_sql(
+               '(CAST(np AS DOUBLE) * sxy - sx * sy)'
+               ' / (CAST(np AS DOUBLE) * sxx - sx * sx)')}
+             AS heaps_beta
+    FROM mo
+    """,
+    doc="Heaps'-law fit: vocabulary size as a power of corpus size "
+        "(V ~ n^beta, natural text beta ~0.4-0.6; template-generated "
+        "or looped text collapses toward 0) — the growth-curve twin "
+        "of t32's Zipf diagnostic, and the number that forecasts "
+        "tokenizer OOV rates at 100x the corpus. The curve comes from "
+        "the FIRST-ARRIVAL trick: a term's vocabulary contribution at "
+        "any prefix is first_doc <= cut, so ten cumulative points "
+        "need one min-per-term aggregate and a 10-row conditional "
+        "rollup — never a distinct-over-growing-prefix scan. Slope "
+        "via q41's exact-moment closed form over the 10-point "
+        "log-log grid.",
+)
+def t33_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import DEC
+
+    d = load(spark, sf_dir, "documents")
+    tk = (d.select("doc_id",
+                   F.explode(T.tokens(F.col("text"))).alias("term"))
+          .localCheckpoint(eager=False))  # first-arrival + token counts
+    fst = tk.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    ntok = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    md = d.agg(F.max("doc_id").alias("md"))
+    cuts = (spark.range(1, _T33_POINTS + 1).withColumnRenamed("id", "i")
+            .join(F.broadcast(md))
+            .select("i", ((F.col("md") + 1) * F.col("i")
+                          / _T33_POINTS - 1).cast("bigint")
+                    .alias("cut_doc")))
+    # 10 cut rows broadcast against the two small aggregates; the
+    # grid totals are conditional sums, one pass each.
+    toks_at = (ntok.join(F.broadcast(cuts),
+                         ntok.doc_id <= cuts.cut_doc)
+               .groupBy("i").agg(F.sum("n").cast("bigint")
+                                 .alias("n_tokens")))
+    vocab_at = (fst.join(F.broadcast(cuts),
+                         fst.first_doc <= cuts.cut_doc)
+                .groupBy("i").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("vocab")))
+    lg = (toks_at.join(vocab_at, "i")
+          .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+          .select("i", "n_tokens", "vocab",
+                  F.log(F.col("n_tokens").cast("double")).alias("x"),
+                  F.log(F.col("vocab").cast("double")).alias("y")))
+    mo = lg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.max("vocab").cast("bigint").alias("vocab"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+        .alias("sxx"))
+    nn = F.col("np").cast("double")
+    beta = ((nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return mo.select("np", "n_tokens", "vocab",
+                     stable_round(beta).alias("heaps_beta"))

@@ -172,7 +172,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "s37_ivf_probe_sweep",
                                   # 1-row weight-vector broadcasts per
                                   # unrolled gradient step
-                                  "q44_logistic_regression_steps"}
+                                  "q44_logistic_regression_steps",
+                                  # 10-row prefix-grid broadcast with
+                                  # bounded non-equi cut condition
+                                  "t33_heaps_fit"}
 
 
 @_needs_data
