@@ -2562,3 +2562,155 @@ def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_hits").cast("double")
                         / (F.lit(float(_S37_K))
                            * F.col("n").cast("double"))).alias("recall")))
+
+
+# --------------------------------------------------------------------------
+# s38: mutual-kNN graph statistics — the data structure under
+# HNSW-style indexes and semantic clustering: within each IVF cell,
+# every vector's top-3 cosine neighbors, the MUTUAL edges (both ends
+# rank each other), and per-cell connectivity stats. Pair volume is
+# cell-bounded (the IVF contract: quadratic only inside a cell), the
+# ranking window runs over scalar (qid, cid, cosine) rows, and
+# mutuality is one self-join on the top-3 edge list — graph-sized,
+# not corpus-sized.
+# --------------------------------------------------------------------------
+_S38_K = 3
+
+
+@register(
+    "s38_knn_graph_stats",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    norms AS ({_SQL_NORMS}),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    centroids AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, dim
+    ),
+    cdots AS (
+      SELECT d.vec_id, c.label,
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.label
+    ),
+    assign AS (
+      SELECT vec_id, cell
+      FROM (SELECT vec_id, label AS cell, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY {stable_round_sql('dot')} DESC, label) AS rn
+            FROM cdots)
+      WHERE rn = 1
+    ),
+    pdots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, a.cell,
+             CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM assign a JOIN assign b ON a.cell = b.cell
+                                 AND a.vec_id <> b.vec_id
+      JOIN dims q ON q.vec_id = a.vec_id
+      JOIN dims c ON c.vec_id = b.vec_id AND c.dim = q.dim
+      GROUP BY 1, 2, 3
+    ),
+    pcos AS (
+      SELECT qid, cid, cell,
+             {stable_round_sql(
+                 'CASE WHEN qn.norm > 0 AND cn.norm > 0 '
+                 'THEN dot / (qn.norm * cn.norm) ELSE 0.0 END')} AS rcos
+      FROM pdots JOIN norms qn ON qid = qn.vec_id
+                 JOIN norms cn ON cid = cn.vec_id
+    ),
+    top3 AS (
+      SELECT qid, cid, cell, rcos FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rcos DESC, cid) AS rn
+        FROM pcos)
+      WHERE rn <= {_S38_K}
+    ),
+    mutual AS (
+      SELECT t1.cell, t1.qid AS a, t1.cid AS b, t1.rcos
+      FROM top3 t1 JOIN top3 t2 ON t1.qid = t2.cid
+                                AND t1.cid = t2.qid
+      WHERE t1.qid < t1.cid
+    ),
+    cells AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign
+      GROUP BY cell
+    ),
+    ecnt AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_edges FROM top3
+      GROUP BY cell
+    ),
+    mstat AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_mutual,
+             CAST(CAST(SUM(CAST(rcos AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mc
+      FROM mutual GROUP BY cell
+    )
+    SELECT c.cell, c.n_vecs,
+           COALESCE(e.n_edges, 0) AS n_edges,
+           COALESCE(m.n_mutual, 0) AS n_mutual,
+           {stable_round_sql('m.mc')} AS mean_mutual_cos
+    FROM cells c LEFT JOIN ecnt e ON c.cell = e.cell
+                 LEFT JOIN mstat m ON c.cell = m.cell
+    """,
+    doc="Mutual-kNN graph per IVF cell: every vector's top-3 cosine "
+        "neighbors among its cellmates, the mutual edges (each ranks "
+        "the other — the robust-neighborhood criterion HNSW and "
+        "mutual-kNN clustering build on), and per-cell counts plus "
+        "mean mutual cosine. Pair work is quadratic only inside a "
+        "cell (the IVF contract); ranking windows see scalar rows; "
+        "mutuality is one self-join on the top-3 edge list.",
+)
+def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
+    cent_arr = S.train_label_centroids(e)
+    assign = (S.assign_cells(vecs, cent_arr, carry=["v", "norm"])
+              .localCheckpoint(eager=False))  # both pair sides + census
+    a = assign.select(F.col("vec_id").alias("qid"), "cell",
+                      F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    b = assign.select(F.col("vec_id").alias("cid"), "cell",
+                      F.col("v").alias("cv2"), F.col("norm").alias("cn"))
+    rcos = stable_round(
+        F.when((F.col("qn") > 0) & (F.col("cn") > 0),
+               S.ddot(F.col("qv"), F.col("cv2"))
+               / (F.col("qn") * F.col("cn"))).otherwise(F.lit(0.0)))
+    pcos = (a.join(b, "cell")
+            .filter(F.col("qid") != F.col("cid"))
+            .select("cell", "qid", "cid", rcos.alias("rcos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("rcos"), "cid")
+    top3 = (pcos.select("cell", "qid", "cid", "rcos",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _S38_K)
+            .drop("rn")
+            .localCheckpoint(eager=False))  # mutuality self-join
+    t2 = top3.select(F.col("qid").alias("cid"),
+                     F.col("cid").alias("qid"))
+    mutual = (top3.join(t2, ["qid", "cid"])
+              .filter(F.col("qid") < F.col("cid")))
+    cells = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    ecnt = top3.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    mstat = mutual.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutual"),
+        (dsum("rcos") / F.count(F.lit(1)).cast("double")).alias("mc"))
+    return (cells.join(ecnt, "cell", "left")
+            .join(mstat, "cell", "left")
+            .select("cell", "n_vecs",
+                    F.coalesce("n_edges", F.lit(0)).cast("bigint")
+                    .alias("n_edges"),
+                    F.coalesce("n_mutual", F.lit(0)).cast("bigint")
+                    .alias("n_mutual"),
+                    stable_round(F.col("mc")).alias("mean_mutual_cos")))
