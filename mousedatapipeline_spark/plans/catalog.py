@@ -173,7 +173,7 @@ _R03_NEW = frozenset({
     "q43_schema_evolution_merge", "e21_sequence_anomaly",
     "q44_logistic_regression_steps", "c04_quality_threshold_curve",
     "e22_bootstrap_stderr", "t33_heaps_fit",
-    "s38_knn_graph_stats",
+    "s38_knn_graph_stats", "q45_delta_join_maintenance",
 })
 
 

@@ -1968,3 +1968,54 @@ def q44_logistic_regression_steps(spark: SparkSession,
             .select("n", "n_correct",
                     *[stable_round(F.col(f"w{j}")).alias(f"w{j}")
                       for j in _Q44_JS]))
+
+
+@register(
+    "q45_delta_join_maintenance",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {rev} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.format(rev=stable_round_sql(
+        'CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10)))'
+        ' AS VARCHAR) AS DOUBLE)')),
+    doc="Incremental JOIN maintenance (the join half of q19's IVM "
+        "story): the orders-customer-nation join is materialized for "
+        "the base 90% of orders, then a 10% delta arrives and only "
+        "DELTA JOIN dim is computed and unioned on — the "
+        "delta-join algebra (d(A JOIN B) = dA JOIN B for an "
+        "insert-only fact against static dims) that makes refresh "
+        "cost proportional to the delta, never the base. The final "
+        "rollup over base+delta must equal the full recompute (the "
+        "oracle's side); decimal revenue sums make the union "
+        "order-independent.",
+)
+def q45_delta_join_maintenance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    dims = cust.join(F.broadcast(nation),
+                     cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name")
+
+    def joined(fact):
+        return fact.join(dims, fact.o_custkey == dims.c_custkey).select(
+            "n_name", "o_totalprice")
+
+    # Base materialization (90% of orders)...
+    base = joined(orders.filter(F.col("o_orderkey") % 10 != 0)) \
+        .localCheckpoint(eager=False)  # "materialized view" stand-in
+    # ...then the delta arrives: ONLY the delta joins the dims.
+    delta = joined(orders.filter(F.col("o_orderkey") % 10 == 0))
+    maintained = base.union(delta)
+    return maintained.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        stable_round(dsum("o_totalprice")).alias("revenue"))
