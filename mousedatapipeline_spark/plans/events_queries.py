@@ -1118,6 +1118,16 @@ def e21_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E22_B = 32  # bootstrap replicas
 
 
+def _e22_weight(k: int):
+    """Replica-k bootstrap weight (shared with the streaming twin w13)."""
+    h = ((F.col("event_id") * (2 * k + 3) * 1103515245 + k)
+         % 2147483647) % 4
+    return (F.when(h == 0, F.lit(0))
+            .when(h == 1, F.lit(2)).otherwise(F.lit(1)))
+
+
+
+
 def _e22_w_sql(k: int) -> str:
     return (f"CASE ((event_id * {2 * k + 3} * 1103515245 + {k}) "
             f"% 2147483647) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 "
@@ -1182,13 +1192,7 @@ def _e22_sql() -> str:
 def e22_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type", "event_id", "value")
-
-    def w(k: int):
-        h = ((F.col("event_id") * (2 * k + 3) * 1103515245 + k)
-             % 2147483647) % 4
-        return (F.when(h == 0, F.lit(0))
-                .when(h == 1, F.lit(2)).otherwise(F.lit(1)))
-
+    w = _e22_weight
     dec = "decimal(30,10)"
     aggs = []
     for k in range(_E22_B):

@@ -1062,3 +1062,128 @@ def w12_stream_running_profile(spark: SparkSession,
         F.col("b.n_types").alias("n_types"),
         F.col("b.first_us").alias("first_us"),
         F.col("b.last_us").alias("last_us"))
+
+
+def _w13_partial(batch: DataFrame) -> DataFrame:
+    """Per-batch bootstrap partials: exact-decimal weighted sums —
+    the same mergeable monoid e22 aggregates in one pass."""
+    from mousedatapipeline_spark.plans.events_queries import (
+        _E22_B,
+        _e22_weight,
+    )
+    dec = "decimal(30,10)"
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(dec)).alias("sv")]
+    for k in range(_E22_B):
+        aggs.append(F.sum((F.col("value") * _e22_weight(k)).cast(dec))
+                    .alias(f"sv{k}"))
+        aggs.append(F.sum(_e22_weight(k)).cast("bigint")
+                    .alias(f"sw{k}"))
+    return batch.groupBy("event_type").agg(*aggs)
+
+
+def _w13_merge(batch: DataFrame, batch_id: int, state_dir) -> None:
+    from mousedatapipeline_spark.plans.events_queries import _E22_B
+    part = _w13_partial(batch)
+    versions = sorted(state_dir.glob("v*"))
+    if versions:
+        prev = part.sparkSession.read.parquet(str(versions[-1]))
+        part = prev.unionByName(part)
+    dec = "decimal(30,10)"
+    cols = [F.sum("n").cast("bigint").alias("n"),
+            F.sum("sv").cast(dec).alias("sv")]
+    for k in range(_E22_B):
+        cols.append(F.sum(f"sv{k}").cast(dec).alias(f"sv{k}"))
+        cols.append(F.sum(f"sw{k}").cast("bigint").alias(f"sw{k}"))
+    merged = part.groupBy("event_type").agg(*cols)
+    merged.write.mode("overwrite").parquet(
+        str(state_dir / f"v{batch_id:04d}"))
+
+
+@register(
+    "w13_stream_bootstrap",
+    # e22's registered oracle verbatim (patched below): streaming
+    # maintenance must land on the identical inference result.
+    oracle="__PATCHED_FROM_E22__",
+    doc="Streaming incremental BOOTSTRAP: e22's 32-replica weighted "
+        "sums are exact-decimal monoids, so each micro-batch folds "
+        "its partial into a persisted running aggregate (w04's "
+        "versioned-state pattern) and the final state yields replica "
+        "means and stderr identical to the one-pass batch answer — "
+        "statistical inference maintained incrementally at "
+        "O(types x replicas) state, no history rescans, no RNG.",
+)
+def w13_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.plans.events_queries import _E22_B
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w13_"))
+    landing = work / "landing"
+    landing.mkdir()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    tmp = work / "_tmp"
+    ev.repartitionByRange(2, "event_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+    state_dir = work / "state"
+    state_dir.mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.format("parquet")
+              .schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: _w13_merge(b, i, state_dir))
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = sorted(state_dir.glob("v*"))[-1]
+    agg = spark.read.parquet(str(final))
+    m = agg.select(
+        "event_type", "n",
+        (F.col("sv").cast("double") / F.col("n").cast("double"))
+        .alias("mean_v"),
+        *[(F.col(f"sv{k}").cast("double")
+           / F.col(f"sw{k}").cast("double")).alias(f"m{k}")
+          for k in range(_E22_B)])
+    mbar = F.col("m0")
+    for k in range(1, _E22_B):
+        mbar = mbar + F.col(f"m{k}")
+    c = m.withColumn("mbar", mbar / float(_E22_B))
+    var = (F.col("m0") - F.col("mbar")) * (F.col("m0") - F.col("mbar"))
+    for k in range(1, _E22_B):
+        var = var + ((F.col(f"m{k}") - F.col("mbar"))
+                     * (F.col(f"m{k}") - F.col("mbar")))
+    return c.select(
+        "event_type", "n",
+        stable_round(F.col("mean_v")).alias("mean_value"),
+        stable_round(F.sqrt(var / float(_E22_B - 1)))
+        .alias("boot_stderr"))
+
+
+def _finalize_w13_oracle() -> None:
+    from dataclasses import replace
+
+    # Cross-module reference (e22): force its module to register first.
+    import mousedatapipeline_spark.plans.events_queries  # noqa: F401
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["w13_stream_bootstrap"]
+    _REGISTRY["w13_stream_bootstrap"] = replace(
+        spec, oracle=_REGISTRY["e22_bootstrap_stderr"].oracle)
+
+
+_finalize_w13_oracle()
