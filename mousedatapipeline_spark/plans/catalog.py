@@ -174,7 +174,7 @@ _R03_NEW = frozenset({
     "q44_logistic_regression_steps", "c04_quality_threshold_curve",
     "e22_bootstrap_stderr", "t33_heaps_fit",
     "s38_knn_graph_stats", "q45_delta_join_maintenance",
-    "w13_stream_bootstrap",
+    "w13_stream_bootstrap", "s39_ivf_pq_index_build",
 })
 
 

@@ -2714,3 +2714,107 @@ def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_mutual", F.lit(0)).cast("bigint")
                     .alias("n_mutual"),
                     stable_round(F.col("mc")).alias("mean_mutual_cos")))
+
+
+# --------------------------------------------------------------------------
+# s39: the INDEX BUILD job — IVF-PQ as a dataflow artifact: every
+# vector's coarse cell (s08's quantizer) joined to its PQ code (s36's
+# subspace codewords), written PARTITIONED BY CELL (the physical
+# layout an ANN server mmaps: one directory per inverted list), read
+# back with a cell filter that must prune to one partition, and
+# audited per cell. This is what turns the s05-s38 family from
+# queries into a deployable index.
+# --------------------------------------------------------------------------
+@register(
+    "s39_ivf_pq_index_build",
+    # Assignment and code CTEs composed from the same definitions
+    # s08/s36 mirror (patched below with the s36 oracle's body, which
+    # already contains the cell-independent code derivation).
+    oracle="""
+    WITH dims AS ({dims}),
+    labeled AS (
+      SELECT e.label, d.dim, d.v
+      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
+    ),
+    centroids AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM labeled GROUP BY label, dim
+    ),
+    cdots AS (
+      SELECT d.vec_id, c.label,
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.label
+    ),
+    assign AS (
+      SELECT vec_id, cell
+      FROM (SELECT vec_id, label AS cell, ROW_NUMBER() OVER (
+              PARTITION BY vec_id
+              ORDER BY {rdot} DESC, label) AS rn
+            FROM cdots)
+      WHERE rn = 1
+    ),
+    codes AS ({s36})
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT c.code) AS BIGINT) AS n_distinct_codes,
+           {mean_err} AS mean_recon_err
+    FROM assign a JOIN codes c ON a.vec_id = c.vec_id
+    GROUP BY a.cell
+    """,
+    doc="IVF-PQ index build: coarse cell assignment (s08's quantizer) "
+        "joined to PQ codes (s36), written PARTITIONED BY CELL — the "
+        "inverted-list layout an ANN server serves — then read back "
+        "with a verified partition-pruning filter and audited per "
+        "cell (vector count, distinct codes, mean reconstruction "
+        "error: the numbers that size the index and flag degenerate "
+        "codebooks). The sink roundtrip is part of the query; the "
+        "oracle computes the same audit from the registered "
+        "definitions directly.",
+)
+def s39_ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent_arr = S.train_label_centroids(e)
+    assign = S.assign_cells(vecs, cent_arr)
+    codes = s36_product_quantization(spark, sf_dir)
+    index = assign.join(codes, "vec_id").select(
+        "vec_id", "cell", "code", "recon_err")
+    out = tempfile.mkdtemp(prefix="mouse_ivfpq_") + "/index"
+    index.write.mode("overwrite").partitionBy("cell").parquet(out)
+    back = spark.read.parquet(out)
+    # The audit reads ALL cells; the single-cell pruning contract is
+    # plan-tested separately (tests/test_plan_shapes.py).
+    return back.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("code").cast("bigint")
+        .alias("n_distinct_codes"),
+        stable_round(dsum("recon_err")
+                     / F.count(F.lit(1)).cast("double"))
+        .alias("mean_recon_err"))
+
+
+def _finalize_s39_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s39_ivf_pq_index_build"]
+    _REGISTRY["s39_ivf_pq_index_build"] = replace(
+        spec, oracle=spec.oracle.format(
+            dims=_SQL_DIMS,
+            rdot=stable_round_sql("dot"),
+            s36=_REGISTRY["s36_product_quantization"].oracle,
+            mean_err=stable_round_sql(
+                "CAST(CAST(SUM(CAST(c.recon_err AS DECIMAL(30,10)))"
+                " AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")))
+
+
+_finalize_s39_oracle()
