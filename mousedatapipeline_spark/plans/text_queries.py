@@ -1201,3 +1201,90 @@ def t33_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
     return mo.select("np", "n_tokens", "vocab",
                      stable_round(beta).alias("heaps_beta"))
+
+
+@register(
+    "t34_corpus_drift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id % 2 AS snap, {_SQL_TOKENS} AS t FROM documents
+    ),
+    ex AS (
+      SELECT snap, {_SQL_BIGRAM_BUCKET} AS b
+      FROM (
+        SELECT snap, t[i] || ' ' || t[i + 1] AS g
+        FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      )
+    ),
+    c AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM ex GROUP BY b
+    ),
+    tot AS (
+      SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM c
+    ),
+    p AS (
+      SELECT c.b,
+             CAST(c.n_old + 1 AS DOUBLE)
+               / CAST((SELECT t_old FROM tot)
+                      + (SELECT n_buckets FROM tot) AS DOUBLE) AS po,
+             CAST(c.n_new + 1 AS DOUBLE)
+               / CAST((SELECT t_new FROM tot)
+                      + (SELECT n_buckets FROM tot) AS DOUBLE) AS pn
+      FROM c
+    )
+    SELECT (SELECT n_buckets FROM tot) AS n_buckets,
+           (SELECT CAST(t_old AS BIGINT) FROM tot) AS n_old_grams,
+           (SELECT CAST(t_new AS BIGINT) FROM tot) AS n_new_grams,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(ABS(po - pn) AS DECIMAL(30,20)))'
+               ' AS VARCHAR) AS DOUBLE) / 2.0')} AS tv_distance
+    FROM p
+    """,
+    doc="Corpus drift monitor: total-variation distance between the "
+        "hashed-bigram distributions of two corpus snapshots (the "
+        "doc_id parity halves stand in for consecutive crawls) with "
+        "add-1 smoothing over the observed buckets — the alarm that "
+        "says the ingest distribution moved before any downstream "
+        "metric does. One grouped scan to the <=1024-bucket contrast "
+        "table; the distance is a decimal sum over that aggregate. "
+        "No logs: TV distance is pure |p-q| arithmetic, exact across "
+        "engines.",
+)
+def t34_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ex = (d.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
+        .alias("g"))
+        .select("snap", _bigram_bucket(F.col("g")).alias("b")))
+    c = ex.groupBy("b").agg(
+        F.sum((F.col("snap") == 0).cast("int")).cast("bigint")
+        .alias("n_old"),
+        F.sum((F.col("snap") == 1).cast("int")).cast("bigint")
+        .alias("n_new"))
+    tot = c.agg(F.sum("n_old").alias("t_old"),
+                F.sum("n_new").alias("t_new"),
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    p = (c.join(F.broadcast(tot))
+         .select(
+             "n_buckets", "t_old", "t_new",
+             ((F.col("n_old") + 1).cast("double")
+              / (F.col("t_old") + F.col("n_buckets")).cast("double"))
+             .alias("po"),
+             ((F.col("n_new") + 1).cast("double")
+              / (F.col("t_new") + F.col("n_buckets")).cast("double"))
+             .alias("pn")))
+    return p.groupBy("n_buckets").agg(
+        F.max("t_old").cast("bigint").alias("n_old_grams"),
+        F.max("t_new").cast("bigint").alias("n_new_grams"),
+        stable_round(
+            F.sum(F.abs(F.col("po") - F.col("pn"))
+                  .cast("decimal(30,20)")).cast("double") / 2.0)
+        .alias("tv_distance"))
