@@ -175,7 +175,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "q44_logistic_regression_steps",
                                   # 10-row prefix-grid broadcast with
                                   # bounded non-equi cut condition
-                                  "t33_heaps_fit"}
+                                  "t33_heaps_fit",
+                                  # 1-row totals broadcast to the
+                                  # bucket contrast table
+                                  "t34_corpus_drift"}
 
 
 @_needs_data
