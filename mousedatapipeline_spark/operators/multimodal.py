@@ -434,3 +434,32 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "ahash"])
 
     return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fhash", T.LongType()),
+])
+
+
+def video_frame_hashes(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """(media_id, fhash): aHash of every ``every_k``-th frame of each
+    VIDEO payload — one narrow Arrow pass, one row per sampled frame.
+    Non-video rows drop inside the kernel. The clip-level near-dup
+    stage joins these on the hash (inverted index): clips sharing
+    enough frame hashes are re-encodes/re-posts of the same footage."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.meta["media_type"] != "video":
+                    continue
+                d = decode_payload(bytes(rec.payload))
+                for f in range(0, d["n_frames"], every_k):
+                    rows.append({
+                        "media_id": rec.media_id,
+                        "fhash": ahash_kernel(materialize_frame(d, f)),
+                    })
+            yield pd.DataFrame(rows, columns=["media_id", "fhash"])
+
+    return media.mapInPandas(run, FRAME_HASH_SCHEMA)

@@ -413,3 +413,45 @@ def mm08_audio_framing_census(spark: SparkSession,
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("n_samples").cast("bigint").alias("sum_samples"))
+
+
+@register(
+    "mm09_video_neardup",
+    # Minted-key oracle for the video modality (keys k % 3 = 2): two
+    # clips share >= 2 distinct sampled-frame hashes iff they carry
+    # the same payload key — every video has >= 4 frames (>= 2
+    # sampled), identical payloads hash identically frame by frame,
+    # and cross-key frame-hash collisions do not occur on the fixed
+    # minted payload set (64-bit hashes).
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 150 AS k FROM documents
+               WHERE doc_id < 300 AND (doc_id % 150) % 3 = 2)
+    SELECT a.doc_id AS d1, b.doc_id AS d2
+    FROM m a JOIN m b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+    doc="Video near-dup — the modality triplet's third leg (image "
+        "mm03, audio mm07): every 2nd frame aHashed in one narrow "
+        "kernel pass, clips joined on shared frame hashes (inverted "
+        "index, bounded by shared mass — the shot-level analogue of "
+        "the t21 chunk join), pairs kept at >= 2 distinct shared "
+        "frames. Payloads never shuffle; only 8-byte frame hashes "
+        "reach the join.",
+)
+def mm09_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.multimodal import (
+        video_frame_hashes,
+    )
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    fh = video_frame_hashes(media).distinct() \
+        .localCheckpoint(eager=False)  # both sides of the hash join
+    a = fh.select(F.col("media_id").alias("d1"), "fhash")
+    b = fh.select(F.col("media_id").alias("d2"), "fhash")
+    return (a.join(b, "fhash")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+            .select("d1", "d2"))
