@@ -1288,3 +1288,56 @@ def t34_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("po") - F.col("pn"))
                   .cast("decimal(30,20)")).cast("double") / 2.0)
         .alias("tv_distance"))
+
+
+@register(
+    "t35_redaction_impact",
+    oracle=f"""
+    WITH p AS (
+      SELECT source,
+             {', '.join(T.pii_counts_sql('text'))},
+             CAST(length(text) AS BIGINT) AS len_raw,
+             CAST(length({T.redact_pii_sql('text')}) AS BIGINT)
+               AS len_red
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {' + '.join(
+               'n_' + tag.lower() for tag, _ in T.PII_PATTERNS)} > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           {', '.join(
+               f'CAST(SUM(n_{tag.lower()}) AS BIGINT) AS n_{tag.lower()}'
+               for tag, _ in T.PII_PATTERNS)},
+           CAST(SUM(len_raw - len_red) AS BIGINT) AS bytes_delta
+    FROM p GROUP BY source
+    """,
+    doc="Redaction impact report: per source, how much PII the t07 "
+        "redaction actually touches — documents affected, hits per "
+        "pattern, and the net text-length change after replacement "
+        "(negative when [TAG] markers are longer than the matched "
+        "spans) — the compliance dashboard that decides whether a "
+        "source needs upstream remediation rather than inline "
+        "scrubbing. Pure scan-stage regex expressions, one "
+        "|sources|-row rollup.",
+)
+def t35_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hits = T.pii_counts(F.col("text"))
+    p = d.select(
+        "source", *hits,
+        F.length("text").cast("bigint").alias("len_raw"),
+        F.length(T.redact_pii(F.col("text"))).cast("bigint")
+        .alias("len_red"))
+    total_hits = None
+    for tag, _ in T.PII_PATTERNS:
+        c = F.col(f"n_{tag.lower()}")
+        total_hits = c if total_hits is None else total_hits + c
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((total_hits > 0).cast("int")).cast("bigint")
+        .alias("n_docs_with_pii"),
+        *[F.sum(f"n_{tag.lower()}").cast("bigint")
+          .alias(f"n_{tag.lower()}") for tag, _ in T.PII_PATTERNS],
+        F.sum(F.col("len_raw") - F.col("len_red")).cast("bigint")
+        .alias("bytes_delta"))
