@@ -265,3 +265,76 @@ def k03_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stable_round(F.col("eu")).alias("est_union"),
                 stable_round(F.col("e_a") + F.col("e_b") - F.col("eu"))
                 .alias("est_intersect")))
+
+
+def _k04_side_sql(etype: str) -> str:
+    """Per-user counts + user-key hash for one join side."""
+    return (f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            f"{K.string_hash_sql('CAST(user_id AS VARCHAR)')} AS th "
+            f"FROM events WHERE event_type = '{etype}' GROUP BY user_id")
+
+
+@register(
+    "k04_join_size_estimate",
+    oracle=f"""
+    WITH a AS ({_k04_side_sql('click')}),
+    b AS ({_k04_side_sql('purchase')}),
+    ga AS (
+      SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM ({_cms_union_sql('a', 'cnt')}) GROUP BY j, bucket
+    ),
+    gb AS (
+      SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM ({_cms_union_sql('b', 'cnt')}) GROUP BY j, bucket
+    ),
+    ip AS (
+      SELECT ga.j, CAST(SUM(ga.cnt * gb.cnt) AS BIGINT) AS est
+      FROM ga JOIN gb ON ga.j = gb.j AND ga.bucket = gb.bucket
+      GROUP BY ga.j
+    ),
+    ex AS (
+      SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_size,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_keys
+      FROM a JOIN b ON a.user_id = b.user_id
+    )
+    SELECT ex.n_shared_keys, ex.exact_size,
+           (SELECT CAST(MIN(est) AS BIGINT) FROM ip) AS cms_estimate
+    FROM ex
+    """,
+    doc="Join-size estimation via count-min inner product — the "
+        "optimizer-statistics capability: |A JOIN B| on user_id for "
+        "the clicks x purchases join, estimated as min over sketch "
+        "rows of the CMS(A)·CMS(B) dot product (the AMS/CMS estimate, "
+        "upward-biased, exact-side shown next to it). Each side's "
+        "sketch is O(d*w) integers built from its per-key counts; the "
+        "inner product is a 2048-cell join — the estimate costs "
+        "nothing at ANY scale while the exact answer needs the real "
+        "key join. All-integer arithmetic, so the oracle reproduces "
+        "the sketch bit-for-bit.",
+)
+def k04_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def side(etype: str) -> DataFrame:
+        return (ev.filter(F.col("event_type") == etype)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .withColumn("th", K.string_hash(
+                    F.col("user_id").cast("string"))))
+
+    a = side("click").localCheckpoint(eager=False)    # grid + exact
+    b = side("purchase").localCheckpoint(eager=False)
+    ga = K.cms_build(a, "th", "cnt")
+    gb = K.cms_build(b, "th", "cnt")
+    ip = (ga.join(gb.withColumnRenamed("cnt", "cnt_b"), ["j", "bucket"])
+          .groupBy("j")
+          .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint")
+               .alias("est")))
+    est = ip.agg(F.min("est").cast("bigint").alias("cms_estimate"))
+    ex = (a.select("user_id", F.col("cnt").alias("ca"))
+          .join(b.select("user_id", F.col("cnt").alias("cb")), "user_id")
+          .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint")
+               .alias("exact_size"),
+               F.count(F.lit(1)).cast("bigint").alias("n_shared_keys")))
+    return (ex.join(F.broadcast(est))
+            .select("n_shared_keys", "exact_size", "cms_estimate"))

@@ -178,7 +178,9 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   "t33_heaps_fit",
                                   # 1-row totals broadcast to the
                                   # bucket contrast table
-                                  "t34_corpus_drift"}
+                                  "t34_corpus_drift",
+                                  # 1-row sketch estimate x 1-row exact
+                                  "k04_join_size_estimate"}
 
 
 @_needs_data
