@@ -176,7 +176,7 @@ _R03_NEW = frozenset({
     "s38_knn_graph_stats", "q45_delta_join_maintenance",
     "w13_stream_bootstrap", "s39_ivf_pq_index_build",
     "t34_corpus_drift", "mm09_video_neardup", "t35_redaction_impact",
-    "k04_join_size_estimate",
+    "k04_join_size_estimate", "q46_sql_frontdoor",
 })
 
 

@@ -2019,3 +2019,32 @@ def q45_delta_join_maintenance(spark: SparkSession,
     return maintained.groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         stable_round(dsum("o_totalprice")).alias("revenue"))
+
+
+_Q46_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_qty,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q46_sql_frontdoor",
+    # The SAME ANSI text runs on both engines: the query IS the oracle.
+    oracle=_Q46_SQL,
+    doc="The raw SQL front door: users who keep their ANSI SQL run it "
+        "unchanged through spark.sql over registered temp views — the "
+        "identical statement is the DuckDB oracle, so this query pins "
+        "the engine-portability contract (exact-decimal quantity sums "
+        "keep the only float column bit-stable). Catalyst plans the "
+        "SQL text into the same pushed-filter, partial-aggregated "
+        "physical plan the DataFrame API gets.",
+)
+def q46_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q46_SQL)
