@@ -455,3 +455,51 @@ def mm09_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= 2)
             .select("d1", "d2"))
+
+
+@register(
+    "mm10_modality_census",
+    # Closed-form metadata oracle: every meta field is key arithmetic
+    # (type = k % 3, frames = 1 or 4 + k % 9, body = 64 + (k % 13) * 16
+    # bytes) — the census gates the attach/decode METADATA path the
+    # way mm08 gates the framing path.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, doc_id % 150 AS k FROM documents WHERE doc_id < 300
+    ),
+    d AS (
+      SELECT CASE k % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+             CASE WHEN k % 3 = 0 THEN 1 ELSE 4 + k % 9 END AS n_frames,
+             64 + (k % 13) * 16 AS n_bytes
+      FROM m
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(MAX(n_frames) AS BIGINT) AS max_frames
+    FROM d GROUP BY media_type
+    """,
+    doc="Modality census — the first table any media-corpus triage "
+        "produces: per media type, asset count, payload bytes, and "
+        "frame totals, read from the typed metadata struct without "
+        "touching payload bodies (the meta column exists precisely so "
+        "planning queries never decode). Driver-hash-gated against "
+        "the minted-key closed form, so the attach/decode metadata "
+        "plumbing is verified end to end.",
+)
+def mm10_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .withColumn("payload_key", F.col("doc_id") % 150))
+    media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
+    return (media.select(
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_frames").alias("n_frames"),
+        (F.length("payload") - 21).alias("n_bytes"))  # magic+header=21
+        .groupBy("media_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+             F.sum("n_frames").cast("bigint").alias("total_frames"),
+             F.max("n_frames").cast("bigint").alias("max_frames")))
