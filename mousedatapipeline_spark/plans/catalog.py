@@ -177,7 +177,7 @@ _R03_NEW = frozenset({
     "w13_stream_bootstrap", "s39_ivf_pq_index_build",
     "t34_corpus_drift", "mm09_video_neardup", "t35_redaction_impact",
     "k04_join_size_estimate", "q46_sql_frontdoor",
-    "mm10_modality_census",
+    "mm10_modality_census", "e25_behavioral_entropy",
 })
 
 

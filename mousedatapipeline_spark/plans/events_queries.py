@@ -1221,3 +1221,58 @@ def e22_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("mean_v")).alias("mean_value"),
         stable_round(F.sqrt(var / float(_E22_B - 1)))
         .alias("boot_stderr"))
+
+
+@register(
+    "e25_behavioral_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    ),
+    s AS (
+      SELECT c.user_id, t.tot, t.n_types,
+             (CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * (LN(CAST(t.tot AS DOUBLE)) - LN(CAST(c.n AS DOUBLE)))
+               AS term
+      FROM c JOIN t ON c.user_id = t.user_id
+    )
+    SELECT user_id,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(term AS DECIMAL(30,20)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS entropy
+    FROM s GROUP BY user_id
+    """,
+    doc="Behavioral diversity: Shannon entropy of each user's "
+        "event-type distribution — near 0 flags single-action "
+        "automation (scrapers hammering one endpoint), near ln(T) is "
+        "organic breadth; with e21's sequence anomaly these two are "
+        "the standard bot-triage axes. One (user, type) groupBy, a "
+        "per-user rollup, and a broadcast-free join back; entropy "
+        "terms sum through the decimal accumulator (the established "
+        "sum-of-logs parity pattern).",
+)
+def e25_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    s = (c.join(t, "user_id")
+         .select("user_id", "tot", "n_types",
+                 ((F.col("n").cast("double") / F.col("tot").cast("double"))
+                  * (F.log(F.col("tot").cast("double"))
+                     - F.log(F.col("n").cast("double")))).alias("term")))
+    return s.groupBy("user_id").agg(
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.max("n_types").cast("bigint").alias("n_types"),
+        stable_round(F.sum(F.col("term").cast("decimal(30,20)"))
+                     .cast("double")).alias("entropy"))
