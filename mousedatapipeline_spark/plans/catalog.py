@@ -137,48 +137,44 @@ _R02_GREEN = frozenset({
     "t24_text_normalization", "t25_token_entropy",
 })
 
+# Green rows earned in CORRECTNESS_r03.json (all 50 sampled passed).
+# This rotation landed exactly on the round-2 backlog (e*/w*/c*/k*,
+# s12-s17/s30/s32, t07/t08/t16/t20, mm03, q33, q41) and also renewed
+# every then-stale proof (e11, s08, s24, s27, w08).
+_R03_GREEN = frozenset({
+    "q33_approx_percentiles", "s12_stratified_sample",
+    "s13_dataset_split", "t07_pii_redaction", "t08_sequence_packing",
+    "s15_exact_k_sample", "s16_temperature_mix", "s17_shuffle_shards",
+    "t16_jsonl_export_roundtrip", "c01_curation_e2e",
+    "c02_dedup_funnel_report", "t20_sorted_export_roundtrip",
+    "c03_mixture_plan", "s08_ann_ivf", "s24_containment_neardup",
+    "s27_triangle_count", "s30_cluster_quality", "s32_split_drift",
+    "e01_tumbling_counts", "e02_sessionization",
+    "e03_range_join_attribution", "e04_salted_user_join",
+    "e05_json_extraction", "e06_funnel_stages", "e07_cohort_retention",
+    "e08_trailing_hour_stats", "e09_locf_gap_fill",
+    "e10_hourly_distinct_hll", "e11_conversion_latency",
+    "e12_event_transitions", "e13_skew_report",
+    "e14_native_session_window", "e15_robust_outliers",
+    "e16_rolling_active_users", "e17_hourly_anomalies",
+    "e18_time_rollup", "e19_weekly_churn", "mm03_phash_neardup",
+    "k01_cms_heavy_hitters", "k02_hll_distinct",
+    "w01_stream_tumbling_counts", "w02_stream_sessionization",
+    "w03_stream_dedup", "w04_stream_incremental_agg",
+    "w05_stream_stream_join", "w06_stream_hll_users",
+    "w07_stream_quantile_histogram", "w08_stream_session_window",
+    "w09_stream_topk", "q41_grouped_linear_fit",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
-# e11 swapped its global row_number window for bucketed_exact_quantiles
-# after its r01 row (ADVICE.md r02); s24 gained the empty-shingle-set
-# guard, s27 the degree-ordered wedge orientation, and w08 the
-# single-sentinel no-data-batch drain — all after their r02 rows.
 _STALE_PROOF = frozenset({
-    "e11_conversion_latency", "s24_containment_neardup",
-    "s27_triangle_count", "w08_stream_session_window",
-    # s08's quantizer moved into the shared
-    # train_label_centroids/assign_cells helpers (plan-equivalent
-    # refactor, re-verified locally at both SFs) after its r02 row.
-    "s08_ann_ivf",
+    # s24's round-4 edit gates the block redistribute on block-row count
+    # (plan change after its r03 row); re-verified locally at both SFs.
+    "s24_containment_neardup",
 })
 
-_PROVEN = (_R01_GREEN | _R02_GREEN) - _STALE_PROOF
-
-# Queries ADDED in round 3: they have local oracle checks but no
-# driver row, like everything unproven — yet the round-2 backlog
-# (e*/w*/c*/k* and friends) has waited longer and exactly fills the
-# ~50-row budget, so round-3 additions yield the prefix to it and
-# claim rows next round.
-_R03_NEW = frozenset({
-    "t26_substring_removal", "t27_bpe_merge_stats",
-    "t28_dsir_importance", "s33_cross_source_dup_matrix",
-    "s34_quality_canonical", "k03_hll_set_ops",
-    "mm06_media_dedup_clusters", "s35_hard_negatives",
-    "t30_split_contamination", "w10_stream_decontam",
-    "s36_product_quantization", "t31_dedup_savings_by_source",
-    "e20_decayed_engagement", "mm07_audio_neardup",
-    "mm08_audio_framing_census", "q41_grouped_linear_fit",
-    "t32_zipf_fit", "s37_ivf_probe_sweep",
-    "w12_stream_running_profile", "q42_orc_partitioned_roundtrip",
-    "q43_schema_evolution_merge", "e21_sequence_anomaly",
-    "q44_logistic_regression_steps", "c04_quality_threshold_curve",
-    "e22_bootstrap_stderr", "t33_heaps_fit",
-    "s38_knn_graph_stats", "q45_delta_join_maintenance",
-    "w13_stream_bootstrap", "s39_ivf_pq_index_build",
-    "t34_corpus_drift", "mm09_video_neardup", "t35_redaction_impact",
-    "k04_join_size_estimate", "q46_sql_frontdoor",
-    "mm10_modality_census", "e25_behavioral_entropy",
-})
+_PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -190,8 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # checks claim the slots and the weak/slow checks yield the tail.
     def rank(item):
         n, s = item
-        return (n in _PROVEN, s.oracle is None, n in _R03_NEW,
-                n.startswith("w"))
+        return (n in _PROVEN, s.oracle is None, n.startswith("w"))
     return dict(sorted(_REGISTRY.items(), key=rank))
 
 
