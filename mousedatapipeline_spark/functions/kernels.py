@@ -47,64 +47,205 @@ def prepare_eiger_image(arr: np.ndarray) -> np.ndarray:
 # U1 — main-feature labeling (numpy connected components)
 # ---------------------------------------------------------------------------
 def _label_4conn(binary: np.ndarray) -> tuple[np.ndarray, int]:
-    """Two-pass union-find connected-components labeling,
-    4-connectivity (replaces skimage.measure.label)."""
-    h, w = binary.shape
-    labels = np.zeros((h, w), dtype=np.int64)
-    parent = [0]  # parent[0] unused sentinel
+    """Vectorized connected-components labeling, 4-connectivity
+    (replaces skimage.measure.label, connectivity=1).
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    Run-length strategy — no per-pixel Python:
 
-    nxt = 1
-    for i in range(h):
-        for j in range(w):
-            if not binary[i, j]:
-                continue
-            up = labels[i - 1, j] if i > 0 else 0
-            left = labels[i, j - 1] if j > 0 else 0
-            if up == 0 and left == 0:
-                parent.append(nxt)
-                labels[i, j] = nxt
-                nxt += 1
-            elif up and left:
-                ru, rl = find(up), find(left)
-                labels[i, j] = min(ru, rl)
-                parent[max(ru, rl)] = min(ru, rl)
-            else:
-                labels[i, j] = up or left
-    # second pass: resolve + compact
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    for i in range(h):
-        for j in range(w):
-            if labels[i, j]:
-                r = find(labels[i, j])
-                if r not in remap:
-                    remap[r] = len(remap) + 1
-                out[i, j] = remap[r]
-    return out, len(remap)
+    1. RLE every row at once (``np.diff`` on a padded boolean grid);
+       a horizontal run is by construction one connected unit.
+    2. Runs in consecutive rows overlap iff their column intervals
+       intersect. Runs are raster-ordered, so on the row-major key
+       ``row*(w+1)+col`` both start and end keys are globally sorted
+       and the overlapping predecessors of each run form one
+       contiguous index range, found by two ``searchsorted`` calls
+       over the whole image (no per-row loop).
+    3. Union the run graph (~sqrt-of-pixels nodes for blob-like
+       masks) by min-root hooking + pointer jumping — the same
+       O(log n)-round idea as ``operators/graph.connected_components``
+       but in-process numpy.
+    4. Paint pixel labels back through the runs with ``np.repeat``.
+
+    Compacted labels come out in raster-scan first-appearance order
+    (identical to skimage and to the previous scalar two-pass
+    implementation). A dense random 1024x1024 image labels in well
+    under a second; blob-like beam images in a few ms.
+    """
+    b = np.ascontiguousarray(binary, dtype=bool)
+    h, w = b.shape
+    out = np.zeros((h, w), dtype=np.int64)
+    if h == 0 or w == 0 or not b.any():
+        return out, 0
+    # 1. row-wise run-length encoding
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = b
+    d = np.diff(padded, axis=1)
+    run_row, run_s = np.nonzero(d == 1)     # inclusive start col
+    run_e = np.nonzero(d == -1)[1]          # exclusive end col (same order)
+    n_runs = run_s.size
+    # 2. vertical-overlap edges via globally sorted run keys
+    stride = w + 1                          # > any end col, keeps keys sorted
+    key_s = run_row * stride + run_s
+    key_e = run_row * stride + run_e
+    # predecessors of run i live in row-1: shift the key down one row.
+    # overlap(j, i): s[j] < e[i] and e[j] > s[i], j in row(i)-1
+    lo = np.searchsorted(key_e, key_s - stride, side="right")
+    hi = np.searchsorted(key_s, key_e - stride, side="left")
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+    parent = np.arange(n_runs, dtype=np.int64)
+    if total:
+        eb = np.repeat(np.arange(n_runs, dtype=np.int64), cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        ea = np.repeat(lo, cnt) + offs
+        # 3. min-root hooking + pointer jumping over the run graph
+        while True:
+            ra, rb = parent[ea], parent[eb]
+            if np.array_equal(ra, rb):
+                break
+            m = np.minimum(ra, rb)
+            np.minimum.at(parent, np.maximum(ra, rb), m)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+    # 4. compact roots in raster first-appearance order, paint pixels
+    uniq, first, inv = np.unique(parent, return_index=True,
+                                 return_inverse=True)
+    order = np.argsort(np.argsort(first))   # rank of first appearance
+    run_label = order[inv] + 1
+    lengths = run_e - run_s
+    flat = np.repeat(run_row * w + run_s, lengths) + (
+        np.arange(int(lengths.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(lengths) - lengths, lengths))
+    out.reshape(-1)[flat] = np.repeat(run_label, lengths)
+    return out, int(uniq.size)
+
+
+def remove_small_objects(mask: np.ndarray, min_size: int = 20) -> np.ndarray:
+    """skimage.morphology.remove_small_objects semantics: drop
+    4-connected components with strictly fewer than ``min_size``
+    pixels (components of exactly ``min_size`` survive)."""
+    labels, n = _label_4conn(mask)
+    if n == 0:
+        return mask & False
+    sizes = np.bincount(labels.ravel())
+    keep = sizes >= min_size
+    keep[0] = False
+    return keep[labels]
+
+
+def remove_small_holes(mask: np.ndarray, area_threshold: int = 20) -> np.ndarray:
+    """skimage.morphology.remove_small_holes semantics: fill holes
+    (background components, 4-connectivity) of at most
+    ``area_threshold`` pixels — small-object removal on the complement
+    with ``min_size = area_threshold + 1`` (skimage fills holes of
+    exactly the threshold size). The border-touching background is one
+    huge component and always survives, so only interior dead-pixel
+    pockets fill."""
+    return ~remove_small_objects(~mask, min_size=area_threshold + 1)
+
+
+def _convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain on float (y, x) points → counterclockwise
+    hull vertices (in y-down/x-right pixel coordinates)."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(points):
+        chain: list[np.ndarray] = []
+        for q in points:
+            while len(chain) >= 2:
+                o, a = chain[-2], chain[-1]
+                if ((a[0] - o[0]) * (q[1] - o[1])
+                        - (a[1] - o[1]) * (q[0] - o[0])) <= 0:
+                    chain.pop()
+                else:
+                    break
+            chain.append(q)
+        return chain
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype="float64")
+
+
+def convex_hull_image(mask: np.ndarray) -> np.ndarray:
+    """skimage.morphology.convex_hull_image semantics, pure numpy:
+    offset each foreground pixel by the ±0.5 diamond (so single-pixel
+    and collinear masks still form a 2-D polygon), hull the offsets
+    with a monotone chain, and rasterize pixels whose centers fall
+    inside via per-row span intersection. Candidate points are only
+    each row's min/max foreground columns, so the chain sees O(h)
+    points regardless of blob area."""
+    if not mask.any():
+        return mask & False
+    h, w = mask.shape
+    rows_any = mask.any(axis=1)
+    rr = np.flatnonzero(rows_any)
+    cmin = np.argmax(mask[rr], axis=1)
+    cmax = w - 1 - np.argmax(mask[rr, ::-1], axis=1)
+    base = np.concatenate([
+        np.stack([rr, cmin], axis=1), np.stack([rr, cmax], axis=1),
+    ]).astype("float64")
+    offsets = np.array([[-0.5, 0.0], [0.5, 0.0], [0.0, -0.5], [0.0, 0.5]])
+    cand = (base[:, None, :] + offsets[None, :, :]).reshape(-1, 2)
+    hull = _convex_hull_points(cand)
+    # per-image-row span: intersect the convex polygon with y = r
+    y1, x1 = hull[:, 0], hull[:, 1]
+    y2, x2 = np.roll(y1, -1), np.roll(x1, -1)
+    r_lo = max(0, int(math.ceil(hull[:, 0].min())))
+    r_hi = min(h - 1, int(math.floor(hull[:, 0].max())))
+    out = np.zeros((h, w), dtype=bool)
+    if r_hi < r_lo:
+        return out
+    rows = np.arange(r_lo, r_hi + 1, dtype="float64")[:, None]  # R x 1
+    eps = 1e-9
+    dy = y2 - y1
+    crosses = ((np.minimum(y1, y2)[None, :] - eps <= rows)
+               & (rows <= np.maximum(y1, y2)[None, :] + eps))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(dy)[None, :] > eps,
+                     (rows - y1[None, :]) / dy[None, :], 0.0)
+    x_at = np.where(crosses, x1[None, :] + t * (x2 - x1)[None, :], np.nan)
+    # horizontal edges lying exactly on the scan row contribute both
+    # endpoints (t collapses to 0 above, which already yields x1)
+    horiz = (np.abs(dy)[None, :] <= eps) & crosses
+    x_all = np.concatenate(
+        [x_at, np.where(horiz, x2[None, :], np.nan)], axis=1)
+    with np.errstate(invalid="ignore"):
+        span_lo = np.nanmin(x_all, axis=1)
+        span_hi = np.nanmax(x_all, axis=1)
+    cols = np.arange(w, dtype="float64")[None, :]
+    fill = ((cols >= span_lo[:, None] - eps)
+            & (cols <= span_hi[:, None] + eps)
+            & np.isfinite(span_lo)[:, None])
+    out[r_lo:r_hi + 1] = fill
+    return out
 
 
 def label_main_feature(img: np.ndarray, min_size: int = 20) -> np.ndarray:
-    """U1 — boolean mask of the dominant beam feature
-    (src/utilities.py:137-175): threshold at max(1, mean), drop
-    connected components smaller than ``min_size``, keep the largest
-    remaining component. Raises if nothing survives (the reference
-    errors on 0 features, :173)."""
+    """U1 — boolean mask of the dominant beam feature, the full
+    reference chain (src/utilities.py:137-175): threshold at
+    max(1, mean), ``remove_small_objects(min_size=20)`` (isolated
+    spikes), ``remove_small_holes(area_threshold=20)`` (dead pixels
+    inside the beam), ``convex_hull_image`` (the beam is expected
+    convex), then label (connectivity=1) and keep the largest
+    component. Raises if nothing survives (the reference errors on
+    0 features, :167)."""
     threshold = max(1.0, float(img.mean()))
     binary = img > threshold
-    labels, n = _label_4conn(binary)
+    candidate = convex_hull_image(
+        remove_small_holes(
+            remove_small_objects(binary, min_size=min_size),
+            area_threshold=min_size))
+    labels, n = _label_4conn(candidate)
     if n == 0:
         raise ValueError("no feature found above threshold")
     sizes = np.bincount(labels.ravel())[1:]  # skip background
-    keep = np.flatnonzero(sizes >= min_size) + 1
-    if keep.size == 0:
-        raise ValueError(f"no feature of at least {min_size} px")
-    largest = keep[np.argmax(sizes[keep - 1])]
+    largest = int(np.argmax(sizes)) + 1
     return labels == largest
 
 

@@ -261,7 +261,8 @@ def simhash(df: DataFrame, id_cols: Sequence[str], token_col: str = "token",
 def blocked_pairs(sets: DataFrame, block_cols: Sequence[str],
                   payload: dict[str, str],
                   redistribute: int | None = None,
-                  combine=None) -> DataFrame:
+                  combine=None,
+                  max_block: int | None = 10_000) -> DataFrame:
     """All within-block (d1 < d2) document pairs WITHOUT a self-join.
 
     Input: one row per doc with block columns, ``doc_id`` and payload
@@ -282,13 +283,35 @@ def blocked_pairs(sets: DataFrame, block_cols: Sequence[str],
     Scale contract: one output row per within-block pair — the caller
     bounds the largest block. One block row must fit in task memory
     (fine for blocks up to a few thousand docs; beyond that use LSH
-    banding, s03-style).
+    banding, s03-style). ``max_block`` ENFORCES the contract: any
+    block wider than it raises at execution time, naming the block —
+    a loud task failure instead of an opaque shuffle-write OOM when an
+    open-cardinality block (e.g. one (lang, source) at corpus scale)
+    reaches this operator. Pass ``max_block=None`` only when the block
+    key is provably bounded (e.g. an exact-k sample upstream).
     """
     blocks = list(block_cols)
     fields = [F.col("doc_id").alias("doc_id")] + [
         F.col(src).alias(dst) for src, dst in payload.items()]
     arr_col = F.array_sort(F.collect_list(F.struct(*fields)))
     grouped = sets.groupBy(*blocks).agg(arr_col.alias("__arr"))
+    if max_block is not None:
+        # The guard lives INSIDE the consumed array (as the slice
+        # length) so column pruning cannot optimize it away; slice
+        # from 1 for the full size is the identity.
+        size = F.size(F.col("__arr"))
+        err = F.concat_ws(
+            " ", F.lit(f"blocked_pairs: block exceeds max_block="
+                       f"{max_block} docs — route this key through the"
+                       " LSH-banded path (s03-style) instead; block:"),
+            *[F.col(c).cast("string") for c in blocks],
+            F.concat(F.lit("size="), size.cast("string")))
+        grouped = grouped.select(
+            *blocks,
+            F.slice(F.col("__arr"), 1,
+                    F.when(size <= F.lit(max_block), size)
+                    .otherwise(F.raise_error(err).cast("int")))
+            .alias("__arr"))
     if redistribute:
         # Spread the (few, AQE-coalesced) block rows BEFORE the explode:
         # downstream per-pair work then parallelizes across the cluster,

@@ -1333,15 +1333,17 @@ def s23_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and blocked pair generation as s02.",
 )
 def s24_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # Sub-3-char docs have an empty 3-gram shingle set: the oracle's
+    # shingle self-join can never emit them, and pairing one divides
+    # by min(|A|,|B|) = 0. shingle_set_col is empty EXACTLY when
+    # length < 3, so guard on the raw length — a scan-stage pushed
+    # filter, vs filtering on size(shs) which re-evaluates the whole
+    # shingle expression a second time (the r03 +46% regression).
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     sets = d.select(
         "doc_id", "lang", "source",
         S.shingle_set_col(F.col("text")).alias("shs"),
     ).withColumn("n", F.size("shs").cast("bigint"))
-    # Sub-3-char docs have an empty shingle set: the oracle's shingle
-    # self-join can never emit them, and pairing one divides by
-    # min(|A|,|B|) = 0 (same guard s26/s29 apply).
-    sets = sets.filter(F.size("shs") > 0)
     pairs = S.blocked_pairs(
         sets, ["lang", "source"], {"shs": "shs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,

@@ -132,3 +132,23 @@ def test_embedding_neardup_pairs_and_blocking(spark, tmp_path):
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)]["cosine"] == 1.0
     assert pairs[(0, 1)]["label"] == 7
+
+
+def test_blocked_pairs_max_block_guard(spark):
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql import functions as F
+    df = spark.range(8).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("blk"),
+        F.col("id").cast("bigint").alias("n"))
+    # within limit: all 8*7/2 pairs come out
+    ok = S.blocked_pairs(df, ["blk"], {"n": "n"}, max_block=8)
+    assert ok.count() == 28
+    # over limit: loud execution-time failure naming the block
+    over = S.blocked_pairs(df, ["blk"], {"n": "n"}, max_block=7)
+    with pytest.raises(Exception) as ei:
+        over.count()
+    assert "max_block=7" in str(ei.value)
+    # opt-out restores the unguarded contract
+    assert S.blocked_pairs(df, ["blk"], {"n": "n"},
+                           max_block=None).count() == 28
