@@ -416,7 +416,8 @@ def audio_fingerprint_kernel(pcm: np.ndarray) -> int:
 
 
 def audio_fingerprint(media: DataFrame) -> DataFrame:
-    """(media_id, ahash): energy fingerprint of every AUDIO payload —
+    """(media_id, ahash): sign-pattern (zero-crossing) fingerprint of
+    every AUDIO payload —
     one narrow Arrow pass; non-audio rows drop inside the kernel. The
     output column is named ``ahash`` so the banded-LSH near-dup stage
     (:func:`phash_neardup_pairs`) applies unchanged."""

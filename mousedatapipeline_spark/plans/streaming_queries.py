@@ -1085,7 +1085,12 @@ def _w13_partial(batch: DataFrame) -> DataFrame:
 def _w13_merge(batch: DataFrame, batch_id: int, state_dir) -> None:
     from mousedatapipeline_spark.plans.events_queries import _E22_B
     part = _w13_partial(batch)
-    versions = sorted(state_dir.glob("v*"))
+    # Strictly-below-batch_id: a foreachBatch replay (at-least-once)
+    # must not read its own previous attempt's v{batch_id} as prior
+    # state — that would fold this batch's partial in twice. Same
+    # guard as _merge_batch_into_state/_w07_merge.
+    versions = sorted(p for p in state_dir.glob("v*")
+                      if int(p.name[1:]) < batch_id)
     if versions:
         prev = part.sparkSession.read.parquet(str(versions[-1]))
         part = prev.unionByName(part)

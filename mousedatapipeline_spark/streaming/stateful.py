@@ -147,6 +147,8 @@ def _profile_update(key: tuple, pdfs: Iterator[pd.DataFrame],
     else:
         n, seen, first_us, last_us = 0, set(), None, None
     for pdf in pdfs:
+        if not len(pdf):      # Arrow slicing may yield an empty chunk;
+            continue          # int(nan) from min()/max() would raise
         n += len(pdf)
         seen.update(pdf["event_type"].tolist())
         lo = int(pdf["ts_us"].min())
