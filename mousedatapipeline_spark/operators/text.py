@@ -281,6 +281,36 @@ def top_freq_fraction(grams: Column) -> Column:
 # window over the (possibly mega-hot) chunk-hash partition. Bounds the
 # per-doc chunk count; 1e9 * 8 tokens/chunk = docs up to 8B tokens.
 _OCC_KEY_SPAN = 1_000_000_000
+# Largest doc_id whose packed key fits BIGINT:
+# _OCC_DOC_MAX * _OCC_KEY_SPAN + (_OCC_KEY_SPAN - 1) < 2^63 - 1.
+_OCC_DOC_MAX = 9_223_372_035
+
+
+def packed_occurrence_key(doc_id, idx):
+    """``doc_id * SPAN + idx`` with a loud in-plan range guard.
+
+    With ANSI off (engine-wide, for NULL-on-divide oracle parity) the
+    raw product wraps BIGINT silently beyond doc_id ~ 9.2e9 while
+    DuckDB raises — and an idx >= SPAN aliases into the next doc's key
+    range in BOTH engines without any overflow at all. Either way the
+    corpus-wide MIN mis-orders with no error. The guard lives inside
+    the consumed key expression, so Catalyst cannot prune it.
+    """
+    ok = (doc_id >= 0) & (doc_id <= _OCC_DOC_MAX) & (idx < _OCC_KEY_SPAN)
+    return F.when(ok, doc_id * _OCC_KEY_SPAN + idx).otherwise(
+        F.raise_error(F.concat(
+            F.lit("packed occurrence key out of range: doc_id="),
+            doc_id.cast("string"),
+            F.lit(" idx="), idx.cast("string"))))
+
+
+def packed_occurrence_key_sql(doc: str = "doc_id", idx: str = "j") -> str:
+    """DuckDB twin of :func:`packed_occurrence_key` (same guard)."""
+    return (f"CASE WHEN {doc} BETWEEN 0 AND {_OCC_DOC_MAX} "
+            f"AND {idx} < {_OCC_KEY_SPAN} "
+            f"THEN {doc} * {_OCC_KEY_SPAN} + {idx} "
+            f"ELSE CAST(error('packed occurrence key out of range: "
+            f"doc_id=' || {doc} || ' idx=' || {idx}) AS BIGINT) END")
 
 
 def remove_duplicate_spans(docs, *, id_col: str = "doc_id",
@@ -308,7 +338,8 @@ def remove_duplicate_spans(docs, *, id_col: str = "doc_id",
         id_col,
         F.posexplode(chunk_hashes(F.col("t"), chunk)).alias("idx", "h"))
         .select(id_col, F.col("idx").cast("bigint").alias("idx"), "h")
-        .withColumn("pk", F.col(id_col) * _OCC_KEY_SPAN + F.col("idx")))
+        .withColumn("pk", packed_occurrence_key(F.col(id_col),
+                                                F.col("idx"))))
     first = ch.groupBy("h").agg(F.min("pk").alias("first_pk"))
     rmv = (ch.join(first, "h")
            .filter(F.col("pk") > F.col("first_pk"))

@@ -166,15 +166,55 @@ _R03_GREEN = frozenset({
     "w09_stream_topk", "q41_grouped_linear_fit",
 })
 
-# Queries whose implementation changed AFTER their last green driver row:
-# the proof is stale, so they rejoin the unproven pool (rotation rule).
-_STALE_PROOF = frozenset({
-    # s24's round-4 edit gates the block redistribute on block-row count
-    # (plan change after its r03 row); re-verified locally at both SFs.
+# Green rows earned in CORRECTNESS_r04.json (all 44 sampled oracled
+# queries passed; the remaining 6 rows passed the rows-only check).
+# This rotation completed the record: every oracled catalog query now
+# has at least one green driver row across r01-r04.
+_R04_GREEN = frozenset({
+    "c04_quality_threshold_curve", "e20_decayed_engagement",
+    "e21_sequence_anomaly", "e22_bootstrap_stderr",
+    "e25_behavioral_entropy", "k03_hll_set_ops", "k04_join_size_estimate",
+    "mm06_media_dedup_clusters", "mm07_audio_neardup",
+    "mm08_audio_framing_census", "mm09_video_neardup",
+    "mm10_modality_census", "q42_orc_partitioned_roundtrip",
+    "q43_schema_evolution_merge", "q44_logistic_regression_steps",
+    "q45_delta_join_maintenance", "q46_sql_frontdoor",
+    "s33_cross_source_dup_matrix", "s34_quality_canonical",
+    "s35_hard_negatives", "s36_product_quantization",
+    "s37_ivf_probe_sweep", "s38_knn_graph_stats",
+    "s39_ivf_pq_index_build", "t26_substring_removal",
+    "t27_bpe_merge_stats", "t28_dsir_importance",
+    "t30_split_contamination", "t31_dedup_savings_by_source",
+    "t32_zipf_fit", "t33_heaps_fit", "t34_corpus_drift",
+    "t35_redaction_impact", "w10_stream_decontam",
+    "w12_stream_running_profile", "w13_stream_bootstrap",
+    # r04 also renewed these prior rows:
+    "q01_pricing_summary", "q02_order_census", "q03_region_revenue",
+    "q04_asof_view_before_purchase", "q05_window_propagation",
+    "q06_latest_order_per_customer", "q07_customers_without_orders",
     "s24_containment_neardup",
 })
 
-_PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN) - _STALE_PROOF
+# Queries whose implementation changed AFTER their last green driver row:
+# the proof is stale, so they rejoin the unproven pool (rotation rule).
+# Round-4 edits (blocked_pairs max_block guard -> s02/s04/s09/s26/s28/s29;
+# stateful empty-chunk guard -> w12; replay-idempotence fix -> w13) landed
+# after those queries' last driver rows; all re-verified locally at both
+# SFs, but the rotation policy says they re-earn driver rows.  Round-5
+# edits (foreachBatch strictly-below-batch merge for w04/w06/w07, packed-
+# key overflow guards for t26/t31, weight-hash guard for e22, streaming
+# trigger trim for w08/w10/w12/w13) re-queue those names too.
+_STALE_PROOF = frozenset({
+    "s02_ngram_jaccard", "s04_simhash", "s09_embedding_neardup",
+    "s26_minhash_accuracy", "s28_threshold_sweep", "s29_bbit_minhash",
+    "w04_stream_incremental_agg", "w06_stream_hll_users",
+    "w07_stream_quantile_histogram", "w08_stream_session_window",
+    "w10_stream_decontam", "w12_stream_running_profile",
+    "w13_stream_bootstrap", "t26_substring_removal",
+    "t31_dedup_savings_by_source", "e22_bootstrap_stderr",
+})
+
+_PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:

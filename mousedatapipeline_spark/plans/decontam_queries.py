@@ -429,7 +429,7 @@ def t22_dedup_adjusted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     ch AS (
       SELECT doc_id, CAST(j AS BIGINT) AS idx,
-             doc_id * {T._OCC_KEY_SPAN} + j AS pk,
+             {T.packed_occurrence_key_sql("doc_id", "j")} AS pk,
              md5(array_to_string(
                t[({SPAN_CHUNK}*j+1):({SPAN_CHUNK}*j+{SPAN_CHUNK})], ' '))
                AS h

@@ -1116,22 +1116,41 @@ def e21_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with p = 1/4, 1/2, 1/4), approximating Poisson(1) resampling.
 # --------------------------------------------------------------------------
 _E22_B = 32  # bootstrap replicas
+_E22_P = 2147483647  # 2^31 - 1; Mersenne prime hash modulus
 
 
 def _e22_weight(k: int):
-    """Replica-k bootstrap weight (shared with the streaming twin w13)."""
-    h = ((F.col("event_id") * (2 * k + 3) * 1103515245 + k)
-         % 2147483647) % 4
-    return (F.when(h == 0, F.lit(0))
-            .when(h == 1, F.lit(2)).otherwise(F.lit(1)))
+    """Replica-k bootstrap weight (shared with the streaming twin w13).
+
+    Modulo-first arithmetic: ``(e*C + k) % P`` is computed as
+    ``((e%P) * (C%P)) % P + k) % P`` — identical results for every
+    ``event_id >= 0`` (congruence mod P), but the largest intermediate
+    is (P-1)^2 ~ 4.6e18 < 2^63-1, so it can never wrap BIGINT no
+    matter the id magnitude (the naive form silently wraps beyond
+    event_id ~ 1.3e8 with ANSI off while DuckDB raises). Negative ids
+    fail loudly in both engines instead of diverging on truncated-mod
+    sign conventions.
+    """
+    c = ((2 * k + 3) * 1103515245) % _E22_P
+    e = F.col("event_id")
+    h = (((e % _E22_P) * c) % _E22_P + k) % _E22_P % 4
+    hg = F.when(e >= 0, h).otherwise(F.raise_error(F.concat(
+        F.lit("e22 bootstrap weight: negative event_id "),
+        e.cast("string"))))
+    return (F.when(hg == 0, F.lit(0))
+            .when(hg == 1, F.lit(2)).otherwise(F.lit(1)))
 
 
 
 
 def _e22_w_sql(k: int) -> str:
-    return (f"CASE ((event_id * {2 * k + 3} * 1103515245 + {k}) "
-            f"% 2147483647) % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 "
-            f"ELSE 1 END")
+    c = ((2 * k + 3) * 1103515245) % _E22_P
+    h = (f"((((event_id % {_E22_P}) * {c}) % {_E22_P} + {k}) "
+         f"% {_E22_P}) % 4")
+    hg = (f"CASE WHEN event_id >= 0 THEN {h} ELSE CAST(error("
+          f"'e22 bootstrap weight: negative event_id ' || event_id) "
+          f"AS BIGINT) END")
+    return f"CASE {hg} WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END"
 
 
 def _e22_sql() -> str:

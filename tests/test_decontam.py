@@ -174,3 +174,69 @@ def test_substring_removal_tail_tokens_survive(spark):
     docs = [(1, "a b c d"), (2, "a b c d z")]
     got = _rds(spark, docs)
     assert got[2] == (5, 4, "z")
+
+
+def test_packed_key_out_of_range_fails_loudly_both_engines(spark):
+    """With ANSI off, doc_id * 1e9 + idx would WRAP silently past
+    doc_id ~ 9.2e9 (and idx >= 1e9 would alias into the next doc's
+    key range with no overflow at all) — mis-ordering the corpus-wide
+    earliest-occurrence MIN with no error. The guard inside the
+    consumed key expression must raise instead, in BOTH engines."""
+    import duckdb
+
+    bad_doc = T._OCC_DOC_MAX + 1
+    docs = [(bad_doc, "a b c d a b c d")]
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    with pytest.raises(Exception, match="packed occurrence key"):
+        T.remove_duplicate_spans(df, chunk=2, min_run=2).collect()
+
+    con = duckdb.connect()
+    sql = ("SELECT " + T.packed_occurrence_key_sql("doc_id", "j")
+           + f" FROM (VALUES (CAST({bad_doc} AS BIGINT), 0)) t(doc_id, j)")
+    with pytest.raises(Exception, match="packed occurrence key"):
+        con.execute(sql).fetchall()
+    # in-range keys still pack exactly
+    ok = ("SELECT " + T.packed_occurrence_key_sql("doc_id", "j")
+          + " FROM (VALUES (CAST(7 AS BIGINT), 3)) t(doc_id, j)")
+    assert con.execute(ok).fetchall() == [(7 * T._OCC_KEY_SPAN + 3,)]
+
+
+def test_e22_weight_modulo_first_matches_and_guards(spark):
+    """The bootstrap weight hash is modulo-first: identical values to
+    the naive (event_id*C+k)%P form for every event_id >= 0, but its
+    largest intermediate is (P-1)^2 < 2^63-1 so it cannot wrap BIGINT
+    at any id magnitude. Negative ids raise in both engines."""
+    import duckdb
+
+    from mousedatapipeline_spark.plans.events_queries import (
+        _E22_P, _e22_w_sql, _e22_weight)
+
+    big = 9_223_372_036_854_775_807  # would overflow the naive form
+    ids = [0, 1, 12345, 130_000_000, 10**12, big]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id: bigint")
+    got = {r.event_id: (r.w0, r.w31) for r in df.select(
+        "event_id", _e22_weight(0).alias("w0"),
+        _e22_weight(31).alias("w31")).collect()}
+    con = duckdb.connect()
+    for i in ids:
+        naive = {}
+        for k in (0, 31):
+            c = (2 * k + 3) * 1103515245
+            if i * c + k < 2**63:  # naive form only defined in-range
+                h = ((i * c + k) % _E22_P) % 4
+                naive[k] = 0 if h == 0 else (2 if h == 1 else 1)
+        want = con.execute(
+            f"SELECT {_e22_w_sql(0)} AS w0, {_e22_w_sql(31)} AS w31 "
+            f"FROM (VALUES (CAST({i} AS BIGINT))) t(event_id)").fetchone()
+        assert got[i] == tuple(want), i
+        if 0 in naive:
+            assert got[i][0] == naive[0], i
+        if 31 in naive:
+            assert got[i][1] == naive[31], i
+
+    neg = spark.createDataFrame([(-5,)], "event_id: bigint")
+    with pytest.raises(Exception, match="negative event_id"):
+        neg.select(_e22_weight(3).alias("w")).collect()
+    with pytest.raises(Exception, match="negative event_id"):
+        con.execute(f"SELECT {_e22_w_sql(3)} FROM (VALUES "
+                    f"(CAST(-5 AS BIGINT))) t(event_id)").fetchall()
