@@ -212,6 +212,9 @@ _STALE_PROOF = frozenset({
     "w10_stream_decontam", "w12_stream_running_profile",
     "w13_stream_bootstrap", "t26_substring_removal",
     "t31_dedup_savings_by_source", "e22_bootstrap_stderr",
+    # Round-5 perf edits (weights-array staging, sentinel/probes via
+    # range+lit, repartition before single-file gram work):
+    "s18_bloom_decontam", "s37_ivf_probe_sweep",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF

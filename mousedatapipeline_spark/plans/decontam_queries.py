@@ -228,7 +228,10 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "output equals the plain exact semi-join.",
 )
 def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # Single-file fixture arrives as ONE partition; spread the
+    # tokenize/ngram work before the per-row-expensive explode.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = d.select("doc_id", F.explode(grams).alias("gram"))

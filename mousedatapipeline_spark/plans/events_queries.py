@@ -1141,6 +1141,58 @@ def _e22_weight(k: int):
             .when(hg == 1, F.lit(2)).otherwise(F.lit(1)))
 
 
+def _e22_weights_col():
+    """All ``_E22_B`` replica weights as ONE ``array<int>`` column.
+
+    Value-identical to ``[_e22_weight(k) for k in range(B)]`` (same
+    modulo-first hash, same negative-id raise), but built as a single
+    ``transform`` over a literal multiplier array, so (a) the Python
+    expression build is O(1) py4j calls instead of O(B) deep CASE
+    trees (~3 s of driver time at B=32), and (b) the guarded hash
+    base evaluates once per (row, replica) in one small codegen'd
+    lambda instead of 4x per replica per aggregate reference — the
+    64-aggregate form produced a CASE forest large enough to fall
+    out of whole-stage codegen (measured ~2.4 s/50k rows; the array
+    form is ~60 ms). Consumers stage this in a SELECT and aggregate
+    cheap ``element_at`` references.
+    """
+    e = F.col("event_id")
+    cs = F.array(*[
+        F.lit(((2 * k + 3) * 1103515245) % _E22_P)
+        for k in range(_E22_B)])
+    em = F.when(e >= 0, e % _E22_P).otherwise(F.raise_error(F.concat(
+        F.lit("e22 bootstrap weight: negative event_id "),
+        e.cast("string"))))
+
+    def w(c, i):
+        h = ((em * c) % _E22_P + i.cast("bigint")) % _E22_P % 4
+        return (F.when(h == 0, F.lit(0))
+                .when(h == 1, F.lit(2)).otherwise(F.lit(1)))
+
+    return F.transform(cs, w)
+
+
+def _e22_tail(m: DataFrame) -> DataFrame:
+    """Replica means -> (mean, bootstrap stderr); shared with w13.
+
+    ``m`` has columns event_type, n, mean_v, m0..m{B-1} (doubles).
+    The mbar/variance chains are built as ONE parsed SQL expression
+    (left-associated, the same float op order as the former py4j
+    loop — bit-identical results, ~300 fewer driver round-trips).
+    """
+    mbar = "(" + " + ".join(f"m{k}" for k in range(_E22_B)) + ")"
+    c = m.selectExpr(
+        "*", f"{mbar} / {float(_E22_B)} AS mbar")
+    var = " + ".join(
+        f"(m{k} - mbar) * (m{k} - mbar)" for k in range(_E22_B))
+    return c.select(
+        "event_type", "n",
+        stable_round(F.col("mean_v")).alias("mean_value"),
+        stable_round(
+            F.expr(f"SQRT(({var}) / {float(_E22_B - 1)})"))
+        .alias("boot_stderr"))
+
+
 
 
 def _e22_w_sql(k: int) -> str:
@@ -1209,37 +1261,30 @@ def _e22_sql() -> str:
         "so the oracle reproduces every replica exactly.",
 )
 def e22_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value")
-    w = _e22_weight
+    # Weights staged once per row as an array column; the aggregate
+    # references are plain element_at lookups (see _e22_weights_col).
+    # The single-file local fixture arrives as ONE partition; spread
+    # the per-row weight work before the (map-side-combined) agg.
+    ev = (load(spark, sf_dir, "events")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select("event_type", "value",
+                  _e22_weights_col().alias("wts")))
     dec = "decimal(30,10)"
     aggs = []
     for k in range(_E22_B):
-        aggs.append(F.sum((F.col("value") * w(k)).cast(dec))
+        wk = F.element_at("wts", k + 1)
+        aggs.append(F.sum((F.col("value") * wk).cast(dec))
                     .cast("double").alias(f"sv{k}"))
-        aggs.append(F.sum(w(k)).cast("bigint").alias(f"sw{k}"))
+        aggs.append(F.sum(wk).cast("bigint").alias(f"sw{k}"))
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
         *aggs)
-    m = agg.select(
-        "event_type", "n",
-        (F.col("sv") / F.col("n").cast("double")).alias("mean_v"),
-        *[(F.col(f"sv{k}") / F.col(f"sw{k}").cast("double"))
-          .alias(f"m{k}") for k in range(_E22_B)])
-    mbar = F.col("m0")
-    for k in range(1, _E22_B):
-        mbar = mbar + F.col(f"m{k}")
-    c = m.withColumn("mbar", mbar / float(_E22_B))
-    var = (F.col("m0") - F.col("mbar")) * (F.col("m0") - F.col("mbar"))
-    for k in range(1, _E22_B):
-        var = var + ((F.col(f"m{k}") - F.col("mbar"))
-                     * (F.col(f"m{k}") - F.col("mbar")))
-    return c.select(
-        "event_type", "n",
-        stable_round(F.col("mean_v")).alias("mean_value"),
-        stable_round(F.sqrt(var / float(_E22_B - 1)))
-        .alias("boot_stderr"))
+    m = agg.selectExpr(
+        "event_type", "n", "sv / CAST(n AS DOUBLE) AS mean_v",
+        *[f"sv{k} / CAST(sw{k} AS DOUBLE) AS m{k}"
+          for k in range(_E22_B)])
+    return _e22_tail(m)
 
 
 @register(

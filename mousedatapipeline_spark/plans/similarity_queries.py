@@ -2543,7 +2543,9 @@ def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("qid") != F.col("cid"))
             .select("qid", "cid", "crn"))
     cancos = cand.join(excos, ["qid", "cid"])
-    probes = spark.createDataFrame([(p,) for p in (1, 2, 3)], "p: int")
+    # range+cast, not createDataFrame: local-data scans route through
+    # a Python worker per job; this stays JVM-only.
+    probes = spark.range(1, 4).select(F.col("id").cast("int").alias("p"))
     wr = Window.partitionBy("p", "qid").orderBy(F.desc("rcos"), "cid")
     retrieved = (cancos.join(F.broadcast(probes),
                              F.col("crn") <= F.col("p"))

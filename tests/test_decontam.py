@@ -240,3 +240,28 @@ def test_e22_weight_modulo_first_matches_and_guards(spark):
     with pytest.raises(Exception, match="negative event_id"):
         con.execute(f"SELECT {_e22_w_sql(3)} FROM (VALUES "
                     f"(CAST(-5 AS BIGINT))) t(event_id)").fetchall()
+
+
+def test_e22_weights_array_matches_scalar_form(spark):
+    """The staged array form (one transform over the multiplier
+    literal, what e22/w13 actually aggregate) is value-identical to
+    the per-replica scalar reference form for every k, and keeps the
+    negative-id raise."""
+    from mousedatapipeline_spark.plans.events_queries import (
+        _E22_B, _e22_weight, _e22_weights_col)
+
+    ids = [0, 1, 12345, 130_000_000, 10**12,
+           9_223_372_036_854_775_807]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id: bigint")
+    scalar = df.select(
+        "event_id", F.array(*[_e22_weight(k) for k in range(_E22_B)])
+        .alias("wts"))
+    arr = df.select("event_id", _e22_weights_col().alias("wts"))
+    got = {r.event_id: r.wts for r in arr.collect()}
+    want = {r.event_id: r.wts for r in scalar.collect()}
+    assert got == want
+    assert all(len(v) == _E22_B for v in got.values())
+
+    neg = spark.createDataFrame([(-7,)], "event_id: bigint")
+    with pytest.raises(Exception, match="negative event_id"):
+        neg.select(_e22_weights_col().alias("w")).collect()
