@@ -50,7 +50,15 @@ _TYPES = ("image", "audio", "video")
 def synth_payload(media_id: int) -> tuple[bytes, dict]:
     """Deterministic synthetic media blob: 5-byte magic, packed header,
     then md5-keystream bytes. Stands in for real codec output so the
-    binary-column plumbing is testable without decode libraries."""
+    binary-column plumbing is testable without decode libraries.
+
+    The keystream chains md5 over HEX STRINGS (digest i+1 = md5 of the
+    ASCII hexdigest of digest i; body bytes are the unhexed digests):
+    deterministic like any hash chain, but reproducible in plain SQL
+    with only md5(varchar) — which is what lets the mm01/mm02/mm04/
+    mm05 kernel outputs be driver-hash-gated against closed-form
+    DuckDB oracles (a binary digest chain would need md5(blob), which
+    SQL engines commonly lack)."""
     mtype = _TYPES[media_id % 3]
     width = 16 + (media_id % 7) * 8
     height = 16 + (media_id % 5) * 8
@@ -58,10 +66,13 @@ def synth_payload(media_id: int) -> tuple[bytes, dict]:
     rate = 16000 if mtype == "audio" else 0
     body_len = 64 + (media_id % 13) * 16
     stream = b""
-    seed = str(media_id).encode()
+    # 'm' seed prefix: chosen (searched) so the minted payload set has
+    # no cross-key frame/fingerprint hash collisions — the property
+    # the mm03/mm06/mm07/mm09 same-key-pair oracles pin.
+    seed = f"m{media_id}"
     while len(stream) < body_len:
-        seed = hashlib.md5(seed).digest()
-        stream += seed
+        seed = hashlib.md5(seed.encode()).hexdigest()
+        stream += bytes.fromhex(seed)
     header = struct.pack("<IIII", width, height, n_frames, rate)
     meta = {"media_type": mtype, "width": width, "height": height,
             "n_frames": n_frames, "sample_rate": rate}
@@ -165,8 +176,22 @@ RESIZE_SCHEMA = T.StructType([
     T.StructField("out_width", T.IntegerType()),
     T.StructField("out_height", T.IntegerType()),
     T.StructField("mean_px", T.DoubleType()),
-    T.StructField("frame_md5", T.StringType()),
+    T.StructField("frame_fp", T.LongType()),
 ])
+
+_FP_P = 2147483647  # 2^31 - 1: acc*257 + 255 < 2^40, no BIGINT wrap
+
+
+def frame_fingerprint(pixels: np.ndarray) -> int:
+    """Polynomial (Rabin-style) checksum of a pixel buffer, row-major:
+    acc = (acc*257 + byte) mod 2^31-1. Modulo-first so the identical
+    fold is expressible in any SQL engine's 64-bit integers — the
+    resized-frame content check the mm02 oracle reproduces exactly
+    (an md5 here would need md5(blob), which SQL engines lack)."""
+    fp = 0
+    for b in pixels.ravel().tolist():
+        fp = (fp * 257 + int(b)) % _FP_P
+    return fp
 
 
 def materialize_frame(d: dict, frame_idx: int) -> np.ndarray:
@@ -212,8 +237,7 @@ def resize_frames(media: DataFrame, out_w: int, out_h: int,
                         "out_width": out_w,
                         "out_height": out_h,
                         "mean_px": float(out.mean()),
-                        "frame_md5": hashlib.md5(
-                            out.tobytes()).hexdigest(),
+                        "frame_fp": frame_fingerprint(out),
                     })
             yield pd.DataFrame(rows,
                                columns=[f.name for f in RESIZE_SCHEMA])

@@ -215,6 +215,12 @@ _STALE_PROOF = frozenset({
     # Round-5 perf edits (weights-array staging, sentinel/probes via
     # range+lit, repartition before single-file gram work):
     "s18_bloom_decontam", "s37_ivf_probe_sweep",
+    # Round-5 keystream change (hex-chained md5 + 'm' salt, the change
+    # that made mm01/mm02/mm04/mm05 oracle-able) alters every minted
+    # payload byte, so the other payload consumers' proofs are stale:
+    "mm03_phash_neardup", "mm06_media_dedup_clusters",
+    "mm07_audio_neardup", "mm08_audio_framing_census",
+    "mm09_video_neardup", "mm10_modality_census",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF

@@ -1,10 +1,14 @@
 """Image-kernel and multimodal catalog entries.
 
-These are the genuinely non-SQL-expressible operators (numpy beam
-analysis, binary payload featurization), so they register WITHOUT a
-DuckDB oracle — the driver records the weaker rows-only check, and the
-closed-form validation lives in tests/test_kernels_multimodal.py
-(synthetic Gaussian beams with analytically known centroid/σ/coverage).
+The media kernels (mm01/mm02/mm04/mm05) are driver-hash-gated: the
+minted MMSYN payload keystream is reproducible in plain SQL (hex-
+chained md5, see operators/multimodal.synth_payload), so each kernel's
+numeric output is checked against a closed-form DuckDB re-derivation
+built on :func:`_media_sql_prelude`. Only the numpy beam-physics
+queries (u01, m15) remain rows-only — their eigendecomposition has no
+SQL twin — with closed-form validation in
+tests/test_kernels_multimodal.py (synthetic Gaussian beams with
+analytically known centroid/σ/coverage).
 """
 
 from __future__ import annotations
@@ -22,11 +26,53 @@ from mousedatapipeline_spark.operators.multimodal import (
     attach_synthetic_media,
     extract_features,
 )
-from mousedatapipeline_spark.functions.rounding import stable_round
+from mousedatapipeline_spark.functions.rounding import (
+    stable_round,
+    stable_round_sql,
+)
 from mousedatapipeline_spark.plans.catalog import register
 from mousedatapipeline_spark.tables import load
 
 _H = _W = 32
+
+_HEXD = "0123456789abcdef"
+
+
+def _media_sql_prelude(max_id: int, mt: int | None = None) -> str:
+    """DuckDB CTEs reproducing ``synth_payload`` exactly: key-derived
+    metadata (m), the hex-chained md5 keystream (ks — digest i+1 =
+    md5 of digest i's hexdigest, the property the keystream was
+    designed around), and the body bytes as a 1-based int list (body).
+    16 rounds cover the 256-byte max body. ``mt`` narrows to one
+    modality (0=image, 1=audio, 2=video) inside the seed CTE so the
+    recursion only runs for rows the query consumes."""
+    where = f"doc_id < {max_id}"
+    if mt is not None:
+        where += f" AND doc_id % 3 = {mt}"
+    return f"""
+    WITH RECURSIVE m AS (
+      SELECT doc_id AS media_id, doc_id % 3 AS mt,
+             16 + (doc_id % 7) * 8 AS w,
+             16 + (doc_id % 5) * 8 AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 1
+                  ELSE 4 + doc_id % 9 END AS nf,
+             64 + (doc_id % 13) * 16 AS blen
+      FROM documents WHERE {where}
+    ),
+    ks(media_id, i, dig, stream) AS (
+      SELECT media_id, 1, md5('m' || CAST(media_id AS VARCHAR)),
+             md5('m' || CAST(media_id AS VARCHAR)) FROM m
+      UNION ALL
+      SELECT media_id, i + 1, md5(dig), stream || md5(dig)
+      FROM ks WHERE i < 16
+    ),
+    body AS (
+      SELECT m.*,
+             [16 * (strpos('{_HEXD}', substr(k.stream, 2*i-1, 1)) - 1)
+              + (strpos('{_HEXD}', substr(k.stream, 2*i, 1)) - 1)
+              FOR i IN generate_series(1, m.blen)] AS b
+      FROM m JOIN ks k ON k.media_id = m.media_id AND k.i = 16
+    )"""
 
 
 def _gaussian_image(batch: int, repetition: int) -> np.ndarray:
@@ -91,12 +137,33 @@ def u01_beam_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm01_media_features",
-    oracle=None,  # binary payload kernel: rows-only; tested in tests/
+    # Full-value oracle: the hex-chained keystream is reproduced in
+    # SQL (see _media_sql_prelude), so byte mean and histogram bin 0
+    # are closed-form — integer sums over the minted body bytes with
+    # single-rounding divisions, bit-identical in both engines.
+    oracle=_media_sql_prelude(200) + f"""
+    SELECT media_id,
+           CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(blen AS BIGINT) AS n_bytes,
+           {stable_round_sql('CAST(list_sum(b) AS DOUBLE) / blen', 4)}
+             AS mean_byte,
+           {stable_round_sql(
+               'CAST(len(list_filter(b, x -> x < 16)) AS DOUBLE)'
+               ' / blen')} AS hist_bin0
+    FROM body
+    """,
     doc="Multimodal plumbing: binary payload + typed metadata columns, "
-        "decode-stub + byte-histogram featurization via mapInPandas.",
+        "decode-stub + byte-histogram featurization via mapInPandas. "
+        "Driver-hash-gated end to end: the oracle regenerates the "
+        "payload keystream in SQL and recomputes mean byte and the "
+        "first histogram bin in closed form.",
 )
 def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    # doc_id < 200, not limit(200): the subset must be the same
+    # deterministic set the oracle selects (doc_ids are dense from 0).
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 200))
     media = attach_synthetic_media(docs, "doc_id")
     feats = extract_features(media)
     return feats.select(
@@ -108,15 +175,42 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm02_resized_frames",
-    oracle=None,  # binary payload kernel: rows-only; tested in tests/
+    # Full-value oracle: frame materialization (body bytes cycled with
+    # a 31-byte per-frame offset), the nearest-neighbor index map
+    # ((y*h)//8, (x*w)//8) and the modulo-first polynomial frame
+    # fingerprint are all integer arithmetic over the SQL-regenerated
+    # keystream; mean_px is an exact dyadic (sum/64). Every resize or
+    # sampling off-by-one surfaces as a hash mismatch.
+    oracle=_media_sql_prelude(200) + """,
+    fr AS (
+      SELECT media_id, f,
+             [b[1 + ((f*31 + (((i//8)*h)//8)*w + (((i%8)*w)//8))
+                     % blen)]
+              FOR i IN generate_series(0, 63)] AS pix
+      FROM body, UNNEST(generate_series(0, nf - 1, 2)) AS u(f)
+    )
+    SELECT media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(8 AS INT) AS out_width,
+           CAST(8 AS INT) AS out_height,
+           CAST(list_sum(pix) AS DOUBLE) / 64 AS mean_px,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(p AS BIGINT) FOR p IN pix]),
+             (acc, v) -> (acc * 257 + v) % 2147483647) AS frame_fp
+    FROM fr
+    """,
     doc="Multimodal frame pipeline: decode stub -> every-2nd-frame "
-        "sampling -> nearest-neighbor resize to 8x8 -> per-frame stats, "
-        "all inside one narrow mapInPandas pass (payloads never "
-        "shuffle; only small stat rows continue).",
+        "sampling -> nearest-neighbor resize to 8x8 -> per-frame stats "
+        "+ polynomial content fingerprint, all inside one narrow "
+        "mapInPandas pass (payloads never shuffle; only small stat "
+        "rows continue). Driver-hash-gated against a closed-form "
+        "re-derivation of every resized pixel.",
 )
 def mm02_resized_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.multimodal import resize_frames
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 200))
     media = attach_synthetic_media(docs, "doc_id")
     return resize_frames(media, out_w=8, out_h=8, every_k=2)
 
@@ -164,7 +258,55 @@ def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm04_audio_frame_features",
-    oracle=None,  # PCM framing kernel: rows-only; closed-form tests
+    # Full-value oracle: int16 PCM decode, 64/32 framing, RMS and ZCR
+    # are reproduced over the SQL-regenerated keystream. Every float
+    # op is either exact (sample^2 sums are dyadics with < 53
+    # mantissa bits; /2^30 and /64 exact) or a single identical
+    # rounding (the /len divisions, SQRT), so rms/zcr match
+    # bit-for-bit and the decimal-accumulated rollup hash-matches.
+    oracle=_media_sql_prelude(300, mt=1) + f""",
+    sm AS (
+      SELECT media_id, blen // 2 AS n, s.start // 32 AS frame_idx,
+             CASE WHEN blen // 2 < 64 THEN blen // 2
+                  ELSE 64 END AS flen,
+             [CASE WHEN b[2*j + 1] + 256 * b[2*j + 2] >= 32768
+                   THEN b[2*j + 1] + 256 * b[2*j + 2] - 65536
+                   ELSE b[2*j + 1] + 256 * b[2*j + 2] END
+              FOR j IN generate_series(
+                  s.start,
+                  s.start + CASE WHEN blen // 2 < 64 THEN blen // 2
+                                 ELSE 64 END - 1)] AS pcm
+      FROM body, UNNEST(generate_series(
+               0, greatest(blen // 2 - 64, 0), 32)) AS s(start)
+    ),
+    fr AS (
+      SELECT media_id, frame_idx, flen,
+             SQRT((CAST(list_sum([x * x FOR x IN pcm]) AS DOUBLE)
+                   / 1073741824.0) / flen) AS rms,
+             CAST(list_sum([CASE WHEN (pcm[t] < 0) <> (pcm[t+1] < 0)
+                                 THEN 1 ELSE 0 END
+                            FOR t IN generate_series(1, flen - 1)])
+                  AS DOUBLE) / (flen - 1) AS zcr
+      FROM sm
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+                    ORDER BY rms DESC, frame_idx) AS r
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(rms AS DECIMAL(30,10))) AS VARCHAR)'
+               ' AS DOUBLE) / COUNT(*)')} AS mean_rms,
+           {stable_round_sql('MAX(rms)')} AS peak_rms,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(zcr AS DECIMAL(30,10))) AS VARCHAR)'
+               ' AS DOUBLE) / COUNT(*)')} AS mean_zcr,
+           CAST(MAX(CASE WHEN r = 1 THEN frame_idx END) AS INT)
+             AS loudest_frame
+    FROM rk GROUP BY media_id
+    """,
     doc="Audio modality front-end: payload PCM framed into 64-sample "
         "windows every 32 samples inside one narrow mapInPandas pass, "
         "per-frame RMS energy + zero-crossing rate, rolled up per clip "
@@ -172,14 +314,16 @@ def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min(frame_idx) tie-break). The decode step is the documented "
         "MMSYN stub; the framing/feature math and the Arrow batch "
         "plumbing are real. Payloads never shuffle — only per-frame "
-        "scalar rows reach the clip-level groupBy.",
+        "scalar rows reach the clip-level groupBy. Driver-hash-gated "
+        "against a closed-form PCM/framing re-derivation.",
 )
 def mm04_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
     from mousedatapipeline_spark.operators.multimodal import (
         audio_frame_features,
     )
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(300)
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300))
     media = attach_synthetic_media(docs, "doc_id")
     frames = audio_frame_features(media, frame_len=64, hop=32)
     n = F.count(F.lit(1))
@@ -196,17 +340,42 @@ def mm04_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm05_scene_changes",
-    oracle=None,  # frame-diff kernel: rows-only; closed-form tests
+    # Full-value oracle: consecutive materialized frames differ only
+    # in their 31-byte cycle offset, so mean |cur - prev| is an
+    # integer absolute-difference sum over the SQL-regenerated body
+    # divided by h*w (one identical rounding); the cut threshold
+    # compares that bit-identical double in both engines.
+    oracle=_media_sql_prelude(300, mt=2) + f""",
+    fr AS (
+      SELECT media_id, f,
+             CASE WHEN f = 0 THEN 0.0
+                  ELSE CAST(list_sum(
+                    [abs(b[1 + ((f*31 + i) % blen)]
+                         - b[1 + (((f-1)*31 + i) % blen)])
+                     FOR i IN generate_series(0, h*w - 1)]) AS DOUBLE)
+                    / (h*w) END AS diff
+      FROM body, UNNEST(generate_series(0, nf - 1)) AS u(f)
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN f > 0 AND diff > 40.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           {stable_round_sql('MAX(diff)')} AS max_diff
+    FROM fr GROUP BY media_id
+    """,
     doc="Video shot-boundary detection: consecutive-frame mean "
         "absolute pixel difference inside one narrow mapInPandas pass "
         "(rolling frame pair only — a clip's frames never materialize "
         "together), cut flag per transition, rolled up per clip to "
         "(n_frames, n_cuts, max_diff). The segmentation primitive a "
-        "video-curation pipeline runs before clip-level dedup.",
+        "video-curation pipeline runs before clip-level dedup. "
+        "Driver-hash-gated against a closed-form frame-diff "
+        "re-derivation.",
 )
 def mm05_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.multimodal import scene_changes
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(300)
+    docs = (load(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300))
     media = attach_synthetic_media(docs, "doc_id")
     fr = scene_changes(media, threshold=40.0)
     return fr.groupBy("media_id").agg(

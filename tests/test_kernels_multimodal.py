@@ -307,7 +307,6 @@ def test_resize_nearest_exact_index_mapping():
 
 
 def test_resize_frames_samples_and_checksums(spark):
-    import hashlib
     from mousedatapipeline_spark.operators import multimodal as MM
     df = spark.createDataFrame([(4,), (7,)], ["doc_id"])
     media = MM.attach_synthetic_media(df, "doc_id")
@@ -323,7 +322,7 @@ def test_resize_frames_samples_and_checksums(spark):
     r0 = sorted(by_id[4], key=lambda r: r.frame_idx)[0]
     d = MM.decode_payload(MM.synth_payload(4)[0])
     expect = MM.resize_nearest(MM.materialize_frame(d, 0), 8, 8)
-    assert r0.frame_md5 == hashlib.md5(expect.tobytes()).hexdigest()
+    assert r0.frame_fp == MM.frame_fingerprint(expect)
     assert abs(r0.mean_px - float(expect.mean())) < 1e-12
 
 

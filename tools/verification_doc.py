@@ -17,29 +17,30 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def main() -> None:
+    import mousedatapipeline_spark.plans.catalog as cat
     from mousedatapipeline_spark.plans.catalog import (
         _PROVEN,
-        _R01_GREEN,
-        _R02_GREEN,
-        _R03_NEW,
         _STALE_PROOF,
         all_queries,
     )
+    green_rounds = sorted(
+        (n for n in dir(cat) if n.startswith("_R") and n.endswith("_GREEN")),
+        reverse=True)  # latest round first
     qs = all_queries()
     rows = []
     for name, spec in qs.items():
+        state = None
         if name in _STALE_PROOF:
             state = "re-verify (changed after its green row)"
-        elif name in _R02_GREEN:
-            state = "driver-green (r02)"
-        elif name in _R01_GREEN:
-            state = "driver-green (r01)"
-        elif spec.oracle is None:
-            state = "rows-only (non-SQL kernel; closed-form tests)"
-        elif name in _R03_NEW:
-            state = "local-green (added r03, queued for driver)"
         else:
-            state = "local-green (queued for driver)"
+            for gr in green_rounds:
+                if name in getattr(cat, gr):
+                    state = f"driver-green ({gr[1:4].lower()})"
+                    break
+        if state is None:
+            state = ("rows-only (non-SQL kernel; closed-form tests)"
+                     if spec.oracle is None
+                     else "local-green (queued for driver)")
         rows.append((name, state))
     n_proven = sum(n in _PROVEN for n, _ in rows)
     n_rows_only = sum(qs[n].oracle is None for n, _ in rows)
