@@ -1112,3 +1112,140 @@ def m17_repetition_drift_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(cv).alias("cv"),
         ((F.col("n_reps") > 1) & (cv > 0.05)).cast("int")
         .alias("drift_flag"))
+
+
+# --------------------------------------------------------------------------
+# S1/S2/F1 end-to-end, driver-visible: a minted on-disk repetition tree
+# scanned by the distributed binaryFile listing, keys parsed from paths,
+# completeness censused — the full directory_processor front door
+# (src/directory_processor.py:90-95 glob + src/YMD_class.py:33-44 key
+# parse + src/checkers.py:19-46 counts), hash-gated against the closed
+# form of the minted tree.
+# --------------------------------------------------------------------------
+@register(
+    "m16_manifest_scan",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS batch,
+             strftime(o_orderdate, '%Y%m%d') AS ymd
+      FROM orders WHERE o_orderkey < 30
+    ),
+    r AS (
+      SELECT batch, ymd, u.rep
+      FROM k, UNNEST(generate_series(1, 1 + batch % 3)) AS u(rep)
+    )
+    SELECT ymd, CAST(batch AS INT) AS batch, CAST(rep AS INT) AS repetition,
+           CAST(2 AS BIGINT) AS n_sub_master,
+           CAST(2 AS BIGINT) AS n_sub_craw,
+           CAST(CASE WHEN (batch + rep) % 4 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS n_top_master,
+           CAST(1 AS BIGINT) AS n_top_craw,
+           CAST(CASE WHEN (batch + rep) % 4 = 0 THEN 0 ELSE 1 END
+                AS INT) AS is_complete,
+           CASE WHEN (batch + rep) % 4 = 0 THEN 'n_top_master!=1'
+                ELSE '' END AS missing_csv
+    FROM r
+    """,
+    doc="S1/S2/F1 end-to-end: deterministic repetition directory tree "
+        "({year}/{ymd}/{ymd}_{batch}_{rep}/ with the reference's file "
+        "patterns; every (batch+rep) %% 4 == 0 repetition minted "
+        "incomplete by omitting its top-level detector master) -> "
+        "distributed binaryFile listing (sources/manifest.scan_files) "
+        "-> path-key extraction -> per-pattern census + completeness "
+        "verdict. The oracle is the closed form of the minted tree, so "
+        "a listing gap, key-parse slip, or census off-by-one all break "
+        "the hash.",
+)
+def m16_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from mousedatapipeline_spark.sources.manifest import (
+        extract_keys,
+        repetition_manifest,
+        scan_files,
+    )
+
+    keys = (load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 30)
+            .select(F.col("o_orderkey").alias("batch"),
+                    F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"))
+            .collect())  # bounded fixture build (< ~30 dirs), like m13
+
+    root = Path(tempfile.mkdtemp(prefix="mouse_manifest_m16_"))
+    for r in keys:
+        for rep in range(1, 2 + r["batch"] % 3):
+            d = (root / r["ymd"][:4] / r["ymd"]
+                 / f"{r['ymd']}_{r['batch']}_{rep}")
+            for sub in ("beam_profile", "beam_profile_through_sample"):
+                (d / sub).mkdir(parents=True, exist_ok=True)
+                (d / sub / "eiger_1_master.h5").write_bytes(b"x")
+                (d / sub / "im_craw.nxs").write_bytes(b"x")
+            if (r["batch"] + rep) % 4 != 0:  # minted incompleteness
+                (d / "eiger_2_master.h5").write_bytes(b"x")
+            (d / "im_craw.nxs").write_bytes(b"x")
+
+    manifest = repetition_manifest(
+        extract_keys(scan_files(spark, str(root))))
+    return manifest.select(
+        "ymd", F.col("batch").cast("int").alias("batch"),
+        F.col("repetition").cast("int").alias("repetition"),
+        "n_sub_master", "n_sub_craw", "n_top_master", "n_top_craw",
+        F.col("is_complete").cast("int").alias("is_complete"),
+        F.array_join("missing", ",").alias("missing_csv"))
+
+
+# --------------------------------------------------------------------------
+# S13 end-to-end, driver-visible: the quarantine sideband round trip —
+# split_valid's rejected branch written through write_quarantine,
+# re-read from disk, and censused per reject reason alongside the valid
+# count. The reference's `.stacking_error_list` text sideband
+# (src/post_translation_operation_hdf5_stacker.py:104-108) as a typed,
+# appendable parquet table.
+# --------------------------------------------------------------------------
+@register(
+    "m17_quarantine_roundtrip",
+    oracle="""
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN l_quantity > 40 THEN 'quantity_overflow'
+                  WHEN l_discount > 0.06 THEN 'discount_out_of_range'
+                  ELSE '__valid__' END AS reason
+      FROM lineitem WHERE l_orderkey < 2000
+    ) GROUP BY reason
+    """,
+    doc="S13 end-to-end: canStack-style validation splits a lineitem "
+        "subset into valid rows and a quarantine sideband "
+        "(operators/filters.split_valid -> sources/sinks."
+        "write_quarantine, the typed replacement for the reference's "
+        ".stacking_error_list); the rejected rows are READ BACK from "
+        "the parquet sideband and censused per reject reason next to "
+        "the valid count — proving rejected rows land on disk with "
+        "their reasons intact, not merely that the filter splits.",
+)
+def m17_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mousedatapipeline_spark.operators.filters import split_valid
+    from mousedatapipeline_spark.sources.sinks import write_quarantine
+
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_discount"))
+    ok, bad = split_valid(
+        li,
+        (F.col("l_quantity") <= 40) & (F.col("l_discount") <= 0.06),
+        reason=F.when(F.col("l_quantity") > 40,
+                      F.lit("quantity_overflow"))
+        .otherwise(F.lit("discount_out_of_range")))
+
+    qdir = tempfile.mkdtemp(prefix="mouse_quarantine_m17_")
+    write_quarantine(bad, qdir)
+    back = spark.read.parquet(qdir)
+
+    rejected = back.groupBy(F.col("reject_reason").alias("reason")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    valid = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("__valid__").alias("reason"), "n")
+    return rejected.unionByName(valid)
