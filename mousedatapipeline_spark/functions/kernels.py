@@ -315,16 +315,23 @@ def dynamic_beam_analysis(img: np.ndarray, *, coverage: float = 0.997,
     if total <= 0:
         raise ValueError("zero total intensity")
     cy, cx, cov = weighted_covariance(img)
+    # The Mahalanobis field d2 is k-independent: compute it once and
+    # let each bisection step reduce to a threshold + masked sum
+    # (identical masks to coverage_ellipse_mask(img, k) per step; at
+    # Eiger size this is the difference between ~0.45 s and ~0.1 s
+    # per image).
+    inv = np.linalg.inv(cov + 1e-12 * np.eye(2))
+    rows, cols = np.indices(img.shape)
+    dy, dx = rows - cy, cols - cx
+    d2 = inv[0, 0] * dy * dy + 2 * inv[0, 1] * dy * dx + inv[1, 1] * dx * dx
     lo, hi = k_lo, k_hi
-    mask = coverage_ellipse_mask(img, hi)
     for _ in range(steps):
         mid = (lo + hi) / 2
-        mask = coverage_ellipse_mask(img, mid)
-        if float(img[mask].sum()) / total >= coverage:
+        if float(img[d2 <= mid * mid].sum()) / total >= coverage:
             hi = mid
         else:
             lo = mid
-    mask = coverage_ellipse_mask(img, hi)
+    mask = d2 <= hi * hi
     sig_minor, sig_major, theta = beam_shape(cov)
     region = float(img[mask].sum())
     return {
