@@ -103,6 +103,46 @@ def shingle_hash(shingle: Column) -> Column:
     ) % MOD
 
 
+def hashed_shingle_docs(d: DataFrame, extra_cols: Sequence[str] = ("lang",),
+                        with_n: bool = False) -> DataFrame:
+    """(doc_id, *extra_cols, hs[, n]): each document's distinct shingle
+    HASHES, the scan stage every MinHash pipeline starts from —
+    lazily checkpointed, shingle work guaranteed to run ONCE.
+
+    Two traps this helper exists to avoid (each measured ~2-3x on the
+    corpus scan):
+
+    - ``select(ss) -> filter(size(ss) > 0) -> select(transform(ss),
+      size(ss))`` triple-evaluates the whole shingle expression —
+      predicate pushdown substitutes it into the filter and
+      CollapseProject inlines it into both consumers. Here the empty
+      filter is the equivalent ``length(text) >= 3`` scan predicate
+      (shingle_set_col is empty EXACTLY when length < 3) and the hash
+      runs per POSITION inside one transform, so no string shingle
+      array is ever materialized — at 100 TB the scan emits 8-byte
+      hashes, never 3-char strings.
+    - Downstream, ``hs`` feeds N_PERM minhash projections plus a size;
+      the lazy localCheckpoint pins the int arrays so no consumer
+      re-runs the scan.
+
+    Dedup happens on hashes (array_distinct of ints): identical to
+    string-level dedup whenever the codepoint hash is injective on the
+    corpus 3-grams — the same assumption every hash-level intersect in
+    this module already makes, and checked against the string-level
+    DuckDB oracles at every shipped SF.
+    """
+    base = d.filter(F.length("text") >= 3)
+    t = F.col("text")
+    hs = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: shingle_hash(F.substring(t, i, 3))))
+    out = (base.select("doc_id", *extra_cols, hs.alias("hs"))
+           .localCheckpoint(eager=False))
+    if with_n:
+        out = out.select("*", F.size("hs").cast("bigint").alias("n"))
+    return out
+
+
 SHINGLE_HASH_SQL = ("(ascii(substr(shingle, 1, 1)) * 923521 "
                     "+ ascii(substr(shingle, 2, 1)) * 961 "
                     "+ ascii(substr(shingle, 3, 1)) * 31) % 2147483647")

@@ -221,6 +221,13 @@ _STALE_PROOF = frozenset({
     "mm03_phash_neardup", "mm06_media_dedup_clusters",
     "mm07_audio_neardup", "mm08_audio_framing_census",
     "mm09_video_neardup", "mm10_modality_census",
+    # Round-5 hashed_shingle_docs refactor (hash-at-position scan,
+    # single evaluation): every MinHash-pipeline query and composer:
+    "s03_minhash_lsh", "s19_lsh_verified_neardup",
+    "s22_incremental_neardup", "s14_neardup_components",
+    "s21_semantic_dedup", "s25_ann_recall",
+    "s33_cross_source_dup_matrix", "s34_quality_canonical",
+    "s35_hard_negatives",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF

@@ -206,16 +206,13 @@ def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-op cost.
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    # Staged selects: ss and hs are materialized columns so the 16
-    # minhash projections share them (inline expressions would be
-    # duplicated into every column by CollapseProject — measured 8x
-    # slower). Shingle-less docs are dropped before banding (the
-    # oracle's shingle relation has no rows for them).
-    withset = d.select("doc_id", "lang",
-                       S.shingle_set_col(F.col("text")).alias("ss"))
-    hashed = (withset.filter(F.size("ss") > 0)
-              .select("doc_id", "lang",
-                      F.transform("ss", S.shingle_hash).alias("hs")))
+    # hashed_shingle_docs: hs is a checkpointed materialized column so
+    # the 16 minhash projections share ONE shingle-scan evaluation
+    # (inline expressions would be duplicated into every column by
+    # CollapseProject — measured 8x slower). Shingle-less docs are
+    # dropped before banding (the oracle's shingle relation has no
+    # rows for them).
+    hashed = S.hashed_shingle_docs(d)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = S.band_signatures_wide(sig, ["doc_id", "lang"])
     # Materialize the (small) bands table once: both sides of the
@@ -955,13 +952,7 @@ def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s03's comment).
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    hashed = (d.select("doc_id", "lang",
-                       S.shingle_set_col(F.col("text")).alias("ss"))
-              .filter(F.size("ss") > 0)
-              .select("doc_id", "lang",
-                      F.transform("ss", S.shingle_hash).alias("hs"),
-                      F.size("ss").cast("bigint").alias("n"))
-              .localCheckpoint(eager=False))
+    hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
              .localCheckpoint(eager=False))  # self-joined below: the 16
@@ -1193,11 +1184,7 @@ def s21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    withset = d.select("doc_id", "lang",
-                       S.shingle_set_col(F.col("text")).alias("ss"))
-    hashed = (withset.filter(F.size("ss") > 0)
-              .select("doc_id", "lang",
-                      F.transform("ss", S.shingle_hash).alias("hs")))
+    hashed = S.hashed_shingle_docs(d)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
              .localCheckpoint(eager=False))
@@ -1505,13 +1492,7 @@ def _lane_match_sql() -> str:
 def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    hashed = (d.select("doc_id", "lang",
-                       S.shingle_set_col(F.col("text")).alias("ss"))
-              .filter(F.size("ss") > 0)
-              .select("doc_id", "lang",
-                      F.transform("ss", S.shingle_hash).alias("hs"),
-                      F.size("ss").cast("bigint").alias("n"))
-              .localCheckpoint(eager=False))
+    hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
            .localCheckpoint(eager=False))  # joined twice below
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
@@ -1788,11 +1769,7 @@ def _bbit_lane_match_sql() -> str:
 def s29_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    hashed = (d.select("doc_id", "lang",
-                       S.shingle_set_col(F.col("text")).alias("ss"))
-              .filter(F.size("ss") > 0)
-              .select("doc_id", "lang",
-                      F.transform("ss", S.shingle_hash).alias("hs")))
+    hashed = S.hashed_shingle_docs(d)
     sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
            .localCheckpoint(eager=False))  # bands + two probe sides
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])

@@ -383,3 +383,30 @@ def test_merge_replay_is_idempotent(spark, tmp_path):
     _w07_merge(v1, 1, state7)  # replay
     hist = spark.read.parquet(str(sorted(state7.glob("v*"))[-1]))
     assert hist.agg({"cnt": "sum"}).collect()[0][0] == 3
+
+
+def test_w13_merge_replay_is_idempotent(spark, tmp_path):
+    """Same strictly-below-batch guard at the bootstrap state merge:
+    replaying a batch id leaves the replica monoid equal to the
+    once-delivered answer."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import _w13_merge
+
+    state = Path(tmp_path / "w13state"); state.mkdir()
+    b0 = spark.range(0, 50).selectExpr(
+        "id AS event_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) / 7 AS value")
+    b1 = spark.range(50, 80).selectExpr(
+        "id AS event_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) / 7 AS value")
+    _w13_merge(b0, 0, state)
+    _w13_merge(b1, 1, state)
+    once = spark.read.parquet(
+        str(sorted(state.glob("v*"))[-1])).collect()
+    _w13_merge(b1, 1, state)  # replay of batch 1
+    replayed = spark.read.parquet(
+        str(sorted(state.glob("v*"))[-1])).collect()
+    key = lambda r: r["event_type"]  # noqa: E731
+    assert sorted(once, key=key) == sorted(replayed, key=key)
+    assert once[0]["n"] == 80
