@@ -228,6 +228,12 @@ _STALE_PROOF = frozenset({
     "s21_semantic_dedup", "s25_ann_recall",
     "s33_cross_source_dup_matrix", "s34_quality_canonical",
     "s35_hard_negatives",
+    # Round-5 load_spread adoption (single-file scan parallelized
+    # before per-row-expensive tokenize/ngram work):
+    "t09_repetition_signals", "t10_decontamination",
+    "t15_bigram_surprisal", "t18_novelty_scan", "t27_bpe_merge_stats",
+    "t28_dsir_importance", "t30_split_contamination",
+    "t34_corpus_drift",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF

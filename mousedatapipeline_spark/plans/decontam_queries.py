@@ -29,7 +29,7 @@ from mousedatapipeline_spark.functions.rounding import (
 )
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load
+from mousedatapipeline_spark.tables import load, load_spread
 
 # Docs whose id is divisible by EVAL_MOD stand in for the held-out
 # benchmark set; everything else is the training corpus.
@@ -74,7 +74,7 @@ _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
         "(doc_id % 10 == 0). Eval grams broadcast; one groupBy(doc_id).",
 )
 def t10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = d.select("doc_id", F.explode(grams).alias("gram"))
@@ -284,7 +284,7 @@ def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus-keyed, no broadcast dependence), one groupBy(doc_id).",
 )
 def t18_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = (d.select("doc_id", F.explode(grams).alias("gram"))

@@ -19,7 +19,7 @@ from mousedatapipeline_spark.functions.rounding import (
 )
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load
+from mousedatapipeline_spark.tables import load, load_spread
 
 # ---- SQL twins of operators/text.py (kept literally in sync) -------------
 
@@ -345,7 +345,7 @@ def _sql_top_frac(g: str) -> str:
         "columns — zero shuffles at any corpus size.",
 )
 def t09_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
     grams = tok.select(
         "doc_id", "lang", "toks",
@@ -529,7 +529,7 @@ def t14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     bg = d.select(
         "doc_id",
         F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
@@ -901,7 +901,7 @@ MERGE_TOP = 20  # merge candidates emitted per BPE statistics round
 def t27_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     pairs = d.select(F.explode(
         T.ngrams_from_tokens(T.tokens(F.col("text")), 2)).alias("pair"))
     c = pairs.groupBy("pair").agg(
@@ -980,7 +980,7 @@ def _bigram_bucket(g: F.Column) -> F.Column:
 def t28_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ex = (d.select(
         "doc_id", "lang",
         F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
@@ -1258,7 +1258,7 @@ def t33_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engines.",
 )
 def t34_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ex = (d.select(
         (F.col("doc_id") % 2).alias("snap"),
         F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))

@@ -27,6 +27,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + round-robin repartition to the cluster's parallelism.
+
+    For queries that do per-row-EXPENSIVE work right off the scan
+    (tokenize/ngram/explode over text): the local fixture is a single
+    parquet file -> ONE input partition, which single-threads the scan
+    stage. The repartition shuffles the raw rows once (small — it is
+    the raw table, pre-explosion) and buys full parallelism for the
+    expensive projection. On a real cluster the source is already many
+    splits and this is a near-no-op; metadata-only queries should use
+    plain :func:`load` and keep their one-stage scan.
+    """
+    return load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the ``ts`` column to a session-zoned (UTC) TIMESTAMP.
 
