@@ -228,6 +228,7 @@ _STALE_PROOF = frozenset({
     "s21_semantic_dedup", "s25_ann_recall",
     "s33_cross_source_dup_matrix", "s34_quality_canonical",
     "s35_hard_negatives",
+    "s24_containment_neardup",  # r05: hashed-set blocked_pairs scan
     # Round-5 load_spread adoption (single-file scan parallelized
     # before per-row-expensive tokenize/ngram work):
     "t09_repetition_signals", "t10_decontamination",

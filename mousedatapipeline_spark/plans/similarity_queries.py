@@ -18,7 +18,7 @@ from mousedatapipeline_spark.operators import graph as G
 from mousedatapipeline_spark.operators import similarity as S
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load
+from mousedatapipeline_spark.tables import load, load_spread
 
 _SQL_SHINGLES = """
       SELECT DISTINCT doc_id, lang, source,
@@ -109,11 +109,15 @@ def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One small shuffle total; pair count bounded by block size.
     # With large blocks + rich vocabulary the inverted index wins; the
     # true scale path is s03's MinHash banding.
-    d = load(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", "lang", "source",
-        S.shingle_set_col(F.col("text")).alias("shs"),
-    ).withColumn("n", F.size("shs").cast("bigint"))
+    # hashed_shingle_docs: shingle work once, as 8-byte hashes (never
+    # string arrays — see the helper's doc); intersect counts equal the
+    # string-set counts under the corpus-checked hash injectivity.
+    # Docs shorter than 3 chars drop out here, matching the oracle's
+    # shingle relation (they have no rows there and can never reach
+    # the 0.6 threshold).
+    sets = S.hashed_shingle_docs(
+        load_spread(spark, sf_dir, "documents"),
+        extra_cols=("lang", "source"), with_n=True)
     # The intersect happens INSIDE the pair lambda (combine=): pair
     # structs carry five scalars, never copies of the shingle arrays.
     # Length filter (PPJoin-family, exact): J <= min/max, so a pair
@@ -127,11 +131,11 @@ def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     >= F.greatest(x["n"], y["n"]) * 3)
         return F.when(
             feasible,
-            F.size(F.array_intersect(x["shs"], y["shs"])).cast("bigint")
+            F.size(F.array_intersect(x["hs"], y["hs"])).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
 
     pairs = S.blocked_pairs(
-        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        sets, ["lang", "source"], {"hs": "hs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,
         combine=lambda x, y: [
             x["n"].alias("n_1"), y["n"].alias("n_2"),
@@ -1326,17 +1330,19 @@ def s24_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length < 3, so guard on the raw length — a scan-stage pushed
     # filter, vs filtering on size(shs) which re-evaluates the whole
     # shingle expression a second time (the r03 +46% regression).
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    sets = d.select(
-        "doc_id", "lang", "source",
-        S.shingle_set_col(F.col("text")).alias("shs"),
-    ).withColumn("n", F.size("shs").cast("bigint"))
+    # hashed_shingle_docs subsumes the length >= 3 scan filter and
+    # evaluates the shingle work once, as 8-byte hashes (intersect
+    # counts equal string-set counts under the corpus-checked hash
+    # injectivity — see the helper's doc).
+    sets = S.hashed_shingle_docs(
+        load_spread(spark, sf_dir, "documents"),
+        extra_cols=("lang", "source"), with_n=True)
     pairs = S.blocked_pairs(
-        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        sets, ["lang", "source"], {"hs": "hs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,
         combine=lambda x, y: [
             x["n"].alias("n_1"), y["n"].alias("n_2"),
-            F.size(F.array_intersect(x["shs"], y["shs"]))
+            F.size(F.array_intersect(x["hs"], y["hs"]))
             .cast("bigint").alias("n_common"),
         ])
     scored = pairs.withColumn(
@@ -1681,17 +1687,18 @@ def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s28_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", "lang", "source",
-        S.shingle_set_col(F.col("text")).alias("shs"),
-    ).withColumn("n", F.size("shs").cast("bigint"))
+    # Same single-evaluation hashed-set scan as s02/s24 (see
+    # hashed_shingle_docs); len<3 docs have no oracle shingle rows and
+    # cannot reach the sweep's lowest threshold.
+    sets = S.hashed_shingle_docs(
+        load_spread(spark, sf_dir, "documents"),
+        extra_cols=("lang", "source"), with_n=True)
     pairs = S.blocked_pairs(
-        sets, ["lang", "source"], {"shs": "shs", "n": "n"},
+        sets, ["lang", "source"], {"hs": "hs", "n": "n"},
         redistribute=spark.sparkContext.defaultParallelism,
         combine=lambda x, y: [
             x["n"].alias("n_1"), y["n"].alias("n_2"),
-            F.size(F.array_intersect(x["shs"], y["shs"]))
+            F.size(F.array_intersect(x["hs"], y["hs"]))
             .cast("bigint").alias("n_common"),
         ])
     j = (F.col("n_common").cast("double")

@@ -345,7 +345,11 @@ def _sql_top_frac(g: str) -> str:
         "columns — zero shuffles at any corpus size.",
 )
 def t09_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_spread(spark, sf_dir, "documents")
+    # plain load, NOT load_spread: this query is the zero-shuffle
+    # showcase (row-local array expressions, single scan stage,
+    # plan-asserted in test_plan_shapes) — a repartition would trade
+    # that contract for local parallelism.
+    d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
     grams = tok.select(
         "doc_id", "lang", "toks",

@@ -34,13 +34,21 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (tokenize/ngram/explode over text): the local fixture is a single
     parquet file -> ONE input partition, which single-threads the scan
     stage. The repartition shuffles the raw rows once (small — it is
-    the raw table, pre-explosion) and buys full parallelism for the
-    expensive projection. On a real cluster the source is already many
-    splits and this is a near-no-op; metadata-only queries should use
-    plain :func:`load` and keep their one-stage scan.
+    the raw table, pre-explosion, strictly cheaper than the
+    post-explosion shuffle these queries already pay) and buys full
+    parallelism for the expensive projection.
+
+    Conditional on the scan's actual split count: on a real cluster
+    the source is already many splits and this returns the plain scan
+    — an unconditional repartition would be a pure-overhead shuffle of
+    the whole corpus at 100 TB. Metadata-only queries should use plain
+    :func:`load` and keep their one-stage scan.
     """
-    return load(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism)
+    df = load(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
