@@ -452,6 +452,89 @@ def m15_kernel_flux_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.min("transmission"), 4).alias("min_transmission"))
 
 
+# --------------------------------------------------------------------------
+# Contract twins for the two genuinely non-SQL kernel pipelines (the
+# q33 pattern: emit the closed-form CONTRACT as integer flags against
+# an all-ones expected table). u01/m15 stay rows-only — their
+# eigendecomposition/ellipse arithmetic has no SQL twin — but these
+# queries put the whole kernel chain under the driver hash gate: a
+# broken centroid, sigma, coverage bisection, mask, flux sum or
+# transmission ratio flips a flag (or the exact repetition census) and
+# breaks the hash.
+# --------------------------------------------------------------------------
+@register(
+    "u02_beam_contract",
+    # The synthetic beams are closed-form Gaussians, so the kernel
+    # outputs have known values up to discretization: measured worst
+    # deviation across all keys is 0.0025 (centroid) / 0.0044 (sigma)
+    # against a 0.05 tolerance — 10-20x margin, so the flags are
+    # stable. Flags are computed ONLY Spark-side (no cross-engine
+    # float comparison); coverage uses the bisection's >= guarantee,
+    # preserved by stable_round's monotone rounding.
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS batch,
+           CAST(l_linenumber AS INT) AS repetition,
+           CAST(1 AS INT) AS com_y_ok, CAST(1 AS INT) AS com_x_ok,
+           CAST(1 AS INT) AS sigma_ok, CAST(1 AS INT) AS cov_ok
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+          WHERE l_orderkey < 200)
+    """,
+    doc="U1-U4 contract under the driver hash gate: per synthetic "
+        "beam, the weighted centroid must sit within 0.05 px of the "
+        "minted Gaussian's center, both sigmas within 0.05 of the "
+        "minted sigma, and the bisection ellipse must actually cover "
+        ">= 99.7%% of intensity — emitted as integer flags against an "
+        "all-ones oracle (the q33 sketch-contract pattern applied to "
+        "the image kernels).",
+)
+def u02_beam_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = u01_beam_analysis(spark, sf_dir)
+    cy = 10.0 + (F.col("batch") % 12).cast("double")
+    cx = 10.0 + (F.col("repetition") % 12).cast("double")
+    sig = 1.5 + (F.col("batch") % 4).cast("double") * 0.5
+    tol = 0.05
+    return u.select(
+        "batch", "repetition",
+        (F.abs(F.col("com_y") - cy) <= tol).cast("int").alias("com_y_ok"),
+        (F.abs(F.col("com_x") - cx) <= tol).cast("int").alias("com_x_ok"),
+        ((F.abs(F.col("sigma_minor") - sig) <= tol)
+         & (F.abs(F.col("sigma_major") - sig) <= tol))
+        .cast("int").alias("sigma_ok"),
+        (F.col("achieved_coverage") >= 0.997).cast("int").alias("cov_ok"))
+
+
+@register(
+    "m18_flux_contract",
+    # Exact structural census + physical-sanity flags: the repetition
+    # count per batch is integer-exact SQL (the kernel pipeline must
+    # emit one stats row per (batch, repetition) key — a dropped or
+    # duplicated image changes it); the transmission invariants
+    # (0 < min <= mean <= 1, positive flux) pin P5/A4's ratio
+    # direction (flux normalized by the batch-max empty-beam proxy).
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS batch,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_repetitions,
+           CAST(1 AS INT) AS flux_pos, CAST(1 AS INT) AS trans_ok
+    FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+    """,
+    doc="Kernel->physics pipeline contract under the driver hash "
+        "gate: m15's per-batch row census must equal the distinct "
+        "(batch, repetition) key count (integer-exact), flux must be "
+        "positive, and transmissions must satisfy 0 < min <= mean "
+        "<= 1 — the invariant structure of the batch-max-normalized "
+        "ratio chain.",
+)
+def m18_flux_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = m15_kernel_flux_pipeline(spark, sf_dir)
+    return m.select(
+        "batch", "n_repetitions",
+        (F.col("mean_flux") > 0).cast("int").alias("flux_pos"),
+        ((F.col("min_transmission") > 0)
+         & (F.col("min_transmission") <= F.col("mean_transmission"))
+         & (F.col("mean_transmission") <= 1.0))
+        .cast("int").alias("trans_ok"))
+
+
 @register(
     "mm06_media_dedup_clusters",
     # Same end-to-end gate as mm03: payloads are a pure function of
