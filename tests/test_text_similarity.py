@@ -152,3 +152,56 @@ def test_blocked_pairs_max_block_guard(spark):
     # opt-out restores the unguarded contract
     assert S.blocked_pairs(df, ["blk"], {"n": "n"},
                            max_block=None).count() == 28
+
+
+def test_hashed_shingle_docs_matches_string_path(spark):
+    """The hash-at-position scan (one evaluation, no string arrays)
+    must equal hashing the string shingle set: same distinct hash
+    sets, same n, and len<3 docs dropped like the empty-set filter."""
+    df = spark.createDataFrame(
+        [(1, "en", "abcabc"), (2, "en", "xy"), (3, "de", "hello world")],
+        "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (sorted(r["hs"]), r["n"])
+           for r in S.hashed_shingle_docs(df, with_n=True).collect()}
+    want_df = df.filter(F.length("text") >= 3).select(
+        "doc_id", S.shingle_set_col(F.col("text")).alias("ss"))
+    want = {}
+    for r in want_df.select(
+            "doc_id",
+            F.transform("ss", S.shingle_hash).alias("hs")).collect():
+        want[r["doc_id"]] = (sorted(r["hs"]), len(r["hs"]))
+    assert got == want
+    assert 2 not in got  # len<3 doc dropped
+
+
+def test_hashed_shingle_docs_single_evaluation_plan(spark):
+    """The staged scan must evaluate the shingle expression ONCE: the
+    consumer plan may contain at most one array_distinct (the
+    select->filter->select shape inlined it 3x)."""
+    df = spark.createDataFrame([(1, "en", "abcdef")],
+                               "doc_id long, lang string, text string")
+    out = S.hashed_shingle_docs(df, with_n=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_distinct") <= 1, plan
+
+
+def test_load_spread_conditional(spark, tmp_path):
+    """load_spread repartitions a single-split scan to cluster
+    parallelism but leaves an already-parallel scan untouched."""
+    from mousedatapipeline_spark import tables
+    par = spark.sparkContext.defaultParallelism
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    one = tables.load_spread(spark, str(tmp_path), "documents")
+    assert one.rdd.getNumPartitions() == par
+    spark.range(10_000).repartition(par + 4).write.mode(
+        "overwrite").parquet(str(tmp_path / "part.parquet"))
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    shutil.move(str(tmp_path / "part.parquet"),
+                str(tmp_path / "documents.parquet"))
+    many = tables.load_spread(spark, str(tmp_path), "documents")
+    # no repartition node added: partition count is the scan's own
+    assert many.rdd.getNumPartitions() >= par
+    assert "Exchange" not in many._jdf.queryExecution() \
+        .executedPlan().toString()
