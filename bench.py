@@ -54,6 +54,20 @@ def main() -> None:
         warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
     except Exception as exc:  # noqa: BLE001
         print(f"BENCH WARMUP ERROR: {exc}", file=sys.stderr)
+    # Also warm the Python worker pool (one worker per core): without
+    # this the FIRST Pandas-kernel query absorbs the whole pool's
+    # startup (~seconds), mis-attributing environment cost to that
+    # query's plan.
+    try:
+        import pandas as _pd  # noqa: F401
+
+        def _ident(it):
+            yield from it
+        (spark.range(256).repartition(32)
+         .mapInPandas(_ident, "id long")
+         .write.mode("overwrite").format("noop").save())
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH PYWARM ERROR: {exc}", file=sys.stderr)
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     timings: dict[str, float] = {}

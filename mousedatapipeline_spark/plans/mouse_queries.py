@@ -1123,7 +1123,7 @@ def m17_repetition_drift_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form of the minted tree.
 # --------------------------------------------------------------------------
 @register(
-    "m16_manifest_scan",
+    "m19_manifest_scan",
     oracle="""
     WITH k AS (
       SELECT o_orderkey AS batch,
@@ -1156,7 +1156,7 @@ def m17_repetition_drift_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a listing gap, key-parse slip, or census off-by-one all break "
         "the hash.",
 )
-def m16_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m19_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
@@ -1172,7 +1172,7 @@ def m16_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"))
             .collect())  # bounded fixture build (< ~30 dirs), like m13
 
-    root = Path(tempfile.mkdtemp(prefix="mouse_manifest_m16_"))
+    root = Path(tempfile.mkdtemp(prefix="mouse_manifest_m19_"))
     for r in keys:
         for rep in range(1, 2 + r["batch"] % 3):
             d = (root / r["ymd"][:4] / r["ymd"]
@@ -1204,7 +1204,7 @@ def m16_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # appendable parquet table.
 # --------------------------------------------------------------------------
 @register(
-    "m17_quarantine_roundtrip",
+    "m20_quarantine_roundtrip",
     oracle="""
     SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
     FROM (
@@ -1223,7 +1223,7 @@ def m16_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the valid count — proving rejected rows land on disk with "
         "their reasons intact, not merely that the filter splits.",
 )
-def m17_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m20_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mousedatapipeline_spark.operators.filters import split_valid
@@ -1240,7 +1240,7 @@ def m17_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit("quantity_overflow"))
         .otherwise(F.lit("discount_out_of_range")))
 
-    qdir = tempfile.mkdtemp(prefix="mouse_quarantine_m17_")
+    qdir = tempfile.mkdtemp(prefix="mouse_quarantine_m20_")
     write_quarantine(bad, qdir)
     back = spark.read.parquet(qdir)
 
