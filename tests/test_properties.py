@@ -219,3 +219,58 @@ def test_bucketed_exact_quantiles_property(spark, vals, qs, n_buckets):
     for q, a in pairs:
         expect = s[max(min(math.ceil(q * len(s)), len(s)), 1) - 1]
         assert row[a] == expect, (q, n_buckets, row[a], expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=24), min_size=1, max_size=6))
+def test_hashed_shingle_docs_equals_string_path_property(spark, texts):
+    """For arbitrary printable-ascii docs, the hash-at-position scan
+    equals hashing the distinct string shingle set (up to hash
+    collisions, which array_distinct on hashes and on strings see
+    identically iff the hash is injective on the doc's shingles —
+    asserted here as set equality of the hash MULTISETS, the exact
+    quantity every consumer uses)."""
+    from mousedatapipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string")
+    got = {r["doc_id"]: sorted(r["hs"])
+           for r in S.hashed_shingle_docs(df).collect()}
+    want = {}
+    for r in (df.filter(F.length("text") >= 3)
+              .select("doc_id",
+                      S.shingle_set_col(F.col("text")).alias("ss"))
+              .select("doc_id",
+                      F.array_distinct(
+                          F.transform("ss", S.shingle_hash)).alias("hs"))
+              .collect()):
+        want[r["doc_id"]] = sorted(r["hs"])
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0,
+                            max_value=9_223_372_036_854_775_807),
+                min_size=1, max_size=8))
+def test_e22_weights_col_equals_scalar_property(spark, ids):
+    """The staged bootstrap-weight array equals the per-replica scalar
+    form for arbitrary non-negative event ids, including ids that
+    would wrap the naive (unreduced) hash."""
+    from mousedatapipeline_spark.plans.events_queries import (
+        _E22_B, _e22_weight, _e22_weights_col)
+
+    df = spark.createDataFrame([(i,) for i in set(ids)],
+                               "event_id: bigint")
+    arr = {r["event_id"]: r["wts"] for r in
+           df.select("event_id",
+                     _e22_weights_col().alias("wts")).collect()}
+    scalar = {r["event_id"]: r["wts"] for r in
+              df.select("event_id", F.array(
+                  *[_e22_weight(k) for k in range(_E22_B)])
+                  .alias("wts")).collect()}
+    assert arr == scalar
