@@ -293,14 +293,23 @@ def beam_shape(cov: np.ndarray) -> tuple[float, float, float]:
 # ---------------------------------------------------------------------------
 # U3 — coverage-ellipse beam analysis
 # ---------------------------------------------------------------------------
-def coverage_ellipse_mask(img: np.ndarray, k: float) -> np.ndarray:
-    """k·σ Mahalanobis ellipse mask around the weighted centroid."""
+def _mahalanobis_field(img: np.ndarray) -> np.ndarray:
+    """Per-pixel squared Mahalanobis distance to the weighted centroid
+    under the intensity covariance — the k-independent field every
+    k·σ ellipse mask thresholds (``mask(k) == field <= k*k``). Single
+    definition shared by :func:`coverage_ellipse_mask` and the
+    bisection in :func:`dynamic_beam_analysis` so the two can never
+    diverge."""
     cy, cx, cov = weighted_covariance(img)
     inv = np.linalg.inv(cov + 1e-12 * np.eye(2))
     rows, cols = np.indices(img.shape)
     dy, dx = rows - cy, cols - cx
-    d2 = inv[0, 0] * dy * dy + 2 * inv[0, 1] * dy * dx + inv[1, 1] * dx * dx
-    return d2 <= k * k
+    return inv[0, 0] * dy * dy + 2 * inv[0, 1] * dy * dx + inv[1, 1] * dx * dx
+
+
+def coverage_ellipse_mask(img: np.ndarray, k: float) -> np.ndarray:
+    """k·σ Mahalanobis ellipse mask around the weighted centroid."""
+    return _mahalanobis_field(img) <= k * k
 
 
 def dynamic_beam_analysis(img: np.ndarray, *, coverage: float = 0.997,
@@ -315,15 +324,12 @@ def dynamic_beam_analysis(img: np.ndarray, *, coverage: float = 0.997,
     if total <= 0:
         raise ValueError("zero total intensity")
     cy, cx, cov = weighted_covariance(img)
-    # The Mahalanobis field d2 is k-independent: compute it once and
-    # let each bisection step reduce to a threshold + masked sum
-    # (identical masks to coverage_ellipse_mask(img, k) per step; at
-    # Eiger size this is the difference between ~0.45 s and ~0.1 s
-    # per image).
-    inv = np.linalg.inv(cov + 1e-12 * np.eye(2))
-    rows, cols = np.indices(img.shape)
-    dy, dx = rows - cy, cols - cx
-    d2 = inv[0, 0] * dy * dy + 2 * inv[0, 1] * dy * dx + inv[1, 1] * dx * dx
+    # The Mahalanobis field is k-independent: compute it once and let
+    # each bisection step reduce to a threshold + masked sum (identical
+    # masks to coverage_ellipse_mask(img, k) per step — same field by
+    # construction; at Eiger size this is the difference between
+    # ~0.45 s and ~0.1 s per image).
+    d2 = _mahalanobis_field(img)
     lo, hi = k_lo, k_hi
     for _ in range(steps):
         mid = (lo + hi) / 2

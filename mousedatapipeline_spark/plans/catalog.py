@@ -231,7 +231,7 @@ _STALE_PROOF = frozenset({
     "s24_containment_neardup",  # r05: hashed-set blocked_pairs scan
     # Round-5 load_spread adoption (single-file scan parallelized
     # before per-row-expensive tokenize/ngram work):
-    "t09_repetition_signals", "t10_decontamination",
+    "t10_decontamination",
     "t15_bigram_surprisal", "t18_novelty_scan", "t27_bpe_merge_stats",
     "t28_dsir_importance", "t30_split_contamination",
     "t34_corpus_drift",

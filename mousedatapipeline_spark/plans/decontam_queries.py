@@ -229,9 +229,9 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-file fixture arrives as ONE partition; spread the
-    # tokenize/ngram work before the per-row-expensive explode.
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    # tokenize/ngram work before the per-row-expensive explode
+    # (conditional — a no-op on an already-parallel source).
+    d = load_spread(spark, sf_dir, "documents")
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = d.select("doc_id", F.explode(grams).alias("gram"))
@@ -548,7 +548,7 @@ def t30_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.plans.curation_queries import (
         SPLIT_FRACTIONS,
     )
-    d = SA.dataset_split(load(spark, sf_dir, "documents"),
+    d = SA.dataset_split(load_spread(spark, sf_dir, "documents"),
                          "doc_id", SPLIT_FRACTIONS)
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))

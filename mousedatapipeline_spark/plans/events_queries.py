@@ -25,7 +25,7 @@ from mousedatapipeline_spark.operators.joins import (
 )
 from mousedatapipeline_spark.operators.windows import sessionize
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load
+from mousedatapipeline_spark.tables import load, load_spread
 
 
 @register(
@@ -1265,8 +1265,7 @@ def e22_bootstrap_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references are plain element_at lookups (see _e22_weights_col).
     # The single-file local fixture arrives as ONE partition; spread
     # the per-row weight work before the (map-side-combined) agg.
-    ev = (load(spark, sf_dir, "events")
-          .repartition(spark.sparkContext.defaultParallelism)
+    ev = (load_spread(spark, sf_dir, "events")
           .select("event_type", "value",
                   _e22_weights_col().alias("wts")))
     dec = "decimal(30,10)"

@@ -483,7 +483,7 @@ def m15_kernel_flux_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beam, the weighted centroid must sit within 0.05 px of the "
         "minted Gaussian's center, both sigmas within 0.05 of the "
         "minted sigma, and the bisection ellipse must actually cover "
-        ">= 99.7%% of intensity — emitted as integer flags against an "
+        ">= 99.7% of intensity — emitted as integer flags against an "
         "all-ones oracle (the q33 sketch-contract pattern applied to "
         "the image kernels).",
 )

@@ -1148,7 +1148,7 @@ def m17_repetition_drift_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="S1/S2/F1 end-to-end: deterministic repetition directory tree "
         "({year}/{ymd}/{ymd}_{batch}_{rep}/ with the reference's file "
-        "patterns; every (batch+rep) %% 4 == 0 repetition minted "
+        "patterns; every (batch+rep) % 4 == 0 repetition minted "
         "incomplete by omitting its top-level detector master) -> "
         "distributed binaryFile listing (sources/manifest.scan_files) "
         "-> path-key extraction -> per-pattern census + completeness "
