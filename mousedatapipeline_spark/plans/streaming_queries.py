@@ -28,7 +28,7 @@ from mousedatapipeline_spark.plans.events_queries import (
     SESSION_WINDOW_ORACLE_SQL,
 )
 from mousedatapipeline_spark.streaming import stateful, watcher
-from mousedatapipeline_spark.tables import load
+from mousedatapipeline_spark.tables import load, load_spread
 
 def _drain(q, seconds: int = 300) -> None:
     """availableNow drains must COMPLETE: a timed-out query would leave
@@ -954,7 +954,11 @@ def w10_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     grams = F.array_distinct(
         TX.ngrams_from_tokens(TX.tokens(F.col("text")), NGRAM))
-    ev = (d.repartition(par)
+    # load_spread (conditional), not d.repartition: the batch-side
+    # eval-set build should not force a shuffle on an already-parallel
+    # source. The per-BATCH repartition below stays — a micro-batch is
+    # one landing file by construction.
+    ev = (load_spread(spark, sf_dir, "documents")
           .filter(F.col("doc_id") % EVAL_MOD == 0)
           .select(F.explode(grams).alias("gram"))
           .distinct().localCheckpoint(eager=False))
