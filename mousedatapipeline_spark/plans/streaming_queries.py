@@ -1200,3 +1200,151 @@ def _finalize_w13_oracle() -> None:
 
 
 _finalize_w13_oracle()
+
+
+# --------------------------------------------------------------------------
+# w14: streaming SCD-2 dimension maintenance — the streaming face of
+# q35's batch SCD-2 story. Each user's event_type is tracked as a
+# slowly-changing attribute: every change opens a new version row
+# [valid_from, valid_to) and closes the previous one. The state layout
+# is the scale design: closed versions are IMMUTABLE history, appended
+# as one subdir per batch (per-batch write ∝ the batch's changes),
+# while the open-row set (exactly one row per user) rewrites as an
+# O(|users|) snapshot. No batch ever rewrites history — at 100 TB the
+# closed log is a partitioned append-only table and the open snapshot
+# is a small hot table, exactly the lakehouse SCD-2 shape.
+#
+# Cross-batch ordering: chunks are range-partitioned on ts_us and
+# drained oldest-mtime-first (write_time_chunks), so every batch's
+# events are strictly later than all prior batches' — the previous
+# open row merges as a pseudo-event at its own valid_from and the
+# consecutive-duplicate collapse works unchanged across the boundary.
+# --------------------------------------------------------------------------
+_W14_CLOSED_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("tier", T.StringType()),
+    T.StructField("valid_from", T.LongType()),
+    T.StructField("version_event_id", T.LongType()),
+    T.StructField("valid_to", T.LongType()),
+])
+
+
+def _w14_scd2_merge(batch: DataFrame, batch_id: int, state_dir: Path) -> None:
+    """Merge one time-ordered batch into the SCD-2 state.
+
+    Replay-idempotent (at-least-once foreachBatch): reads only open
+    snapshots strictly below ``batch_id`` and overwrites its own
+    ``closed/v{batch_id}`` + ``open/v{batch_id}`` outputs, so a task
+    retry reproduces identical state (same guard as _w07_merge)."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    opens = sorted(p for p in (state_dir / "open").glob("v*")
+                   if int(p.name[1:]) < batch_id)
+    ev = batch.select(
+        "user_id", F.col("event_type").alias("tier"),
+        F.col("ts_us").alias("valid_from"),
+        F.col("event_id").alias("version_event_id"))
+    if opens:
+        prev_open = spark.read.parquet(str(opens[-1])).select(
+            "user_id", "tier", "valid_from", "version_event_id")
+        ev = prev_open.unionByName(ev)
+    w = Window.partitionBy("user_id").orderBy(
+        "valid_from", "version_event_id")
+    changes = (
+        ev.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull()
+                | (F.col("tier") != F.col("prev_tier")))
+        .drop("prev_tier"))
+    vers = changes.withColumn("valid_to", F.lead("valid_from").over(w))
+    vers.filter(F.col("valid_to").isNotNull()).write.mode(
+        "overwrite").parquet(str(state_dir / "closed" / f"v{batch_id:06d}"))
+    vers.filter(F.col("valid_to").isNull()).drop("valid_to").write.mode(
+        "overwrite").parquet(str(state_dir / "open" / f"v{batch_id:06d}"))
+
+
+@register(
+    "w14_stream_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type AS tier, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, tier, ts_us, event_id,
+             LAG(tier) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS prev_tier
+      FROM e
+    ),
+    v AS (
+      SELECT user_id, tier, event_id AS version_event_id,
+             ts_us AS valid_from,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS valid_to
+      FROM ch WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier, version_event_id,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(COALESCE(valid_to, -1) AS BIGINT) AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM v
+    """,
+    doc="Streaming SCD-2 maintenance: per-user event_type tracked as a "
+        "slowly-changing attribute through time-ordered micro-batches. "
+        "foreachBatch appends newly-closed version rows (immutable "
+        "history, one subdir per batch) and rewrites only the "
+        "one-row-per-user open snapshot — per-batch cost ∝ batch "
+        "changes + |users|, never history. Replay-idempotent via the "
+        "strictly-below-batch_id state read. The final state must "
+        "equal q35-style batch window SQL over the full feed — "
+        "streaming/batch parity.",
+)
+def w14_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="mouse_w14_"))
+    landing = work / "landing"
+    landing.mkdir()
+    write_time_chunks(spark, sf_dir, landing, n_chunks=3, full_rows=True)
+    state_dir = work / "state"
+    (state_dir / "closed").mkdir(parents=True)
+    (state_dir / "open").mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(chunk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream
+            .foreachBatch(lambda b, i: _w14_scd2_merge(b, i, state_dir))
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    closed_dirs = [str(p) for p in sorted((state_dir / "closed").glob("v*"))]
+    open_last = sorted((state_dir / "open").glob("v*"))[-1]
+    # Explicit schema: a batch with no transitions writes an empty dir
+    # (no part files), which would break schema inference on read-back.
+    closed = spark.read.schema(_W14_CLOSED_SCHEMA).parquet(*closed_dirs)
+    open_df = spark.read.parquet(str(open_last)).withColumn(
+        "valid_to", F.lit(None).cast("long"))
+    return (
+        closed.unionByName(open_df)
+        .select(
+            "user_id", "tier", "version_event_id",
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.coalesce(F.col("valid_to"), F.lit(-1)).cast("bigint")
+            .alias("valid_to"),
+            F.col("valid_to").isNull().cast("int").alias("is_current"))
+    )

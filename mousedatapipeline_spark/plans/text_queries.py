@@ -1345,3 +1345,158 @@ def t35_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
           .alias(f"n_{tag.lower()}") for tag, _ in T.PII_PATTERNS],
         F.sum(F.col("len_raw") - F.col("len_red")).cast("bigint")
         .alias("bytes_delta"))
+
+
+# --------------------------------------------------------------------------
+# t36: BM25 top-k retrieval. The sparse-retrieval face of the curation
+# stack (t05 is plain TF-IDF): a fixed literal query set is scored
+# against the corpus with Lucene-style BM25 (k1=1.2, b=0.75,
+# idf = ln((N - df + 0.5)/(df + 0.5) + 1), always positive). The token
+# stream is filtered to the query vocabulary BEFORE the (doc, term)
+# count shuffle, so the heavy aggregation touches only matching tokens;
+# df / query-term / corpus-stats tables are all broadcast-sized. Per
+# (query, doc) scores fold through the decimal accumulator so partition
+# order cannot move the float sum, and the top-k window runs over the
+# already-aggregated (query, doc) rows, partitioned by query.
+# --------------------------------------------------------------------------
+_BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q0", ("sort", "merge", "join")),
+    ("q1", ("hash", "table", "scan")),
+    ("q2", ("stream", "batch", "window")),
+    ("q3", ("dup", "row")),
+    ("q4", ("fast", "vector", "filter")),
+)
+_BM25_TERMS = tuple(sorted({t for _, ts in _BM25_QUERIES for t in ts}))
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    pairs = ", ".join(f"('{qid}', '{t}')"
+                      for qid, ts in _BM25_QUERIES for t in ts)
+    # The contrib expression below is mirrored term-for-term by the
+    # Spark side (same cast positions, same literal constants) so the
+    # per-row IEEE tree is identical; only the SUM reassociates, and
+    # that goes through the decimal accumulator on both sides.
+    contrib = (
+        "LN((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)"
+        " / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})"
+        f" / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B}"
+        f" + {_BM25_B} * (CAST(tf.dl AS DOUBLE)"
+        " / (CAST(s.total_tokens AS DOUBLE)"
+        " / CAST(s.n_docs AS DOUBLE)))))")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_NTOK} AS dl, {_SQL_TOKENS} AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM d
+    ),
+    q(query_id, term) AS (VALUES {pairs}),
+    tf AS (
+      SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM d, UNNEST(list_filter(toks,
+               x -> list_contains([{terms}], x))) AS u(t)
+      GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, {contrib} AS contrib
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN df ON tf.term = df.term
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             {stable_round_sql(
+                 'CAST(CAST(SUM(CAST(contrib AS DECIMAL(30,10)))'
+                 ' AS VARCHAR) AS DOUBLE)')} AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rank, n_terms_matched, score FROM (
+      SELECT query_id, doc_id, n_terms_matched, score,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM agg
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "t36_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="BM25 top-10 retrieval for a fixed 5-query set (Lucene idf "
+        "variant, k1=1.2, b=0.75): the token stream is filtered to the "
+        "14-term query vocabulary BEFORE the (doc, term) tf shuffle, so "
+        "the aggregation is proportional to matching tokens, not the "
+        "corpus; df / query-pairs / corpus-stats sides are broadcast; "
+        "per-(query, doc) scores use the decimal-accumulated dsum and "
+        "the top-k window partitions by query over already-aggregated "
+        "rows. At 100 TB this is the classic broadcast-filtered "
+        "inverted-index scan: one corpus pass + one |matched-token| "
+        "shuffle.",
+)
+def t36_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    # Corpus stats (1 row, broadcast): N and total token count — avgdl
+    # is derived with the SAME division expression in both engines.
+    stats = base.select(F.size("toks").alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"))
+    terms_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        base.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode(F.filter(
+                "toks",
+                lambda x: F.array_contains(terms_arr, x))).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    qpairs = F.array(*[
+        F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("term"))
+        for qid, ts in _BM25_QUERIES for t in ts])
+    qtab = (spark.range(1)
+            .select(F.explode(qpairs).alias("p"))
+            .select("p.query_id", "p.term"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double")
+         + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0))
+    contrib = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(_BM25_K1)
+           * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B)
+              * (F.col("dl").cast("double")
+                 / (F.col("total_tokens").cast("double")
+                    / F.col("n_docs").cast("double"))))))
+    scored = (
+        tf.join(F.broadcast(qtab), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("contrib")))
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        stable_round(dsum("contrib")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank", "n_terms_matched", "score"))

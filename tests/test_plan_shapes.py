@@ -647,3 +647,13 @@ def test_q42_orc_scan_prunes_partition(spark):
     pruning (one directory scanned), not filter post-scan."""
     plan = _plan(spark, "q42_orc_partitioned_roundtrip")
     assert re.search(r"PartitionFilters: \[.*o_orderstatus.*\]", plan), plan
+
+
+@_needs_data
+def test_t36_small_sides_broadcast_no_smj(spark):
+    """BM25's df table, query-pair table, and 1-row corpus stats must
+    all broadcast into the matched-token stream — a SortMergeJoin here
+    would shuffle the token stream three times."""
+    plan = _plan(spark, "t36_bm25_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

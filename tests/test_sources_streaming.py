@@ -410,3 +410,70 @@ def test_w13_merge_replay_is_idempotent(spark, tmp_path):
     key = lambda r: r["event_type"]  # noqa: E731
     assert sorted(once, key=key) == sorted(replayed, key=key)
     assert once[0]["n"] == 80
+
+
+def test_w14_scd2_merge_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch id must leave the SCD-2 state identical: the
+    merge reads only open snapshots strictly below the current batch id
+    and overwrites its own closed/open outputs."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _W14_CLOSED_SCHEMA,
+        _w14_scd2_merge,
+    )
+
+    state = Path(tmp_path / "w14state")
+    (state / "closed").mkdir(parents=True)
+    (state / "open").mkdir()
+    b0 = spark.createDataFrame(
+        [(1, 10, 100, "a"), (2, 10, 200, "b"), (3, 20, 150, "a")],
+        "event_id long, user_id long, ts_us long, event_type string")
+    b1 = spark.createDataFrame(
+        [(4, 10, 300, "b"), (5, 20, 400, "a"), (6, 20, 500, "c")],
+        "event_id long, user_id long, ts_us long, event_type string")
+    _w14_scd2_merge(b0, 0, state)
+    _w14_scd2_merge(b1, 1, state)
+
+    def snapshot():
+        closed = spark.read.schema(_W14_CLOSED_SCHEMA).parquet(
+            *[str(p) for p in sorted((state / "closed").glob("v*"))])
+        open_df = spark.read.parquet(
+            str(sorted((state / "open").glob("v*"))[-1]))
+        return (sorted(map(tuple, closed.collect())),
+                sorted(map(tuple, open_df.collect())))
+
+    once = snapshot()
+    _w14_scd2_merge(b1, 1, state)  # replay of batch 1
+    assert snapshot() == once
+    closed, open_rows = once
+    # user 10: a@100 closed at 200? no — b@200 belongs to user 10 too:
+    # versions a[100,200) b[200,open); user 20: a[150,500) c[500,open).
+    # b1's a@400 for user 20 collapses into the open a version.
+    assert (10, "a", 100, 1, 200) in closed
+    assert (20, "a", 150, 3, 500) in closed
+    assert {(u, t) for (u, t, *_rest) in open_rows} == {
+        (10, "b"), (20, "c")}
+
+
+def test_w14_scd2_intervals_partition_timeline(spark):
+    """End-to-end invariant at sf0.001: per user, version intervals are
+    contiguous (valid_to of one == valid_from of the next), exactly one
+    open row per user, and no interval is empty."""
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        w14_stream_scd2,
+    )
+
+    rows = w14_stream_scd2(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in vs if r.is_current == 1]
+        assert len(opens) == 1 and vs[-1] is opens[0]
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.valid_from < a.valid_to
+        assert vs[-1].valid_to == -1

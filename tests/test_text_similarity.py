@@ -205,3 +205,52 @@ def test_load_spread_conditional(spark, tmp_path):
     assert many.rdd.getNumPartitions() >= par
     assert "Exchange" not in many._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_bm25_topk_invariants(spark):
+    """t36: ranks are contiguous from 1 per query, scores non-increasing
+    along the rank order, every score positive (Lucene idf variant is
+    always > 0), and n_terms_matched never exceeds the query length."""
+    from mousedatapipeline_spark.plans.text_queries import (
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        t36_bm25_topk,
+    )
+    rows = t36_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    qlen = dict((qid, len(ts)) for qid, ts in _BM25_QUERIES)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert 0 < r.n_terms_matched <= qlen[r.query_id]
+        assert r.score > 0.0
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _BM25_TOPK
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    """A doc matching the rare term 'dup' (df~5% of corpus) must outrank
+    any doc matching only the common term 'row' for query q3 — the idf
+    ordering BM25 exists for. Guarded: skip if this SF has no 'dup' doc."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mousedatapipeline_spark.plans.text_queries import t36_bm25_topk
+    from mousedatapipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    has_dup = {r.doc_id for r in d.filter(
+        F.col("text").rlike(r"(^| )dup( |$)")).select("doc_id").collect()}
+    if not has_dup:
+        pytest.skip("no 'dup' docs at this SF")
+    rows = [r for r in t36_bm25_topk(spark, sf).collect()
+            if r.query_id == "q3"]
+    rows.sort(key=lambda r: r.rank)
+    dup_ranks = [r.rank for r in rows if r.doc_id in has_dup]
+    only_row_ranks = [r.rank for r in rows if r.doc_id not in has_dup]
+    if dup_ranks and only_row_ranks:
+        assert max(dup_ranks) < min(only_row_ranks)
