@@ -2048,3 +2048,101 @@ GROUP BY l_returnflag, l_linestatus
 def q46_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q46_SQL)
+
+
+@register(
+    "q47_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'I'
+                  WHEN o_orderkey % 10 = 1 THEN 'D'
+                  ELSE 'U' END AS op,
+             o_orderstatus AS c_status,
+             CASE WHEN o_orderkey % 10 = 2
+                  THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS c_price
+      FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IN ('U', 'I') THEN c.c_status
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.op IN ('U', 'I') THEN c.c_price
+                  ELSE b.o_totalprice END AS o_totalprice,
+             c.op AS op,
+             (b.o_orderkey IS NOT NULL) AS matched
+      FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+      WHERE NOT COALESCE(c.op = 'D', FALSE)
+        AND (b.o_orderkey IS NOT NULL OR c.op = 'I')
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN op = 'U' AND matched
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN op = 'I' AND NOT matched
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           {stable_round_sql(
+               'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))'
+               ' AS VARCHAR) AS DOUBLE)')} AS revenue
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO (upsert with deletes), the lakehouse CDC staple: a "
+        "deterministic change feed (10% inserts / 10% deletes / 10% "
+        "price updates, keyed on o_orderkey % 10) applies to the "
+        "remaining 90% base with full MERGE semantics — matched+D "
+        "deletes, matched+U updates, unmatched+I inserts, unmatched "
+        "U/D are no-ops. The physical plan is the canonical single "
+        "FULL OUTER hash join on the merge key (one shuffle, the same "
+        "shape Delta/Iceberg MERGE compiles to), then a per-status "
+        "rollup with decimal-exact revenue. The +100.0 price bump is "
+        "IEEE-exact in both engines.",
+)
+def q47_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    chg = (
+        o.filter((F.col("o_orderkey") % 10).isin(0, 1, 2))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, "I")
+            .when(F.col("o_orderkey") % 10 == 1, "D")
+            .otherwise("U").alias("op"),
+            F.col("o_orderstatus").alias("c_status"),
+            F.when(F.col("o_orderkey") % 10 == 2,
+                   F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice")).alias("c_price")))
+    b = base.alias("b")
+    c = chg.alias("c")
+    upsert = F.col("c.op").isin("U", "I")
+    merged = (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+               "full_outer")
+        .where(~F.coalesce(F.col("c.op") == "D", F.lit(False))
+               & (F.col("b.o_orderkey").isNotNull()
+                  | (F.col("c.op") == "I")))
+        .select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey"))
+            .alias("o_orderkey"),
+            F.when(upsert, F.col("c.c_status"))
+            .otherwise(F.col("b.o_orderstatus")).alias("o_orderstatus"),
+            F.when(upsert, F.col("c.c_price"))
+            .otherwise(F.col("b.o_totalprice")).alias("o_totalprice"),
+            F.col("c.op").alias("op"),
+            F.col("b.o_orderkey").isNotNull().alias("matched")))
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(((F.col("op") == "U") & F.col("matched")).cast("int"))
+        .cast("bigint").alias("n_updated"),
+        F.sum(((F.col("op") == "I") & ~F.col("matched")).cast("int"))
+        .cast("bigint").alias("n_inserted"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        stable_round(dsum("o_totalprice")).alias("revenue"))

@@ -2806,3 +2806,122 @@ def _finalize_s39_oracle() -> None:
 
 
 _finalize_s39_oracle()
+
+
+# --------------------------------------------------------------------------
+# s40: PageRank over the verified near-dup graph — the iterative-
+# algorithm pattern (fixed damping 0.85, 3 synchronous iterations)
+# expressed as pure DataFrame joins. The edge set is s19's verified
+# pair set made symmetric, so every node has outdeg >= 1 and indeg
+# >= 1: no dangling mass, rank sum is conserved. Each iteration is one
+# |E| join + one |V| aggregation; the edge/degree subtree is lazily
+# checkpointed so the three iterations share ONE s19 computation.
+# Cross-engine parity by induction: r0 = 1/N is the same double in
+# both engines, each contribution r/outdeg is the same IEEE division,
+# and each iteration's sum goes through the decimal accumulator — so
+# r_k is bit-identical in both engines at every k, and only the final
+# output is rounded.
+# --------------------------------------------------------------------------
+_S40_ITERS = 3
+_S40_DSUM_SQL = ("CAST(CAST(SUM(CAST(r / CAST(outdeg AS DOUBLE)"
+                 " AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)")
+
+
+def _s40_oracle_iterations() -> str:
+    ctes = []
+    prev = "r0"
+    for k in range(1, _S40_ITERS + 1):
+        ctes.append(f"""
+    c{k} AS (
+      SELECT e.dst AS doc_id, {_S40_DSUM_SQL} AS s
+      FROM e JOIN {prev} ON e.src = {prev}.doc_id
+             JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT doc_id,
+             0.15 / CAST((SELECT n FROM nn) AS DOUBLE) + 0.85 * s AS r
+      FROM c{k}
+    )""")
+        prev = f"r{k}"
+    return ",".join(ctes)
+
+
+@register(
+    "s40_neardup_pagerank",
+    # The pair set IS s19's registered oracle (composed verbatim, s25/
+    # s33 pattern) — one source of truth for the near-dup definition.
+    oracle="""
+    WITH pr AS MATERIALIZED ({s19}),
+    e AS MATERIALIZED (
+      SELECT d1 AS src, d2 AS dst FROM pr
+      UNION ALL
+      SELECT d2 AS src, d1 AS dst FROM pr
+    ),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS doc_id,
+                  1.0 / CAST((SELECT n FROM nn) AS DOUBLE) AS r
+           FROM deg),{iters}
+    SELECT r.doc_id, deg.outdeg AS degree, {rank} AS pagerank
+    FROM r{last} r JOIN deg ON r.doc_id = deg.src
+    """,
+    doc="PageRank (damping 0.85, 3 synchronous iterations) over s19's "
+        "verified near-dup graph made symmetric — ranks the most "
+        "central exemplars of each duplicate cluster (high-degree hub "
+        "docs score above leaf copies, unlike s14's min-doc_id or "
+        "s34's per-doc quality). Iterative-algorithm pattern: each "
+        "iteration is one |E|-sized join + |V|-sized decimal-sum "
+        "aggregation over the lazily-checkpointed edge list, never a "
+        "corpus pass; rank values stay bit-identical across engines "
+        "by decimal-accumulator induction.",
+)
+def s40_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("src"),
+                         F.col("d2").alias("dst")).unionByName(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    # One s19 run shared by the degree table and all three iterations:
+    # eager checkpoint materializes the (small) edge list exactly once;
+    # every iteration then replans only over the cached |E|-row RDD.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    # |V| is one scalar (bounded driver collect, graph.py precedent);
+    # inlining it as a literal avoids four broadcast-exchange jobs.
+    n = float(ew.select(F.count_distinct("src")).first()[0])
+    r = ew.select("src").distinct().select(
+        "src", (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(_S40_ITERS):
+        c = (ew.join(r, "src")
+             .groupBy("dst")
+             .agg(dsum(F.col("r") / F.col("outdeg").cast("double"))
+                  .alias("s")))
+        r = c.select(F.col("dst").alias("src"),
+                     (F.lit(0.15) / F.lit(n)
+                      + F.lit(0.85) * F.col("s")).alias("r"))
+    return (r.withColumnRenamed("src", "doc_id")
+            .join(deg.select(F.col("src").alias("doc_id"),
+                             F.col("outdeg").alias("degree")), "doc_id")
+            .select("doc_id", "degree",
+                    stable_round(F.col("r")).alias("pagerank")))
+
+
+def _finalize_s40_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s40_neardup_pagerank"]
+    _REGISTRY["s40_neardup_pagerank"] = replace(
+        spec, oracle=spec.oracle.format(
+            s19=_registered_oracle("s19_lsh_verified_neardup"),
+            iters=_s40_oracle_iterations(),
+            last=_S40_ITERS,
+            rank=stable_round_sql("r.r")))
+
+
+_finalize_s40_oracle()

@@ -108,3 +108,46 @@ def test_orient_rejects_incomplete_degrees_table(spark):
     partial = spark.createDataFrame([(1, 1), (2, 2)], "v: bigint, deg: bigint")
     with pytest.raises(Exception, match="does not cover"):
         orient_by_degree(edf, degrees=partial).collect()
+
+
+def test_s40_pagerank_conserves_mass_and_matches_numpy(spark):
+    """s40 on the sf0.001 corpus: (a) rank mass is conserved (the
+    symmetric edge set has no dangling nodes, so sum(r_k) == 1 up to
+    float error at every iteration); (b) the 3-iteration ranks match
+    an independent dense numpy power-iteration on the same edge set."""
+    import numpy as np
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        s19_lsh_verified_neardup, s40_neardup_pagerank)
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.degree, r.pagerank)
+           for r in s40_neardup_pagerank(spark, sf).collect()}
+    assert got, "sf0.001 corpus must produce a non-empty dup graph"
+    # Output ranks are stable_round(6)-ed: each node contributes up
+    # to 5.001e-7 of rounding error to the conserved-mass sum.
+    assert abs(sum(r for _, r in got.values()) - 1.0) < 5.1e-7 * len(got)
+
+    pairs = [(r.d1, r.d2) for r in
+             s19_lsh_verified_neardup(spark, sf).select("d1", "d2")
+             .collect()]
+    nodes = sorted({d for p in pairs for d in p})
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for d1, d2 in pairs:
+        a[idx[d1], idx[d2]] = 1.0
+        a[idx[d2], idx[d1]] = 1.0
+    outdeg = a.sum(axis=1)
+    assert (outdeg > 0).all()
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (a.T @ (r / outdeg))
+    for d in nodes:
+        assert got[d][0] == int(outdeg[idx[d]])
+        assert abs(got[d][1] - r[idx[d]]) < 5.1e-7, d
+    # Hubs outrank leaves: the max-degree node beats the min-degree one.
+    hub = max(nodes, key=lambda d: got[d][0])
+    leaf = min(nodes, key=lambda d: got[d][0])
+    if got[hub][0] > got[leaf][0]:
+        assert got[hub][1] > got[leaf][1]

@@ -179,6 +179,9 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # 1-row totals broadcast to the
                                   # bucket contrast table
                                   "t34_corpus_drift",
+                                  # 1-row (n_docs, total_tokens) corpus
+                                  # stats broadcast into the tf stream
+                                  "t36_bm25_topk",
                                   # 1-row sketch estimate x 1-row exact
                                   "k04_join_size_estimate"}
 

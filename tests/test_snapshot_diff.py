@@ -93,3 +93,49 @@ def test_incremental_agg_merge_handles_group_migration(spark):
            for r in incremental_agg_merge(old, new, "k", "g", "v")
            .collect()}
     assert got == {"a": (1, 3.0), "b": (1, 10.0)}
+
+
+def test_q47_merge_semantics_match_row_level_reference(spark):
+    """q47's per-status rollup equals a row-level MERGE reference
+    computed in plain Python over the same orders table: base is the
+    90% (key % 10 != 0), the change feed inserts %10==0, deletes
+    %10==1, updates %10==2 (+100.0), and unmatched U/D are no-ops."""
+    from mousedatapipeline_spark.plans.relational_queries import (
+        q47_merge_upsert)
+
+    sf = "/root/testdata/sf0.001"
+    orders = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+              for r in spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_orderkey", "o_orderstatus", "o_totalprice")
+              .collect()}
+    state, flags = {}, {}
+    for k, (st, pr) in orders.items():
+        if k % 10 != 0:
+            state[k] = (st, pr)
+    for k, (st, pr) in orders.items():
+        m = k % 10
+        if m == 0:                      # insert (never in base)
+            state[k] = (st, pr)
+            flags[k] = "I"
+        elif m == 1:                    # delete (always in base)
+            state.pop(k, None)
+        elif m == 2:                    # update (always in base)
+            state[k] = (st, pr + 100.0)
+            flags[k] = "U"
+    expect = {}
+    for k, (st, pr) in state.items():
+        n, nu, ni, mn, mx, rev = expect.get(
+            st, (0, 0, 0, None, None, 0.0))
+        expect[st] = (n + 1,
+                      nu + (flags.get(k) == "U"),
+                      ni + (flags.get(k) == "I"),
+                      k if mn is None else min(mn, k),
+                      k if mx is None else max(mx, k),
+                      rev + pr)
+    got = {r.o_orderstatus: r for r in q47_merge_upsert(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for st, (n, nu, ni, mn, mx, rev) in expect.items():
+        r = got[st]
+        assert (r.n_orders, r.n_updated, r.n_inserted) == (n, nu, ni), st
+        assert (r.min_key, r.max_key) == (mn, mx), st
+        assert abs(r.revenue - rev) < max(1e-6 * abs(rev), 1e-6), st
