@@ -725,3 +725,77 @@ def _finalize_c04_oracle() -> None:
 
 
 _finalize_c04_oracle()
+
+
+# --------------------------------------------------------------------------
+# c05: small-file compaction planning (the OPTIMIZE bin-packing pass a
+# lakehouse table needs after streaming/CDC ingest). The file manifest
+# is simulated from documents (file_id = doc_id, size = length(text),
+# partition = source); within each partition files are packed in
+# file_id order into target-sized output bins by exclusive running
+# sum — exactly the deterministic greedy packing Delta/Iceberg
+# OPTIMIZE uses. All-integer arithmetic: no float parity surface.
+# Scale: one window over the MANIFEST (metadata, ~1e6 rows per million
+# files), never the data; the plan is what a 100-TB rewrite job would
+# then execute per bin.
+# --------------------------------------------------------------------------
+_C05_TARGET = 16_384  # bytes per output file (SF-friendly small target)
+
+
+@register(
+    "c05_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT source, doc_id AS file_id, length(text) AS sz
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, file_id, sz,
+             COALESCE(SUM(sz) OVER (PARTITION BY source ORDER BY file_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM manifest
+    ),
+    binned AS (
+      SELECT source, file_id, sz,
+             CAST(FLOOR(cum_before / {_C05_TARGET}) AS BIGINT) AS bin
+      FROM packed
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(sz) AS BIGINT) AS total_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file,
+           CAST(SUM(sz) >= {_C05_TARGET} AS BOOLEAN) AS full_bin
+    FROM binned GROUP BY source, bin
+    """,
+    doc="Small-file compaction planning (lakehouse OPTIMIZE): packs "
+        "each source partition's files in file_id order into "
+        f"{_C05_TARGET}-byte output bins via an exclusive running sum "
+        "— the deterministic greedy bin-packing Delta/Iceberg "
+        "OPTIMIZE executes — and reports per output bin the input "
+        "file count, byte total, id range, and whether the bin "
+        "reached target (typically only each partition's tail bin "
+        "does not; an oversized file can also strand a short bin). "
+        "Runs on the file MANIFEST, never the data: one window + one "
+        "groupBy at metadata scale regardless of table size.",
+)
+def c05_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = load(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").alias("file_id"),
+        F.length("text").cast("bigint").alias("sz"))
+    w = (Window.partitionBy("source").orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = m.select(
+        "source", "file_id", "sz",
+        F.coalesce(F.sum("sz").over(w), F.lit(0)).alias("cum_before"))
+    binned = packed.select(
+        "source", "file_id", "sz",
+        F.floor(F.col("cum_before") / _C05_TARGET)
+        .cast("bigint").alias("bin"))
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.sum("sz").cast("bigint").alias("total_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+        (F.sum("sz") >= _C05_TARGET).alias("full_bin"))

@@ -2146,3 +2146,171 @@ def q47_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
         stable_round(dsum("o_totalprice")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# q48: data-layout quality audit — Z-ORDER vs single-column clustering
+# measured by min/max file skipping, the mechanism that decides scan
+# cost at 100 TB. Rows are mapped to 16-bit (custkey, orderdate)
+# coordinates, assigned to 64 "files" under two layouts (interleaved
+# z-value prefix vs custkey prefix), and a fixed 20-rectangle workload
+# is evaluated against each file's min/max footer stats. All-integer
+# bit arithmetic end to end (the one division is the same IEEE double
+# expression in both engines); the query grid attaches by exploding a
+# literal array onto the <=128-row stats table — no join, no product.
+# --------------------------------------------------------------------------
+_Q48_NFILES_SHIFT_Z = 26     # 32-bit z >> 26 -> 64 z-order files
+_Q48_NFILES_SHIFT_LIN = 10   # 16-bit ux >> 10 -> 64 linear files
+_Q48_QUERIES = [
+    (q, (q * 9973) % 50000, (q * 9973) % 50000 + 8000,
+     (q * 7919) % 50000, (q * 7919) % 50000 + 8000)
+    for q in range(20)
+]
+
+
+def _q48_z_sql(ux: str, uy: str) -> str:
+    terms = []
+    for b in range(16):
+        terms.append(f"((({ux} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({uy} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+def _q48_z_col(ux, uy):
+    out = None
+    for b in range(16):
+        for col, off in ((ux, 2 * b + 1), (uy, 2 * b)):
+            t = F.shiftleft(F.shiftright(col, b).bitwiseAND(F.lit(1)), off)
+            out = t if out is None else out + t
+    return out
+
+
+def _q48_oracle() -> str:
+    vals = ", ".join(f"({q}, {x0}, {x1}, {y0}, {y1})"
+                     for q, x0, x1, y0, y1 in _Q48_QUERIES)
+    return f"""
+    WITH mm AS (
+      SELECT MIN(o_custkey) AS ckmn,
+             GREATEST(MAX(o_custkey) - MIN(o_custkey), 1) AS ckspan,
+             MIN(CAST(o_orderdate AS DATE)) AS dmn,
+             GREATEST(MAX(CAST(o_orderdate AS DATE))
+                      - MIN(CAST(o_orderdate AS DATE)), 1) AS dspan
+      FROM orders),
+    base AS MATERIALIZED (
+      SELECT CAST(FLOOR(CAST((o_custkey - mm.ckmn) * 65535 AS DOUBLE)
+                        / CAST(mm.ckspan AS DOUBLE)) AS BIGINT) AS ux,
+             CAST(FLOOR(CAST((CAST(o_orderdate AS DATE) - mm.dmn) * 65535
+                             AS DOUBLE)
+                        / CAST(mm.dspan AS DOUBLE)) AS BIGINT) AS uy
+      FROM orders, mm),
+    tagged AS (
+      SELECT 'zorder' AS layout,
+             ({_q48_z_sql('ux', 'uy')}) >> {_Q48_NFILES_SHIFT_Z} AS file_id,
+             ux, uy
+      FROM base
+      UNION ALL
+      SELECT 'linear' AS layout, ux >> {_Q48_NFILES_SHIFT_LIN} AS file_id,
+             ux, uy
+      FROM base),
+    stats AS (
+      SELECT layout, file_id,
+             MIN(ux) AS minux, MAX(ux) AS maxux,
+             MIN(uy) AS minuy, MAX(uy) AS maxuy
+      FROM tagged GROUP BY layout, file_id),
+    qs AS (SELECT * FROM (VALUES {vals}) AS t(qid, qx0, qx1, qy0, qy1)),
+    hits AS (
+      SELECT layout,
+             CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN minux <= qx1 AND maxux >= qx0
+                            AND minuy <= qy1 AND maxuy >= qy0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS scanned_pairs
+      FROM stats, qs GROUP BY layout)
+    SELECT layout, n_files, scanned_pairs,
+           {stable_round_sql(
+               'CAST(scanned_pairs AS DOUBLE) / CAST(%d AS DOUBLE)'
+               % len(_Q48_QUERIES))} AS mean_files_scanned,
+           {stable_round_sql(
+               '1.0 - CAST(scanned_pairs AS DOUBLE)'
+               ' / CAST(n_files * %d AS DOUBLE)' % len(_Q48_QUERIES))}
+           AS skip_pct
+    FROM hits
+    """
+
+
+@register(
+    "q48_zorder_skipping",
+    oracle="{body}",
+    doc="Z-order layout audit: maps orders to 16-bit (custkey, "
+        "orderdate) coordinates, packs them into 64 files under a "
+        "bit-interleaved z-value prefix vs a custkey-only prefix, and "
+        "scores both layouts by how many files a fixed 20-rectangle "
+        "workload must scan given per-file min/max stats — the "
+        "footer-pruning arithmetic that makes multi-dimensional "
+        "predicates cheap at 100 TB (z-order bounds both dimensions "
+        "per file; single-column clustering leaves the other "
+        "dimension's min/max open). One scan, one 128-row stats "
+        "groupBy, query grid exploded from a literal — no joins.",
+)
+def q48_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+    mm = o.agg(
+        F.min("o_custkey").alias("ckmn"),
+        F.greatest(F.max("o_custkey") - F.min("o_custkey"),
+                   F.lit(1)).alias("ckspan"),
+        F.min("d").alias("dmn"),
+        F.greatest(F.datediff(F.max("d"), F.min("d")),
+                   F.lit(1)).alias("dspan")).first()
+    ux = F.floor(((F.col("o_custkey") - F.lit(mm.ckmn)) * 65535)
+                 .cast("double") / F.lit(float(mm.ckspan)))
+    uy = F.floor((F.datediff(F.col("d"), F.lit(mm.dmn)) * 65535)
+                 .cast("double") / F.lit(float(mm.dspan)))
+    base = o.select(ux.alias("ux"), uy.alias("uy"))
+    fz = F.shiftright(_q48_z_col(F.col("ux"), F.col("uy")),
+                      _Q48_NFILES_SHIFT_Z)
+    fl = F.shiftright(F.col("ux"), _Q48_NFILES_SHIFT_LIN)
+    tagged = base.select(
+        F.explode(F.array(
+            F.struct(F.lit("zorder").alias("layout"),
+                     fz.cast("bigint").alias("file_id")),
+            F.struct(F.lit("linear").alias("layout"),
+                     fl.cast("bigint").alias("file_id")))).alias("p"),
+        "ux", "uy").select("p.layout", "p.file_id", "ux", "uy")
+    stats = tagged.groupBy("layout", "file_id").agg(
+        F.min("ux").alias("minux"), F.max("ux").alias("maxux"),
+        F.min("uy").alias("minuy"), F.max("uy").alias("maxuy"))
+    grid = F.array(*[
+        F.struct(F.lit(q).alias("qid"),
+                 F.lit(x0).alias("qx0"), F.lit(x1).alias("qx1"),
+                 F.lit(y0).alias("qy0"), F.lit(y1).alias("qy1"))
+        for q, x0, x1, y0, y1 in _Q48_QUERIES])
+    crossed = stats.select(
+        "layout", "file_id", "minux", "maxux", "minuy", "maxuy",
+        F.explode(grid).alias("q"))
+    hit = ((F.col("minux") <= F.col("q.qx1"))
+           & (F.col("maxux") >= F.col("q.qx0"))
+           & (F.col("minuy") <= F.col("q.qy1"))
+           & (F.col("maxuy") >= F.col("q.qy0")))
+    nq = len(_Q48_QUERIES)
+    hits = crossed.groupBy("layout").agg(
+        F.count_distinct("file_id").cast("bigint").alias("n_files"),
+        F.sum(hit.cast("int")).cast("bigint").alias("scanned_pairs"))
+    return hits.select(
+        "layout", "n_files", "scanned_pairs",
+        stable_round(F.col("scanned_pairs").cast("double")
+                     / F.lit(float(nq))).alias("mean_files_scanned"),
+        stable_round(F.lit(1.0) - F.col("scanned_pairs").cast("double")
+                     / (F.col("n_files") * nq).cast("double"))
+        .alias("skip_pct"))
+
+
+def _finalize_q48_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["q48_zorder_skipping"]
+    _REGISTRY["q48_zorder_skipping"] = replace(
+        spec, oracle=spec.oracle.format(body=_q48_oracle()))
+
+
+_finalize_q48_oracle()

@@ -2925,3 +2925,149 @@ def _finalize_s40_oracle() -> None:
 
 
 _finalize_s40_oracle()
+
+
+# --------------------------------------------------------------------------
+# s41: top principal direction of the embedding Gram matrix by power
+# iteration (3 steps), fully in-engine — the q44/s40 iterative-algebra
+# pattern applied to spectral analysis. Per iteration the per-vector
+# dot x·v is a ROW-LOCAL left fold over the array (zip_with +
+# aggregate: no per-vector shuffle, ever), and the d-dimensional
+# update w = sum_i x_i (x_i·v) is one posexplode + groupBy(dim) with
+# map-side-combinable decimal sums — shuffle volume is d x partitions,
+# not n x d rows. Intermediate v vectors round-trip through the driver
+# as 64 bounded doubles (graph.py scalar-collect precedent) so each
+# iteration stays one scan of the checkpointed vectors.
+# Parity by induction: v0 = 1/sqrt(d) is the same double in both
+# engines (sqrt is IEEE-exact), the dot folds are order-matched
+# (s23/t17 pattern), and every cross-row sum goes through the
+# decimal(30,10) accumulator — so v_k is bit-identical at every k.
+# --------------------------------------------------------------------------
+_S41_ITERS = 3
+
+
+def _s41_dsum_sql(expr: str) -> str:
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,10)))"
+            " AS VARCHAR) AS DOUBLE)")
+
+
+def _s41_oracle() -> str:
+    # DuckDB forbids subqueries inside lambdas: dd joins in via a
+    # 1-row cross join so the lambda sees a plain column.
+    v0 = "(1.0 / SQRT(CAST(dd.d AS DOUBLE)))"
+    ctes = [f"""
+    dims AS MATERIALIZED ({_SQL_DIMS}),
+    dd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+    d1 AS MATERIALIZED (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(embedding[i] AS DOUBLE) * {v0}
+                FOR i IN generate_series(1, len(embedding))]),
+               (acc, x) -> acc + x) AS dot
+      FROM embeddings, dd)"""]
+    for k in range(1, _S41_ITERS + 1):
+        ctes.append(f"""
+    w{k} AS MATERIALIZED (
+      SELECT dims.dim AS dim, {_s41_dsum_sql('dims.v * d%d.dot' % k)} AS w
+      FROM dims JOIN d{k} USING (vec_id) GROUP BY dims.dim)""")
+        if k == _S41_ITERS:
+            break
+        ctes.append(f"""
+    v{k} AS (
+      SELECT dim,
+             w / (SELECT SQRT({_s41_dsum_sql('w * w')}) FROM w{k}) AS v
+      FROM w{k}),
+    varr{k} AS (SELECT list(v ORDER BY dim) AS varr FROM v{k}),
+    d{k + 1} AS MATERIALIZED (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(embedding[i] AS DOUBLE) * varr[i]
+                FOR i IN generate_series(1, len(embedding))]),
+               (acc, x) -> acc + x) AS dot
+      FROM embeddings, varr{k})""")
+    last = _S41_ITERS
+    nrm = f"(SELECT SQRT({_s41_dsum_sql('w * w')}) FROM w{last})"
+    return f"""
+    WITH {','.join(ctes)},
+    nf AS (SELECT {nrm} AS nrm)
+    SELECT dim, {stable_round_sql('w / (SELECT nrm FROM nf)')} AS loading,
+           {stable_round_sql('(SELECT nrm FROM nf)')} AS eigenvalue
+    FROM w{last}
+    """
+
+
+def _s41_dot(vlit):
+    return F.aggregate(
+        F.zip_with(F.col("xs"), vlit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _s41_w(emb: DataFrame, vlit) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    # dot is projected BELOW the generator so it is evaluated once per
+    # vector, not once per exploded component.
+    base = emb.select("xs", _s41_dot(vlit).alias("dot"))
+    return (base.select(F.posexplode("xs").alias("pos", "x"), "dot")
+            .groupBy("pos")
+            .agg(dsum(F.col("x") * F.col("dot")).alias("w")))
+
+
+def _s41_ssq(wcol):
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import DEC
+
+    # Global window over d rows (s28's bounded-global-window shape).
+    return F.sum((wcol * wcol).cast(DEC)).over(
+        Window.partitionBy(F.lit(1))).cast("double")
+
+
+@register(
+    "s41_power_iteration_pca",
+    oracle="{body}",
+    doc="Top principal direction of the embedding Gram matrix by "
+        "3-step power iteration, computed entirely in-engine: the "
+        "per-vector projection x·v is a row-local array fold (never a "
+        "per-vector shuffle) and the d-dim update is one "
+        "map-side-combinable groupBy(dim) — shuffle volume is d x "
+        "partitions at any corpus size. Returns each dimension's "
+        "loading in the dominant eigenvector plus the eigenvalue "
+        "estimate ||X'Xv|| — the spectral summary that drives "
+        "whitening / anisotropy diagnostics on embedding corpora.",
+)
+def s41_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xs"))
+    # One materialization shared by every iteration's scan.
+    emb = e.localCheckpoint(eager=True)
+    d = emb.select(F.max(F.size("xs"))).first()[0]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(_S41_ITERS - 1):
+        wdf = _s41_w(emb, F.array(*[F.lit(x) for x in v]))
+        rows = wdf.select(
+            (F.col("pos") + 1).alias("dim"),
+            (F.col("w") / F.sqrt(_s41_ssq(F.col("w")))).alias("v")
+        ).collect()
+        v = [r.v for r in sorted(rows, key=lambda r: r.dim)]
+    wdf = _s41_w(emb, F.array(*[F.lit(x) for x in v]))
+    nrm = F.sqrt(_s41_ssq(F.col("w")))
+    return wdf.select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        stable_round(F.col("w") / nrm).alias("loading"),
+        stable_round(nrm).alias("eigenvalue"))
+
+
+def _finalize_s41_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s41_power_iteration_pca"]
+    _REGISTRY["s41_power_iteration_pca"] = replace(
+        spec, oracle=spec.oracle.format(body=_s41_oracle()))
+
+
+_finalize_s41_oracle()

@@ -140,3 +140,43 @@ def test_exact_k_per_stratum_sizes_and_determinism(docs):
     b = sorted(r.doc_id for r in SA.exact_k_per_stratum(
         docs.repartition(11), "doc_id", "lang", k=30).collect())
     assert a == b  # membership independent of partitioning
+
+
+def test_c05_compaction_bins_match_python_reference(spark):
+    """c05's bin assignment equals an exact Python greedy running-sum
+    pack over the same manifest, and per-source file-id ranges of
+    consecutive bins never overlap (a rewrite job can run bins
+    independently)."""
+    from mousedatapipeline_spark.plans.curation_queries import (
+        _C05_TARGET, c05_compaction_plan)
+
+    sf = "/root/testdata/sf0.001"
+    manifest = sorted(
+        (r.source, r.doc_id, len(r.text))
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source", "doc_id", "text").collect())
+    expect = {}
+    cum, cur = 0, None
+    for src, fid, sz in manifest:
+        if src != cur:
+            cur, cum = src, 0
+        b = cum // _C05_TARGET
+        n, tot, mn, mx = expect.get((src, b), (0, 0, fid, fid))
+        expect[(src, b)] = (n + 1, tot + sz, min(mn, fid), max(mx, fid))
+        cum += sz
+    got = {(r.source, r.bin): r for r in
+           c05_compaction_plan(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for k, (n, tot, mn, mx) in expect.items():
+        r = got[k]
+        assert (r.n_input_files, r.total_bytes) == (n, tot), k
+        assert (r.first_file, r.last_file) == (mn, mx), k
+        assert r.full_bin == (tot >= _C05_TARGET), k
+    # Non-overlapping id ranges per source, in bin order.
+    by_src = {}
+    for (src, b), r in got.items():
+        by_src.setdefault(src, []).append((b, r.first_file, r.last_file))
+    for src, bins in by_src.items():
+        bins.sort()
+        for (_, _, hi), (_, lo, _) in zip(bins, bins[1:]):
+            assert hi < lo, src

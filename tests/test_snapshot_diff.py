@@ -139,3 +139,49 @@ def test_q47_merge_semantics_match_row_level_reference(spark):
         assert (r.n_orders, r.n_updated, r.n_inserted) == (n, nu, ni), st
         assert (r.min_key, r.max_key) == (mn, mx), st
         assert abs(r.revenue - rev) < max(1e-6 * abs(rev), 1e-6), st
+
+
+def test_q48_zorder_skipping_matches_bit_reference(spark):
+    """q48 equals a plain-Python reference: same 16-bit scaling, same
+    bit interleave, same 64-file packing, same rectangle workload —
+    and the z-order layout must scan no more file-query pairs than
+    the custkey-only layout (the point of z-ordering)."""
+    from mousedatapipeline_spark.plans.relational_queries import (
+        _Q48_NFILES_SHIFT_LIN, _Q48_NFILES_SHIFT_Z, _Q48_QUERIES,
+        q48_zorder_skipping)
+
+    sf = "/root/testdata/sf0.001"
+    rows = (spark.read.parquet(f"{sf}/orders.parquet")
+            .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+            .collect())
+    cks = [r.o_custkey for r in rows]
+    ds = [r.d.toordinal() for r in rows]
+    ckmn, ckspan = min(cks), max(max(cks) - min(cks), 1)
+    dmn, dspan = min(ds), max(max(ds) - min(ds), 1)
+    import math
+    boxes = {}
+    for ck, dd in zip(cks, ds):
+        ux = math.floor((ck - ckmn) * 65535 / ckspan)
+        uy = math.floor((dd - dmn) * 65535 / dspan)
+        z = 0
+        for b in range(16):
+            z += ((ux >> b) & 1) << (2 * b + 1)
+            z += ((uy >> b) & 1) << (2 * b)
+        for layout, fid in (("zorder", z >> _Q48_NFILES_SHIFT_Z),
+                            ("linear", ux >> _Q48_NFILES_SHIFT_LIN)):
+            mnx, mxx, mny, mxy = boxes.get(
+                (layout, fid), (ux, ux, uy, uy))
+            boxes[(layout, fid)] = (min(mnx, ux), max(mxx, ux),
+                                    min(mny, uy), max(mxy, uy))
+    expect = {}
+    for (layout, fid), (mnx, mxx, mny, mxy) in boxes.items():
+        n, sc = expect.get(layout, (0, 0))
+        hits = sum(1 for _, x0, x1, y0, y1 in _Q48_QUERIES
+                   if mnx <= x1 and mxx >= x0 and mny <= y1 and mxy >= y0)
+        expect[layout] = (n + 1, sc + hits)
+    got = {r.layout: r for r in q48_zorder_skipping(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for layout, (n, sc) in expect.items():
+        assert (got[layout].n_files, got[layout].scanned_pairs) == (n, sc)
+    assert (got["zorder"].scanned_pairs
+            <= got["linear"].scanned_pairs)

@@ -254,3 +254,34 @@ def test_bm25_rare_term_outscores_common(spark):
     only_row_ranks = [r.rank for r in rows if r.doc_id not in has_dup]
     if dup_ranks and only_row_ranks:
         assert max(dup_ranks) < min(only_row_ranks)
+
+
+def test_s41_power_iteration_matches_numpy(spark):
+    """s41's loadings/eigenvalue equal an independent dense numpy
+    3-step power iteration on the same vectors (same v0 = 1/sqrt(d)),
+    up to the stable_round(6) output rounding; and the loading vector
+    is unit-norm."""
+    import math
+
+    import numpy as np
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        s41_power_iteration_pca)
+
+    sf = "/root/testdata/sf0.001"
+    x = np.array(spark.read.parquet(f"{sf}/embeddings.parquet")
+                 .select("embedding").toPandas()["embedding"].tolist(),
+                 dtype=np.float64)
+    n, d = x.shape
+    v = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(3):
+        w = x.T @ (x @ v)
+        nrm = float(np.linalg.norm(w))
+        v = w / nrm
+    got = {r.dim: (r.loading, r.eigenvalue)
+           for r in s41_power_iteration_pca(spark, sf).collect()}
+    assert set(got) == set(range(1, d + 1))
+    assert abs(sum(l * l for l, _ in got.values()) - 1.0) < 1e-4
+    for i in range(d):
+        assert abs(got[i + 1][0] - v[i]) < 1e-5, i
+        assert abs(got[i + 1][1] - nrm) < max(1e-5 * nrm, 1e-5)
