@@ -1348,3 +1348,172 @@ def w14_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("valid_to"),
             F.col("valid_to").isNull().cast("int").alias("is_current"))
     )
+
+
+# --------------------------------------------------------------------------
+# w15: streaming maintenance of the c05 compaction plan — the ingest-
+# side face of the OPTIMIZE planner. File-manifest entries arrive in
+# file_id order (range-partitioned chunks, oldest-mtime-first) and
+# foreachBatch continues each source's greedy running-sum packing from
+# a carried per-source byte offset. State layout mirrors w14's SCD-2
+# split: bins that can no longer grow (bin < the source's max bin) are
+# IMMUTABLE history appended one subdir per batch; only the per-source
+# open tail bin (+ its cumulative byte offset) rewrites — per-batch
+# cost ∝ batch + |sources|, never the bin history. At 100 TB this is
+# exactly how a table service tracks compaction debt behind a
+# streaming ingest without rescanning the manifest.
+# --------------------------------------------------------------------------
+_W15_BIN_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("bin", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("tot", T.LongType()),
+    T.StructField("mn", T.LongType()),
+    T.StructField("mx", T.LongType()),
+])
+
+
+def _w15_compaction_merge(batch: DataFrame, batch_id: int,
+                          state_dir: Path) -> None:
+    """Continue the per-source bin packing over one file_id-ordered
+    batch. Replay-idempotent: reads only open snapshots strictly below
+    ``batch_id`` and overwrites its own closed/open v{batch_id} dirs
+    (same guard as _w07_merge/_w14_scd2_merge)."""
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.plans.curation_queries import _C05_TARGET
+
+    spark = batch.sparkSession
+    opens = sorted(p for p in (state_dir / "open").glob("v*")
+                   if int(p.name[1:]) < batch_id)
+    carry = spark.read.parquet(str(opens[-1])) if opens else None
+    b = batch.select("source", "file_id", "sz")
+    if carry is not None:
+        coff = carry.select("source", F.col("cum").alias("coff"))
+        b = b.join(coff, "source", "left").withColumn(
+            "coff", F.coalesce(F.col("coff"), F.lit(0)))
+    else:
+        b = b.withColumn("coff", F.lit(0).cast("bigint"))
+    w = (Window.partitionBy("source").orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    b = (b.withColumn("cum_before",
+                      F.coalesce(F.sum("sz").over(w), F.lit(0))
+                      + F.col("coff"))
+         .withColumn("bin", F.floor(F.col("cum_before") / _C05_TARGET)
+                     .cast("bigint")))
+    aggs = b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("tot"),
+        F.min("file_id").cast("bigint").alias("mn"),
+        F.max("file_id").cast("bigint").alias("mx"))
+    bs = b.groupBy("source").agg(F.sum("sz").cast("bigint").alias("bs"))
+    if carry is not None:
+        # The carried open bin merges with batch rows landing in the
+        # same bin id; closed bins never re-enter (cum is monotone, so
+        # future bin ids are >= the open bin's id).
+        aggs = (aggs.unionByName(
+            carry.select("source", "bin", "n", "tot", "mn", "mx"))
+            .groupBy("source", "bin")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.sum("tot").cast("bigint").alias("tot"),
+                 F.min("mn").alias("mn"), F.max("mx").alias("mx")))
+        cums = (carry.select("source", "cum").join(bs, "source", "full")
+                .select("source",
+                        (F.coalesce(F.col("cum"), F.lit(0))
+                         + F.coalesce(F.col("bs"), F.lit(0)))
+                        .alias("cum")))
+    else:
+        cums = bs.select("source", F.col("bs").alias("cum"))
+    mxb = aggs.groupBy("source").agg(F.max("bin").alias("maxbin"))
+    merged = aggs.join(mxb, "source")
+    merged.filter(F.col("bin") < F.col("maxbin")).select(
+        "source", "bin", "n", "tot", "mn", "mx").write.mode(
+        "overwrite").parquet(str(state_dir / "closed" / f"v{batch_id:06d}"))
+    (merged.filter(F.col("bin") == F.col("maxbin"))
+     .select("source", "bin", "n", "tot", "mn", "mx")
+     .join(cums, "source")
+     .write.mode("overwrite")
+     .parquet(str(state_dir / "open" / f"v{batch_id:06d}")))
+
+
+@register(
+    "w15_stream_compaction",
+    oracle="__W15_PLACEHOLDER__",
+    doc="Streaming compaction-plan maintenance: the c05 OPTIMIZE "
+        "bin-packing kept current behind a file-manifest stream. Each "
+        "micro-batch continues every source's greedy running-sum pack "
+        "from a carried byte offset; bins that can no longer grow "
+        "append as immutable per-batch history and only the per-source "
+        "open tail bin rewrites. Replay-idempotent via the "
+        "strictly-below-batch_id state read. The drained state must "
+        "equal the batch c05 plan over the full manifest — "
+        "streaming/batch parity (shared oracle).",
+)
+def w15_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.plans.curation_queries import _C05_TARGET
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w15_"))
+    landing = work / "landing"
+    landing.mkdir()
+    m = load(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").alias("file_id"),
+        F.length("text").cast("bigint").alias("sz"))
+    tmp = landing / "_tmp"
+    # Global file_id ranges preserve per-source arrival order across
+    # chunks — the ordering contract the carry-forward pack needs.
+    m.repartitionByRange(3, "file_id").write.mode(
+        "overwrite").parquet(str(tmp))
+    for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        dest = landing / f"chunk{i:03d}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
+    state_dir = work / "state"
+    (state_dir / "closed").mkdir(parents=True)
+    (state_dir / "open").mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("file_id", T.LongType()),
+        T.StructField("sz", T.LongType()),
+    ])
+    stream = (spark.readStream.schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(
+                 lambda b, i: _w15_compaction_merge(b, i, state_dir))
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    closed_dirs = [str(p) for p in sorted((state_dir / "closed").glob("v*"))]
+    closed = spark.read.schema(_W15_BIN_SCHEMA).parquet(*closed_dirs)
+    open_last = sorted((state_dir / "open").glob("v*"))[-1]
+    open_df = spark.read.parquet(str(open_last)).select(
+        "source", "bin", "n", "tot", "mn", "mx")
+    return (closed.unionByName(open_df)
+            .select("source", "bin",
+                    F.col("n").alias("n_input_files"),
+                    F.col("tot").alias("total_bytes"),
+                    F.col("mn").alias("first_file"),
+                    F.col("mx").alias("last_file"),
+                    (F.col("tot") >= _C05_TARGET).alias("full_bin")))
+
+
+def _finalize_w15_oracle() -> None:
+    from dataclasses import replace
+
+    # Cross-module reference (c05): force its module to register first.
+    import mousedatapipeline_spark.plans.curation_queries  # noqa: F401
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["w15_stream_compaction"]
+    _REGISTRY["w15_stream_compaction"] = replace(
+        spec, oracle=_REGISTRY["c05_compaction_plan"].oracle)
+
+
+_finalize_w15_oracle()

@@ -660,3 +660,35 @@ def test_t36_small_sides_broadcast_no_smj(spark):
     plan = _plan(spark, "t36_bm25_topk")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+@_needs_data
+def test_c05_compaction_is_single_shuffle(spark):
+    """The manifest pack is ONE exchange: the per-source window
+    hash-partitions on source, and the (source, bin) rollup reuses
+    that partitioning (subset clustering) — no second shuffle."""
+    plan = _plan(spark, "c05_compaction_plan")
+    assert _count_shuffles(plan) == 1, plan
+
+
+@_needs_data
+def test_q48_layout_audit_has_no_joins(spark):
+    """Both layouts come from one scan (exploded tag), the query grid
+    explodes from a literal array — the whole audit must plan with NO
+    join operator of any kind."""
+    plan = _plan(spark, "q48_zorder_skipping")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+
+
+@_needs_data
+def test_s41_final_pass_is_joinless_two_shuffles(spark):
+    """The returned (3rd) power-iteration pass: the row-local dot fold
+    adds no shuffle, so the plan is exactly the d-key aggregation plus
+    the bounded d-row normalization window — two exchanges, no joins."""
+    plan = _plan(spark, "s41_power_iteration_pca")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+    assert _count_shuffles(plan) <= 3, plan

@@ -477,3 +477,52 @@ def test_w14_scd2_intervals_partition_timeline(spark):
             assert a.valid_to == b.valid_from, (user, a, b)
             assert a.valid_from < a.valid_to
         assert vs[-1].valid_to == -1
+
+
+def test_w15_compaction_merge_replay_and_carry(spark, tmp_path):
+    """Replaying a batch id leaves the packing state identical, and
+    the carry-forward pack across two batches equals a single-shot
+    pack of the concatenated manifest (target = 16384 bytes: batch 0
+    fills bin 0 past target, so batch 1 must both CLOSE bin 0 and
+    continue into bin 1)."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _W15_BIN_SCHEMA,
+        _w15_compaction_merge,
+    )
+
+    state = Path(tmp_path / "w15state")
+    (state / "closed").mkdir(parents=True)
+    (state / "open").mkdir()
+    b0 = spark.createDataFrame(
+        [("cc", 1, 10_000), ("cc", 2, 7_000), ("web", 1, 5_000)],
+        "source string, file_id long, sz long")
+    b1 = spark.createDataFrame(
+        [("cc", 3, 2_000), ("web", 2, 20_000)],
+        "source string, file_id long, sz long")
+    _w15_compaction_merge(b0, 0, state)
+    _w15_compaction_merge(b1, 1, state)
+
+    def snapshot():
+        closed = spark.read.schema(_W15_BIN_SCHEMA).parquet(
+            *[str(p) for p in sorted((state / "closed").glob("v*"))])
+        open_df = spark.read.parquet(
+            str(sorted((state / "open").glob("v*"))[-1]))
+        return (sorted(map(tuple, closed.collect())),
+                sorted(map(tuple, open_df.collect())))
+
+    once = snapshot()
+    _w15_compaction_merge(b1, 1, state)  # replay of batch 1
+    assert snapshot() == once
+    closed, open_rows = once
+    # cc: cum_before 0 / 10000 / 17000 -> bins 0,0,1: bin 0 (2 files,
+    # 17000 bytes) closed by batch 1; bin 1 open with file 3 only.
+    assert (("cc", 0, 2, 17_000, 1, 2) in closed)
+    # web: cum_before 0 / 5000 -> both files in bin 0, still open
+    # (25000 bytes, cum carried = 25000).
+    opens = {(r[0], r[1]): r for r in open_rows}
+    assert opens[("cc", 1)][2:6] == (1, 2_000, 3, 3)
+    assert opens[("web", 0)][2:6] == (2, 25_000, 1, 2)
+    assert opens[("cc", 1)][6] == 19_000   # carried cum
+    assert opens[("web", 0)][6] == 25_000

@@ -65,6 +65,8 @@ PROBE = [
     "t28_dsir_importance", "t30_split_contamination",
     "s36_product_quantization", "e16_rolling_active_users",
     "e20_decayed_engagement", "q35_scd2_intervals",
+    "s41_power_iteration_pca", "c05_compaction_plan",
+    "q48_zorder_skipping",
     # duplicate-mass family: pair emitters (expected superlinear in
     # duplicate multiplicity, linear in distinct content)
     "s01_exact_dedup", "s03_minhash_lsh",
