@@ -3071,3 +3071,138 @@ def _finalize_s41_oracle() -> None:
 
 
 _finalize_s41_oracle()
+
+
+# --------------------------------------------------------------------------
+# s42: Matryoshka / truncated-dimension recall — the eval that decides
+# whether an embedding column can be stored and searched at a prefix
+# of its dimensions (2-4x cheaper vectors at 100 TB). For each prefix
+# depth, the SAME brute-force ranking as s05 runs on slice(v, 1, depth)
+# and is scored as recall@3 against s05's full-dimension top-3
+# (composed verbatim — one source of truth for "exact"). The depth
+# spine rides the broadcast equi-join key, so the plan shape stays
+# s05's: one broadcast product of the <=10 query vectors per depth,
+# one top-k window, and the recall join runs on k x |queries| rows.
+# --------------------------------------------------------------------------
+_S42_DEPTHS = (16, 32)
+
+
+def _s42_dsum(expr: str) -> str:
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,10)))"
+            " AS VARCHAR) AS DOUBLE)")
+
+
+_S42_ORACLE_BODY = f"""
+    WITH fdims AS MATERIALIZED ({_SQL_DIMS}),
+    dep AS (SELECT CAST(d AS INT) AS depth
+            FROM (VALUES {', '.join(f'({d})' for d in _S42_DEPTHS)}) t(d)),
+    tdims AS MATERIALIZED (
+      SELECT depth, vec_id, dim, v FROM fdims, dep WHERE dim <= depth),
+    tnorms AS (
+      SELECT depth, vec_id, SQRT({_s42_dsum('v * v')}) AS norm
+      FROM tdims GROUP BY 1, 2),
+    tdots AS (
+      SELECT q.depth AS depth, q.vec_id AS qid, c.vec_id AS cid,
+             {_s42_dsum('q.v * c.v')} AS dot
+      FROM tdims q JOIN tdims c ON q.dim = c.dim AND q.depth = c.depth
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2, 3),
+    tcos AS (
+      SELECT d.depth, d.qid, d.cid,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN d.dot / (qn.norm * cn.norm) ELSE 0.0 END AS cosine
+      FROM tdots d
+      JOIN tnorms qn ON d.qid = qn.vec_id AND d.depth = qn.depth
+      JOIN tnorms cn ON d.cid = cn.vec_id AND d.depth = cn.depth),
+    tranked AS (
+      SELECT depth, qid, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY depth, qid
+               ORDER BY {stable_round_sql('cosine')} DESC, cid) AS rank
+      FROM tcos),
+    exact AS (SELECT qid, cid FROM ({{s05}}) x WHERE rank <= 3),
+    exact_d AS (SELECT depth, qid, cid FROM exact, dep),
+    hit AS (
+      SELECT e.depth, e.qid,
+             CAST(COUNT(a.cid) AS BIGINT) AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact_d e
+      LEFT JOIN (SELECT * FROM tranked WHERE rank <= 3) a
+        ON e.depth = a.depth AND e.qid = a.qid AND e.cid = a.cid
+      GROUP BY 1, 2)
+    SELECT depth, qid, n_exact, n_hit,
+           {stable_round_sql(
+               'CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)')} AS recall
+    FROM hit
+"""
+
+
+@register(
+    "s42_matryoshka_recall",
+    oracle=_S42_ORACLE_BODY,
+    doc="Truncated-dimension (Matryoshka) recall audit: per prefix "
+        "depth (16, 32 of 64 dims), brute-force cosine top-3 on the "
+        "sliced vectors scored as recall@3 against s05's full-dim "
+        "exact top-3 (composed verbatim). The number that decides "
+        "whether the vector store can keep 2-4x-smaller prefixes at "
+        "100 TB. Same plan shape as s05 — the depth spine rides the "
+        "broadcast join key; the recall join touches only k x |queries| "
+        "rows per depth.",
+)
+def s42_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    exact = (s05_knn_cosine(spark, sf_dir)
+             .filter(F.col("rank") <= 3).select("qid", "cid"))
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    tr = (vecs.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(d).cast("int").alias("depth"),
+                 F.expr(f"slice(v, 1, {d})").alias("tv"))
+        for d in _S42_DEPTHS])).alias("p"))
+        .select("vec_id", "p.depth", "p.tv")
+        .withColumn("norm", F.sqrt(S.ddot(F.col("tv"), F.col("tv")))))
+    q = tr.filter(F.col("vec_id") < 10).select(
+        "depth", F.col("vec_id").alias("qid"), F.col("tv").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    c = tr.select("depth", F.col("vec_id").alias("cid"),
+                  F.col("tv").alias("cv"), F.col("norm").alias("cnorm"))
+    cos = (c.join(F.broadcast(q), "depth")
+           .filter(F.col("qid") != F.col("cid"))
+           .withColumn("dot", S.ddot(F.col("qv"), F.col("cv")))
+           .withColumn("cosine", stable_round(
+               F.when((F.col("qnorm") > 0) & (F.col("cnorm") > 0),
+                      F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+               .otherwise(F.lit(0.0)))))
+    w = Window.partitionBy("depth", "qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc())
+    approx = (cos.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3)
+              .select("depth", "qid", "cid", F.lit(1).alias("__hit")))
+    exact_d = exact.select(
+        "qid", "cid",
+        F.explode(F.array(*[F.lit(d).cast("int")
+                            for d in _S42_DEPTHS])).alias("depth"))
+    j = exact_d.join(approx, ["depth", "qid", "cid"], "left")
+    return (j.groupBy("depth", "qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                 F.count("__hit").cast("bigint").alias("n_hit"))
+            .select("depth", "qid", "n_exact", "n_hit",
+                    stable_round(F.col("n_hit").cast("double")
+                                 / F.col("n_exact").cast("double"))
+                    .alias("recall")))
+
+
+def _finalize_s42_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s42_matryoshka_recall"]
+    _REGISTRY["s42_matryoshka_recall"] = replace(
+        spec, oracle=spec.oracle.format(
+            s05=_registered_oracle("s05_knn_cosine")))
+
+
+_finalize_s42_oracle()

@@ -1500,3 +1500,152 @@ def t36_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id", "rank", "n_terms_matched", "score"))
+
+
+# --------------------------------------------------------------------------
+# t37: TextRank keyword extraction — PageRank (s40's iteration machine)
+# applied to the word co-occurrence graph. Candidate keywords are
+# non-stopword alphabetic tokens (>= 3 chars); edges connect CONSECUTIVE
+# candidates within a document (window 2 over the filtered sequence,
+# the classic TextRank adjacency), weighted by corpus-wide
+# co-occurrence count and made symmetric, so weighted degree >= 1
+# everywhere and rank mass is conserved. Pair emission is scan-stage
+# (zip_with over the filtered array — token volume, never a join); the
+# graph shuffles once into (pair, weight); three weighted-PageRank
+# iterations run over the eagerly-checkpointed edge list. Parity by
+# the s40/s41 induction: the contribution (r * w) / wdeg is the same
+# IEEE chain and every cross-row sum is decimal-accumulated, so ranks
+# are bit-identical and the top-20 cut (raw r, word tie-break) agrees.
+# --------------------------------------------------------------------------
+_T37_ITERS = 3
+_T37_TOPK = 20
+
+
+def _t37_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in T.EN_STOPWORDS)
+    dsum = ("CAST(CAST(SUM(CAST((r * CAST(w AS DOUBLE))"
+            " / CAST(wdeg AS DOUBLE) AS DECIMAL(30,10)))"
+            " AS VARCHAR) AS DOUBLE)")
+    iters = []
+    prev = "r0"
+    for k in range(1, _T37_ITERS + 1):
+        iters.append(f"""
+    c{k} AS (
+      SELECT e.dst AS word, {dsum} AS s
+      FROM e JOIN {prev} ON e.src = {prev}.word
+             JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT word,
+             0.15 / CAST((SELECT n FROM nn) AS DOUBLE) + 0.85 * s AS r
+      FROM c{k})""")
+        prev = f"r{k}"
+    return f"""
+    WITH kwd AS (
+      SELECT list_filter({_SQL_TOKENS},
+                         t -> regexp_full_match(t, '[a-z]{{3,}}')
+                              AND t NOT IN ({stops})) AS kws
+      FROM documents),
+    pe AS (
+      SELECT kws[i] AS w1, kws[i + 1] AS w2
+      FROM kwd,
+           UNNEST(generate_series(1, greatest(len(kws) - 1, 0))) AS g(i)),
+    pc AS MATERIALIZED (
+      SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM pe WHERE w1 <> w2 GROUP BY 1, 2),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst, w FROM pc
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pc),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS word,
+                  1.0 / CAST((SELECT n FROM nn) AS DOUBLE) AS r
+           FROM deg),{','.join(iters)},
+    ranked AS (
+      SELECT r.word, deg.wdeg,
+             ROW_NUMBER() OVER (ORDER BY r.r DESC, r.word ASC) AS pos,
+             r.r AS r
+      FROM r{_T37_ITERS} r JOIN deg ON r.word = deg.src)
+    SELECT word, wdeg, CAST(pos AS INT) AS pos,
+           {stable_round_sql('r')} AS score
+    FROM ranked WHERE pos <= {_T37_TOPK}
+    """
+
+
+@register(
+    "t37_textrank_keywords",
+    oracle="{body}",
+    doc="TextRank keyword extraction: weighted PageRank (damping 0.85, "
+        "3 iterations) over the corpus word co-occurrence graph — "
+        "consecutive non-stopword alphabetic tokens within a document "
+        "form symmetric weighted edges. Pair emission is a scan-stage "
+        "zip_with over the filtered token array (cost = token volume), "
+        "the graph aggregates once into (pair, weight), and the "
+        "iterations run over the checkpointed edge list at graph "
+        "scale, never corpus scale. Returns the top-20 keywords with "
+        "weighted degree and rank — corpus-level topic surface for "
+        "curation dashboards.",
+)
+def t37_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mousedatapipeline_spark.operators.aggregates import dsum
+
+    d = load_spread(spark, sf_dir, "documents")
+    stops = list(T.EN_STOPWORDS)
+    kwd = d.select(F.filter(
+        T.tokens(F.col("text")),
+        lambda t: t.rlike("^[a-z]{3,}$") & ~t.isin(stops)).alias("kws"))
+    pe = (kwd.filter(F.size("kws") >= 2)
+          .select(F.explode(F.zip_with(
+              F.expr("slice(kws, 1, size(kws) - 1)"),
+              F.expr("slice(kws, 2, size(kws) - 1)"),
+              lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+              .alias("p"))
+          .select("p.w1", "p.w2")
+          .filter(F.col("w1") != F.col("w2")))
+    pc = (pe.select(F.least("w1", "w2").alias("a"),
+                    F.greatest("w1", "w2").alias("b"))
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("w")))
+    e = pc.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w") \
+        .unionByName(
+            pc.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                      "w"))
+    # One pair-counting pass shared by the degree table and all
+    # iterations (s40's eager-checkpoint recipe).
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    n = float(ew.select(F.count_distinct("src")).first()[0])
+    r = ew.select("src").distinct().select(
+        F.col("src").alias("word"), (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(_T37_ITERS):
+        c = (ew.join(r, ew.src == r.word).drop("word")
+             .groupBy("dst")
+             .agg(dsum((F.col("r") * F.col("w").cast("double"))
+                       / F.col("wdeg").cast("double")).alias("s")))
+        r = c.select(F.col("dst").alias("word"),
+                     (F.lit(0.15) / F.lit(n)
+                      + F.lit(0.85) * F.col("s")).alias("r"))
+    w_top = Window.orderBy(F.col("r").desc(), F.col("word").asc())
+    return (r.join(deg.withColumnRenamed("src", "word"), "word")
+            .withColumn("pos", F.row_number().over(w_top).cast("int"))
+            .filter(F.col("pos") <= _T37_TOPK)
+            .select("word", "wdeg", "pos",
+                    stable_round(F.col("r")).alias("score")))
+
+
+def _finalize_t37_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["t37_textrank_keywords"]
+    _REGISTRY["t37_textrank_keywords"] = replace(
+        spec, oracle=spec.oracle.format(body=_t37_oracle()))
+
+
+_finalize_t37_oracle()

@@ -164,9 +164,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # against the deduped (day, user)
                                   # pairs — bounded non-equi condition
                                   "e16_rolling_active_users",
-                                  # composes s05, inheriting its
+                                  # compose s05, inheriting its
                                   # declared brute-force product
                                   "s25_ann_recall",
+                                  "s42_matryoshka_recall",
                                   # exact-baseline brute-force product
                                   # (s05 shape) + 3-row probe spine
                                   "s37_ivf_probe_sweep",

@@ -285,3 +285,94 @@ def test_s41_power_iteration_matches_numpy(spark):
     for i in range(d):
         assert abs(got[i + 1][0] - v[i]) < 1e-5, i
         assert abs(got[i + 1][1] - nrm) < max(1e-5 * nrm, 1e-5)
+
+
+def test_t37_textrank_matches_python_reference(spark):
+    """t37's top-20 equals an independent plain-Python weighted
+    PageRank over the same co-occurrence graph (same filtering, same
+    window-2 adjacency, same 3 iterations, same tie-break)."""
+    import re as _re
+
+    from mousedatapipeline_spark.operators.text import EN_STOPWORDS
+    from mousedatapipeline_spark.plans.text_queries import (
+        _T37_TOPK, t37_textrank_keywords)
+
+    sf = "/root/testdata/sf0.001"
+    pat = _re.compile(r"^[a-z]{3,}$")
+    stops = set(EN_STOPWORDS)
+    wt = {}
+    for row in (spark.read.parquet(f"{sf}/documents.parquet")
+                .select("text").collect()):
+        kws = [t for t in row.text.lower().split(" ")
+               if t and pat.match(t) and t not in stops]
+        for a, b in zip(kws, kws[1:]):
+            if a != b:
+                k = (min(a, b), max(a, b))
+                wt[k] = wt.get(k, 0) + 1
+    deg, adj = {}, {}
+    for (a, b), w in wt.items():
+        for s, t in ((a, b), (b, a)):
+            deg[s] = deg.get(s, 0) + w
+            adj.setdefault(t, []).append((s, w))
+    n = len(deg)
+    r = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        r = {v: 0.15 / n + 0.85 * sum(r[s] * w / deg[s]
+                                      for s, w in adj.get(v, []))
+             for v in deg}
+    top = sorted(deg, key=lambda v: (-r[v], v))[:_T37_TOPK]
+    got = sorted(t37_textrank_keywords(spark, sf).collect(),
+                 key=lambda x: x.pos)
+    assert [g.word for g in got] == top
+    for g in got:
+        assert g.wdeg == deg[g.word]
+        assert abs(g.score - r[g.word]) < 5.1e-7, g.word
+
+
+def test_s42_matryoshka_recall_matches_numpy(spark):
+    """s42 equals an independent numpy reference: exact full-dim top-3
+    and truncated top-3 per depth (same rounded-cosine + id tie-break),
+    recall = overlap/3. Also the structural invariant: n_exact == 3
+    everywhere and recall in {0, 1/3, 2/3, 1}."""
+    import numpy as np
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        _S42_DEPTHS, s42_matryoshka_recall)
+
+    sf = "/root/testdata/sf0.001"
+    rows = (spark.read.parquet(f"{sf}/embeddings.parquet")
+            .select("vec_id", "embedding").collect())
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def top3(depth):
+        xt = x[:, :depth]
+        out = {}
+        for qi in np.where(ids < 10)[0]:
+            qv = xt[qi]
+            qn = np.linalg.norm(qv)
+            cand = []
+            for ci in range(len(ids)):
+                if ids[ci] == ids[qi]:
+                    continue
+                cn = np.linalg.norm(xt[ci])
+                cos = float(qv @ xt[ci] / (qn * cn)) \
+                    if qn > 0 and cn > 0 else 0.0
+                # the engines rank on the stable_round(6)-ed cosine
+                cand.append((-round(cos, 6), ids[ci]))
+            cand.sort()
+            out[ids[qi]] = {c for _, c in cand[:3]}
+        return out
+
+    exact = top3(x.shape[1])
+    got = {(r.depth, r.qid): r
+           for r in s42_matryoshka_recall(spark, sf).collect()}
+    assert set(got) == {(d, q) for d in _S42_DEPTHS for q in exact}
+    for d in _S42_DEPTHS:
+        approx = top3(d)
+        for qid in exact:
+            r = got[(d, qid)]
+            hit = len(exact[qid] & approx[qid])
+            assert r.n_exact == 3
+            assert r.n_hit == hit, (d, qid)
+            assert abs(r.recall - hit / 3.0) < 5.1e-7
