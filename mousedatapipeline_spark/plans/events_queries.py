@@ -1339,3 +1339,96 @@ def e25_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_types").cast("bigint").alias("n_types"),
         stable_round(F.sum(F.col("term").cast("decimal(30,20)"))
                      .cast("double")).alias("entropy"))
+
+
+# --------------------------------------------------------------------------
+# e26: deletion propagation (the GDPR / right-to-be-forgotten pass): a
+# tombstone set of users must vanish from the fact table AND from every
+# derived aggregate, with an audit trail. The Spark side maintains the
+# derived per-type aggregate by DELTA SUBTRACTION — one scan computes
+# both the total and the tombstoned contribution as decimal sums, and
+# remaining = total - deleted (exact in decimal: all three sums are
+# sums of the same 10-dp-rounded per-row terms, so subtraction loses
+# nothing). The oracle FULLY RECOMPUTES over the anti-joined remainder
+# — the hash match proves the delta algebra, not just the arithmetic,
+# the same method-vs-method contract as q45. Tombstones broadcast; the
+# fact scans once; at 100 TB the delta path touches the deleted rows'
+# mass, never rebuilds history.
+# --------------------------------------------------------------------------
+@register(
+    "e26_deletion_propagation",
+    oracle=f"""
+    WITH tomb AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    deleted AS (
+      SELECT e.* FROM events e JOIN tomb t ON e.user_id = t.user_id
+    ),
+    remaining AS (
+      SELECT e.* FROM events e ANTI JOIN tomb t ON e.user_id = t.user_id
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS rows_deleted,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_deleted,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(30,10))
+               AS vdel
+      FROM deleted GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS rows_remaining,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(30,10))
+               AS vrem
+      FROM remaining GROUP BY event_type
+    )
+    SELECT r.event_type,
+           COALESCE(d.rows_deleted, 0) AS rows_deleted,
+           COALESCE(d.users_deleted, 0) AS users_deleted,
+           r.rows_remaining,
+           {stable_round_sql(
+               "CAST(CAST(COALESCE(d.vdel, 0) AS VARCHAR) AS DOUBLE)")}
+             AS value_deleted,
+           {stable_round_sql(
+               "CAST(CAST(r.vrem AS VARCHAR) AS DOUBLE)")}
+             AS value_remaining
+    FROM r LEFT JOIN d ON r.event_type = d.event_type
+    """,
+    doc="Deletion propagation (GDPR right-to-be-forgotten): a tombstone "
+        "user set (user_id % 97 = 0) is purged from the events fact and "
+        "from the per-type derived aggregate. The engine maintains the "
+        "aggregate by delta subtraction (one scan: total and tombstoned "
+        "decimal sums; remaining = total - deleted, exact in decimal) "
+        "while the oracle fully recomputes over the anti-joined "
+        "remainder — the hash match proves refresh-by-delta equals "
+        "rebuild, q45's contract for deletes. Tombstones broadcast; "
+        "audit columns report deleted rows/users/value per type.",
+)
+def e26_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.aggregates import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value")
+    tomb = (ev.filter(F.col("user_id") % 97 == 0)
+            .select("user_id").distinct()
+            .withColumn("__del", F.lit(1)))
+    marked = ev.join(F.broadcast(tomb), "user_id", "left")
+    is_del = F.col("__del").isNotNull()
+    zero = F.lit(0).cast(DEC)
+    agg = marked.groupBy("event_type").agg(
+        F.sum(is_del.cast("int")).cast("bigint").alias("rows_deleted"),
+        F.count_distinct(F.when(is_del, F.col("user_id")))
+        .cast("bigint").alias("users_deleted"),
+        (F.count(F.lit(1)) - F.sum(is_del.cast("int")))
+        .cast("bigint").alias("rows_remaining"),
+        F.coalesce(F.sum(F.when(is_del, F.col("value").cast(DEC))),
+                   zero).alias("vdel"),
+        F.coalesce(F.sum(F.col("value").cast(DEC)), zero).alias("vtot"))
+    return (agg.filter(F.col("rows_remaining") > 0)
+            .select("event_type", "rows_deleted", "users_deleted",
+                    "rows_remaining",
+                    stable_round(F.col("vdel").cast("double"))
+                    .alias("value_deleted"),
+                    stable_round((F.col("vtot") - F.col("vdel"))
+                                 .cast("double"))
+                    .alias("value_remaining")))

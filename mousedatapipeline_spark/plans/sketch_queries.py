@@ -338,3 +338,89 @@ def k04_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.count(F.lit(1)).cast("bigint").alias("n_shared_keys")))
     return (ex.join(F.broadcast(est))
             .select("n_shared_keys", "exact_size", "cms_estimate"))
+
+
+def _k05_oracle_sql() -> str:
+    reg_expr, rho_expr = K.hll_registers_sql("uh")
+    return f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             (user_id * 2654435761) % {K.MOD} AS uh
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM ev),
+    daily AS (
+      SELECT day, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM ev GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT daily.day + CAST(i AS INT) AS day, reg, max_rho
+      FROM daily, UNNEST(generate_series(0, 6)) AS g(i)
+    ),
+    win AS (
+      SELECT f.day, f.reg, MAX(f.max_rho) AS max_rho
+      FROM fan f JOIN spine s ON f.day = s.day
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT day, {K.HLL_EST_SQL} AS hll_est_raw FROM win GROUP BY day
+    ),
+    du AS (SELECT DISTINCT day, user_id FROM ev),
+    dfan AS (
+      SELECT du.day + CAST(i AS INT) AS day, user_id
+      FROM du, UNNEST(generate_series(0, 6)) AS g(i)
+    ),
+    ex AS (
+      SELECT f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_exact
+      FROM dfan f JOIN spine s ON f.day = s.day
+      GROUP BY 1
+    )
+    SELECT strftime(ex.day, '%Y-%m-%d') AS day, ex.n_exact,
+           {stable_round_sql('est.hll_est_raw')} AS hll_est,
+           {stable_round_sql(
+               '(est.hll_est_raw - CAST(ex.n_exact AS DOUBLE))'
+               ' / CAST(ex.n_exact AS DOUBLE)')} AS rel_err
+    FROM ex JOIN est ON ex.day = est.day
+    """
+
+
+@register(
+    "k05_sliding_hll",
+    oracle=_k05_oracle_sql(),
+    doc="Trailing-7-day distinct users per day via sliding HLL merge — "
+        "the pre-aggregated-sketch pattern that replaces COUNT(DISTINCT) "
+        "over windows at 100 TB: each day keeps 64 max-merged registers "
+        "(O(m) state), and the trailing window is a register-wise MAX "
+        "across 7 daily sketches. The fan-out is a scan-stage explode "
+        "of <= 7 day offsets on the DAILY REGISTER table (never the "
+        "event stream), so window depth multiplies sketch rows, not "
+        "data. Exact trailing distinct and the relative error ride "
+        "along — the accuracy audit for choosing m.",
+)
+def k05_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id",
+        ((F.col("user_id") * 2654435761) % K.MOD).alias("uh"))
+    spine = ev.select("day").distinct()
+    daily = K.hll_registers(ev, "uh", ["day"])
+    offsets = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("i")
+    fan = daily.select("reg", "max_rho", "day", offsets).select(
+        F.date_add("day", F.col("i")).alias("day"), "reg", "max_rho")
+    win = (fan.join(F.broadcast(spine), "day")
+           .groupBy("day", "reg").agg(F.max("max_rho").alias("max_rho")))
+    est = K.hll_estimate(win, ["day"])
+    du = ev.select("day", "user_id").distinct()
+    dfan = du.select("user_id", "day", offsets).select(
+        F.date_add("day", F.col("i")).alias("day"), "user_id")
+    exact = (dfan.join(F.broadcast(spine), "day")
+             .groupBy("day")
+             .agg(F.count_distinct("user_id").cast("bigint")
+                  .alias("n_exact")))
+    return (exact.join(est, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_exact",
+                    stable_round(F.col("hll_est_raw")).alias("hll_est"),
+                    stable_round((F.col("hll_est_raw")
+                                  - F.col("n_exact").cast("double"))
+                                 / F.col("n_exact").cast("double"))
+                    .alias("rel_err")))

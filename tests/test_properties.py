@@ -274,3 +274,57 @@ def test_e22_weights_col_equals_scalar_property(spark, ids):
                   *[_e22_weight(k) for k in range(_E22_B)])
                   .alias("wts")).collect()}
     assert arr == scalar
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=1, max_value=60_000)),
+                min_size=1, max_size=24),
+       st.lists(st.integers(min_value=0, max_value=23),
+                min_size=0, max_size=3))
+def test_w15_carry_forward_pack_equals_single_shot(
+        spark, tmp_path_factory, sizes, raw_cuts):
+    """The streaming carry-forward merge over ANY split of a manifest
+    into ordered batches equals the single-shot c05 pack: same bins,
+    same per-bin aggregates (greedy running-sum packing is
+    prefix-decomposable). Random manifests include files larger than
+    the 16384-byte target (bin-skipping) and random batch boundaries
+    (including empty batches via duplicate cuts)."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.curation_queries import _C05_TARGET
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _W15_BIN_SCHEMA,
+        _w15_compaction_merge,
+    )
+
+    manifest = [(src, i + 1, sz)
+                for i, (src, sz) in enumerate(sizes)]
+    cuts = sorted({min(c, len(manifest)) for c in raw_cuts})
+    bounds = [0] + cuts + [len(manifest)]
+    state = Path(tmp_path_factory.mktemp("w15prop"))
+    (state / "closed").mkdir()
+    (state / "open").mkdir()
+    schema = "source string, file_id long, sz long"
+    for bi, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        chunk = manifest[lo:hi] or None
+        b = (spark.createDataFrame(chunk, schema) if chunk
+             else spark.createDataFrame([], schema))
+        _w15_compaction_merge(b, bi, state)
+    closed = spark.read.schema(_W15_BIN_SCHEMA).parquet(
+        *[str(p) for p in sorted((state / "closed").glob("v*"))])
+    open_df = spark.read.parquet(
+        str(sorted((state / "open").glob("v*"))[-1])).select(
+        "source", "bin", "n", "tot", "mn", "mx")
+    got = {(r.source, r.bin): (r.n, r.tot, r.mn, r.mx)
+           for r in closed.unionByName(open_df).collect()}
+
+    expect, cum = {}, {}
+    for src, fid, sz in sorted(manifest):
+        c = cum.get(src, 0)
+        b = c // _C05_TARGET
+        n, tot, mn, mx = expect.get((src, b), (0, 0, fid, fid))
+        expect[(src, b)] = (n + 1, tot + sz, min(mn, fid), max(mx, fid))
+        cum[src] = c + sz
+    assert got == expect

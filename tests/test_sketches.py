@@ -178,3 +178,45 @@ def test_cms_estimate_unseen_key_returns_zero(spark):
     # collisions with a/b's cells may lift individual cells, but with
     # 4 independent rows at w=512 at least one probe bucket is empty
     assert est[0]["cms_est"] == 0, est
+
+
+def test_k05_sliding_hll_merge_equals_union_sketch(spark):
+    """Mergeability invariant at sf0.001: the trailing-window estimate
+    for each day equals the HLL estimate computed DIRECTLY on the union
+    of that window's hashes (register max-merge is lossless), and
+    n_exact matches a plain-Python trailing distinct count."""
+    from datetime import timedelta
+
+    from mousedatapipeline_spark.operators import sketches as K
+    from mousedatapipeline_spark.plans.sketch_queries import (
+        k05_sliding_hll)
+    from mousedatapipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = (load(spark, sf, "events")
+            .selectExpr("CAST(ts AS DATE) AS day", "user_id").collect())
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, set()).add(r.user_id)
+    got = {r.day: r for r in k05_sliding_hll(spark, sf).collect()}
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in by_day}
+    m, alpha = K.HLL_M, K.HLL_ALPHA
+
+    def est(users):
+        regs = {}
+        for u in users:
+            h = (u * 2654435761) % K.MOD
+            reg, v = h % m, h // m
+            rho = 26 if v == 0 else (v & -v).bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        inv = sum(1.0 / (1 << r) for r in regs.values()) \
+            + float(m - len(regs))
+        return alpha * m * m / inv
+
+    for day, users_today in by_day.items():
+        window = set()
+        for k in range(7):
+            window |= by_day.get(day - timedelta(days=k), set())
+        r = got[day.strftime("%Y-%m-%d")]
+        assert r.n_exact == len(window), day
+        assert abs(r.hll_est - est(window)) < 5.1e-7, day
