@@ -1415,17 +1415,27 @@ def e26_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.join(F.broadcast(tomb), "user_id", "left")
     is_del = F.col("__del").isNotNull()
     zero = F.lit(0).cast(DEC)
+    # NO distinct in the full-fact pass: a mixed distinct/plain agg
+    # expands to a two-phase plan keyed (event_type, user_id) — a
+    # full-data shuffle. The distinct-user audit runs on the DELETED
+    # subset only (tombstone mass, ~1% of rows at scale).
     agg = marked.groupBy("event_type").agg(
         F.sum(is_del.cast("int")).cast("bigint").alias("rows_deleted"),
-        F.count_distinct(F.when(is_del, F.col("user_id")))
-        .cast("bigint").alias("users_deleted"),
         (F.count(F.lit(1)) - F.sum(is_del.cast("int")))
         .cast("bigint").alias("rows_remaining"),
         F.coalesce(F.sum(F.when(is_del, F.col("value").cast(DEC))),
                    zero).alias("vdel"),
         F.coalesce(F.sum(F.col("value").cast(DEC)), zero).alias("vtot"))
-    return (agg.filter(F.col("rows_remaining") > 0)
-            .select("event_type", "rows_deleted", "users_deleted",
+    dusers = (marked.filter(is_del)
+              .select("event_type", "user_id").distinct()
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("users_deleted")))
+    return (agg.join(F.broadcast(dusers), "event_type", "left")
+            .filter(F.col("rows_remaining") > 0)
+            .select("event_type", "rows_deleted",
+                    F.coalesce(F.col("users_deleted"), F.lit(0))
+                    .cast("bigint").alias("users_deleted"),
                     "rows_remaining",
                     stable_round(F.col("vdel").cast("double"))
                     .alias("value_deleted"),

@@ -1389,9 +1389,26 @@ def _w15_compaction_merge(batch: DataFrame, batch_id: int,
     carry = spark.read.parquet(str(opens[-1])) if opens else None
     b = batch.select("source", "file_id", "sz")
     if carry is not None:
-        coff = carry.select("source", F.col("cum").alias("coff"))
-        b = b.join(coff, "source", "left").withColumn(
-            "coff", F.coalesce(F.col("coff"), F.lit(0)))
+        # Ordering contract, enforced LOUDLY in-plan (blocked_pairs
+        # precedent): every batch file_id must exceed the carried open
+        # bin's last file — a late/out-of-order manifest entry would
+        # otherwise be packed at the WRONG offset silently. raise_error
+        # sits inside the consumed coff column so pruning can't drop it.
+        coff = carry.select("source", F.col("cum").alias("coff"),
+                            F.col("mx").alias("__last"))
+        b = (b.join(coff, "source", "left")
+             .withColumn(
+                 "coff",
+                 F.when(F.col("__last").isNotNull()
+                        & (F.col("file_id") <= F.col("__last")),
+                        F.raise_error(F.concat(
+                            F.lit("w15 ordering contract: file_id "),
+                            F.col("file_id").cast("string"),
+                            F.lit(" of source "), F.col("source"),
+                            F.lit(" arrived after file "),
+                            F.col("__last").cast("string"))).cast("bigint"))
+                 .otherwise(F.coalesce(F.col("coff"), F.lit(0))))
+             .drop("__last"))
     else:
         b = b.withColumn("coff", F.lit(0).cast("bigint"))
     w = (Window.partitionBy("source").orderBy("file_id")

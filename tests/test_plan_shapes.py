@@ -693,3 +693,27 @@ def test_s41_final_pass_is_joinless_two_shuffles(spark):
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, (op, plan)
     assert _count_shuffles(plan) <= 3, plan
+
+
+@_needs_data
+def test_e26_deletion_is_broadcast_plus_one_shuffle(spark):
+    """Tombstones broadcast into the fact scan; the delta-maintained
+    rollup is the only data shuffle. A shuffled tombstone join or a
+    second aggregation pass breaks the one-scan delete-audit design."""
+    plan = _plan(spark, "e26_deletion_propagation")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # The FULL fact contributes exactly one exchange (the rollup);
+    # the remaining exchanges build the tombstone list and the
+    # deleted-subset distinct-user audit (~1% tombstone mass).
+    assert _count_shuffles(plan) <= 5, plan
+
+
+@_needs_data
+def test_t37_pair_emission_is_scan_stage(spark):
+    """t37's co-occurrence pairs come from a zip_with over the filtered
+    token array — no join may appear before the (pair, weight)
+    aggregation, and the full plan stays equi-join-only."""
+    plan = _plan(spark, "t37_textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -526,3 +526,27 @@ def test_w15_compaction_merge_replay_and_carry(spark, tmp_path):
     assert opens[("web", 0)][2:6] == (2, 25_000, 1, 2)
     assert opens[("cc", 1)][6] == 19_000   # carried cum
     assert opens[("web", 0)][6] == 25_000
+
+
+def test_w15_out_of_order_batch_fails_loudly(spark, tmp_path):
+    """A manifest entry arriving AFTER its source's open bin already
+    packed a later file must raise (not silently pack at the wrong
+    offset) — the w15 ordering contract."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _w15_compaction_merge,
+    )
+
+    state = Path(tmp_path / "w15oo")
+    (state / "closed").mkdir(parents=True)
+    (state / "open").mkdir()
+    b0 = spark.createDataFrame([("cc", 5, 1_000)],
+                               "source string, file_id long, sz long")
+    late = spark.createDataFrame([("cc", 3, 1_000)],
+                                 "source string, file_id long, sz long")
+    _w15_compaction_merge(b0, 0, state)
+    with _pytest.raises(Exception, match="ordering contract"):
+        _w15_compaction_merge(late, 1, state)
