@@ -3206,3 +3206,102 @@ def _finalize_s42_oracle() -> None:
 
 
 _finalize_s42_oracle()
+
+
+# --------------------------------------------------------------------------
+# s43: label-propagation communities (3 synchronous iterations) over
+# the verified near-dup graph — the finer-grained complement to s14's
+# connected components: a component that chains two dense clusters
+# through one bridge pair splits into its clusters here. Deterministic
+# by construction: labels start as own doc_id, each round every node
+# adopts its neighbors' (count DESC, label ASC)-ranked majority label,
+# ties always break to the smaller label — pure integer counts, no
+# float surface at all. Each round is one |E| join + one (node, label)
+# count + one per-node top-1 window over candidate labels; the edge
+# list is eagerly checkpointed so all rounds share one s19 run.
+# --------------------------------------------------------------------------
+_S43_ITERS = 3
+
+
+def _s43_oracle_iterations() -> str:
+    out = []
+    prev = "l0"
+    for k in range(1, _S43_ITERS + 1):
+        out.append(f"""
+    c{k} AS (
+      SELECT e.dst AS v, l.lab AS lab, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e JOIN {prev} l ON e.src = l.v
+      GROUP BY 1, 2),
+    l{k} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, lab ASC) AS rn
+        FROM c{k}) x
+      WHERE rn = 1)""")
+        prev = f"l{k}"
+    return ",".join(out)
+
+
+@register(
+    "s43_label_propagation",
+    oracle="""
+    WITH pr AS MATERIALIZED ({s19}),
+    e AS MATERIALIZED (
+      SELECT d1 AS src, d2 AS dst FROM pr
+      UNION ALL
+      SELECT d2 AS src, d1 AS dst FROM pr
+    ),
+    l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),{iters}
+    SELECT lab AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(v) AS BIGINT) AS min_member,
+           CAST(MAX(v) AS BIGINT) AS max_member
+    FROM l{last} GROUP BY lab
+    """,
+    doc="Label-propagation community detection (3 synchronous rounds, "
+        "majority label with count-then-smaller-label tie-break) over "
+        "s19's verified near-dup graph — splits bridge-chained "
+        "components into their dense clusters, the granularity a "
+        "canonical-selection pass actually wants. All-integer "
+        "arithmetic (no float parity surface); per round one edge "
+        "join, one (node, label) count, one per-node top-1 window, "
+        "all over the checkpointed edge list at graph scale.",
+)
+def s43_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("src"),
+                         F.col("d2").alias("dst")).unionByName(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    lab = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab"))
+    w = Window.partitionBy("v").orderBy(
+        F.col("cnt").desc(), F.col("lab").asc())
+    for _ in range(_S43_ITERS):
+        cand = (edges.join(lab.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"), "lab")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+        lab = (cand.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).select("v", "lab"))
+    return lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_member"),
+        F.max("v").cast("bigint").alias("max_member"))
+
+
+def _finalize_s43_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    spec = _REGISTRY["s43_label_propagation"]
+    _REGISTRY["s43_label_propagation"] = replace(
+        spec, oracle=spec.oracle.format(
+            s19=_registered_oracle("s19_lsh_verified_neardup"),
+            iters=_s43_oracle_iterations(),
+            last=_S43_ITERS))
+
+
+_finalize_s43_oracle()

@@ -151,3 +151,53 @@ def test_s40_pagerank_conserves_mass_and_matches_numpy(spark):
     leaf = min(nodes, key=lambda d: got[d][0])
     if got[hub][0] > got[leaf][0]:
         assert got[hub][1] > got[leaf][1]
+
+
+def test_s43_label_propagation_matches_python_reference(spark):
+    """s43 equals a plain-Python synchronous LPA over the same edge set
+    (3 rounds, majority label, count-then-smaller-label tie-break),
+    and every community is contained in one s14/CC component (LPA only
+    refines connectivity, never merges across components)."""
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        s19_lsh_verified_neardup, s43_label_propagation)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r.d1, r.d2) for r in
+             s19_lsh_verified_neardup(spark, sf).select("d1", "d2")
+             .collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    expect = {}
+    for v, c in lab.items():
+        n, mn, mx = expect.get(c, (0, v, v))
+        expect[c] = (n + 1, min(mn, v), max(mx, v))
+    got = {r.community: (r.n_members, r.min_member, r.max_member)
+           for r in s43_label_propagation(spark, sf).collect()}
+    assert got == expect
+    # Containment in CC components: union-find over the same edges.
+    parent = {v: v for v in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_of_label_members = {}
+    for v, c in lab.items():
+        comp_of_label_members.setdefault(c, set()).add(find(v))
+    for c, comps in comp_of_label_members.items():
+        assert len(comps) == 1, c
