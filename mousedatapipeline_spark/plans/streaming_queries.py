@@ -1534,3 +1534,136 @@ def _finalize_w15_oracle() -> None:
 
 
 _finalize_w15_oracle()
+
+
+# --------------------------------------------------------------------------
+# w16: streaming sliding-HLL maintenance — k05's distinct-users-per-
+# trailing-week dashboard kept current behind the event stream. The
+# state is the DAILY REGISTER TABLE (days x 64 rows, O(m) per day —
+# never per-user state): each micro-batch computes its own daily
+# registers and element-wise MAX-merges them in. max is commutative
+# and idempotent, so unlike w15 there is NO ordering contract — late
+# or replayed data lands correctly by algebra, which is exactly why
+# sketch state is the right streaming design for distinct counts at
+# 100 TB. Replay-idempotent via the strictly-below-batch_id state
+# read; the drained state's trailing-window estimates must equal the
+# batch k05 sketch chain over the full feed.
+# --------------------------------------------------------------------------
+_W16_REG_SCHEMA = T.StructType([
+    T.StructField("day", T.DateType()),
+    T.StructField("reg", T.IntegerType()),
+    T.StructField("max_rho", T.IntegerType()),
+])
+
+
+def _w16_hll_merge(batch: DataFrame, batch_id: int,
+                   state_dir: Path) -> None:
+    from mousedatapipeline_spark.operators import sketches as K
+
+    spark = batch.sparkSession
+    opens = sorted(p for p in state_dir.glob("v*")
+                   if int(p.name[1:]) < batch_id)
+    ev = batch.select(
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"),
+        ((F.col("user_id") * 2654435761) % K.MOD).alias("uh"))
+    daily = K.hll_registers(ev, "uh", ["day"])
+    if opens:
+        prior = spark.read.schema(_W16_REG_SCHEMA).parquet(str(opens[-1]))
+        daily = (daily.unionByName(prior)
+                 .groupBy("day", "reg")
+                 .agg(F.max("max_rho").alias("max_rho")))
+    daily.write.mode("overwrite").parquet(
+        str(state_dir / f"v{batch_id:06d}"))
+
+
+@register(
+    "w16_stream_sliding_hll",
+    oracle="__W16_PLACEHOLDER__",
+    doc="Streaming sliding-HLL maintenance: the k05 trailing-7-day "
+        "distinct-users dashboard kept current behind the event "
+        "stream. State is the daily 64-register sketch table (O(m) per "
+        "day, never per-user); each micro-batch MAX-merges its own "
+        "daily registers in — max is commutative and idempotent, so "
+        "late and replayed data land correctly with NO ordering "
+        "contract (the algebraic advantage sketch state has over "
+        "w15's prefix-sum state). The drained estimates must equal "
+        "the batch sketch chain over the full feed.",
+)
+def w16_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators import sketches as K
+
+    work = Path(tempfile.mkdtemp(prefix="mouse_w16_"))
+    landing = work / "landing"
+    landing.mkdir()
+    write_time_chunks(spark, sf_dir, landing, n_chunks=3, full_rows=True)
+    state_dir = work / "state"
+    state_dir.mkdir()
+    chunk_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ])
+    stream = (spark.readStream.schema(chunk_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(landing)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: _w16_hll_merge(b, i, state_dir))
+             .option("checkpointLocation", str(work / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    daily = spark.read.schema(_W16_REG_SCHEMA).parquet(
+        str(sorted(state_dir.glob("v*"))[-1]))
+    spine = daily.select("day").distinct()
+    offsets = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("i")
+    fan = daily.select("reg", "max_rho", "day", offsets).select(
+        F.date_add("day", F.col("i")).alias("day"), "reg", "max_rho")
+    win = (fan.join(F.broadcast(spine), "day")
+           .groupBy("day", "reg").agg(F.max("max_rho").alias("max_rho")))
+    est = K.hll_estimate(win, ["day"])
+    return est.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("hll_est_raw")).alias("hll_est"))
+
+
+def _finalize_w16_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.operators import sketches as K
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    reg_expr, rho_expr = K.hll_registers_sql("uh")
+    oracle = f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             (user_id * 2654435761) % {K.MOD} AS uh
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM ev),
+    daily AS (
+      SELECT day, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho
+      FROM ev GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT daily.day + CAST(i AS INT) AS day, reg, max_rho
+      FROM daily, UNNEST(generate_series(0, 6)) AS g(i)
+    ),
+    win AS (
+      SELECT f.day, f.reg, MAX(f.max_rho) AS max_rho
+      FROM fan f JOIN spine s ON f.day = s.day
+      GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           {stable_round_sql(K.HLL_EST_SQL)} AS hll_est
+    FROM win GROUP BY day
+    """
+    spec = _REGISTRY["w16_stream_sliding_hll"]
+    _REGISTRY["w16_stream_sliding_hll"] = replace(spec, oracle=oracle)
+
+
+_finalize_w16_oracle()

@@ -550,3 +550,45 @@ def test_w15_out_of_order_batch_fails_loudly(spark, tmp_path):
     _w15_compaction_merge(b0, 0, state)
     with _pytest.raises(Exception, match="ordering contract"):
         _w15_compaction_merge(late, 1, state)
+
+
+def test_w16_hll_merge_is_replay_idempotent_and_order_insensitive(
+        spark, tmp_path):
+    """Register max-merge state: replaying a batch id leaves the state
+    identical, and delivering the SAME events in the opposite batch
+    order produces the IDENTICAL register table — the algebraic
+    (commutative + idempotent) property that lets sketch state skip
+    w15-style ordering contracts."""
+    from pathlib import Path
+
+    from mousedatapipeline_spark.plans.streaming_queries import (
+        _W16_REG_SCHEMA,
+        _w16_hll_merge,
+    )
+
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    day0, day1 = 1_700_000_000_000_000, 1_700_086_400_000_000
+    b0 = spark.createDataFrame(
+        [(1, 10, "a", day0), (2, 11, "a", day0), (3, 10, "a", day1)],
+        schema)
+    b1 = spark.createDataFrame(
+        [(4, 12, "a", day0), (5, 10, "a", day0), (6, 13, "a", day1)],
+        schema)
+
+    def run(batches, root):
+        state = Path(root)
+        state.mkdir()
+        for i, b in enumerate(batches):
+            _w16_hll_merge(b, i, state)
+        last = sorted(state.glob("v*"))[-1]
+        return sorted(map(tuple, spark.read.schema(_W16_REG_SCHEMA)
+                          .parquet(str(last)).collect())), state
+
+    fwd, state = run([b0, b1], tmp_path / "fwd")
+    _w16_hll_merge(b1, 1, state)  # replay of batch 1
+    replayed = sorted(map(tuple, spark.read.schema(_W16_REG_SCHEMA)
+                          .parquet(str(sorted(state.glob("v*"))[-1]))
+                          .collect()))
+    assert replayed == fwd
+    rev, _ = run([b1, b0], tmp_path / "rev")
+    assert rev == fwd
