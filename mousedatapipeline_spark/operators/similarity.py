@@ -95,11 +95,22 @@ def shingle_set_col(text: Column, n: int = 3) -> Column:
 
 def shingle_hash(shingle: Column) -> Column:
     """3-char shingle → bigint, pure codepoint arithmetic (identical in
-    Spark and DuckDB: ascii() is the first codepoint in both)."""
+    Spark and DuckDB: ascii() is the first codepoint in both).
+
+    Byte-positional base-256 weights: for single-byte codepoints the
+    value is ``a<<16 | b<<8 | c`` ≤ 0xFFFFFF < 2³¹−1, so the ``% MOD``
+    is a no-op and the hash is INJECTIVE by construction (each
+    codepoint occupies its own byte — no carries between positions).
+    The previous 923521/961/31 weights let the third position carry
+    into the second (31·c > 961 for c > 31) and collided on printable
+    ASCII, e.g. (x,40,70) ≡ (x,41,39).  Codepoints ≥ 256 can still
+    collide across positions; :func:`shingle_hash_injective_on` is the
+    corpus-level check the verification loop runs.
+    """
     return (
-        F.ascii(F.substring(shingle, 1, 1)).cast("bigint") * 923_521
-        + F.ascii(F.substring(shingle, 2, 1)).cast("bigint") * 961
-        + F.ascii(F.substring(shingle, 3, 1)).cast("bigint") * 31
+        F.ascii(F.substring(shingle, 1, 1)).cast("bigint") * 65_536
+        + F.ascii(F.substring(shingle, 2, 1)).cast("bigint") * 256
+        + F.ascii(F.substring(shingle, 3, 1)).cast("bigint")
     ) % MOD
 
 
@@ -143,9 +154,27 @@ def hashed_shingle_docs(d: DataFrame, extra_cols: Sequence[str] = ("lang",),
     return out
 
 
-SHINGLE_HASH_SQL = ("(ascii(substr(shingle, 1, 1)) * 923521 "
-                    "+ ascii(substr(shingle, 2, 1)) * 961 "
-                    "+ ascii(substr(shingle, 3, 1)) * 31) % 2147483647")
+SHINGLE_HASH_SQL = ("(ascii(substr(shingle, 1, 1)) * 65536 "
+                    "+ ascii(substr(shingle, 2, 1)) * 256 "
+                    "+ ascii(substr(shingle, 3, 1))) % 2147483647")
+
+
+def shingle_hash_injective_on(d: DataFrame) -> tuple[int, int]:
+    """Corpus-level injectivity census: (distinct string 3-grams,
+    distinct 3-gram hashes) over ``d.text`` — equal iff
+    :func:`shingle_hash` is injective on this corpus.
+
+    Always equal when every codepoint fits one byte (the hash is
+    positional base-256); codepoints ≥ 256 can cross byte lanes, so
+    the verification loop runs this census once per SF before trusting
+    hash-level set sizes to equal string-level ones (ADVICE r05)."""
+    sh = d.filter(F.length("text") >= 3).select(
+        F.explode(shingle_set_col(F.col("text"))).alias("shingle"))
+    row = sh.agg(
+        F.count_distinct(F.col("shingle")).alias("strings"),
+        F.count_distinct(shingle_hash(F.col("shingle"))).alias("hashes"),
+    ).collect()[0]
+    return int(row["strings"]), int(row["hashes"])
 
 
 def minhash_signature(sh: DataFrame, id_cols: Sequence[str]) -> DataFrame:

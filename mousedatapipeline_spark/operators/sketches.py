@@ -38,6 +38,25 @@ from pyspark.sql import functions as F
 
 MOD = 2_147_483_647  # 2^31 - 1, shared with operators.similarity
 
+# Knuth multiplicative constant, pre-reduced so the hash below is
+# modulo-FIRST: ((u % MOD) * KNUTH_RED + off) % MOD has largest
+# intermediate (MOD-1)*KNUTH_RED < 2^60 — overflow-proof for EVERY
+# bigint user_id.  The naive ``u * 2654435761 % MOD`` silently wraps
+# in Spark (ANSI off) past u ~ 3.5e9 while the DuckDB oracle raises —
+# the same divergence class packed_occurrence_key guards loudly
+# (ADVICE r05).  Mathematically identical: (u*K) % m == ((u%m)*(K%m)) % m.
+KNUTH_RED = 2_654_435_761 % MOD  # = 506_952_114
+
+
+def user_hash(col: Column, offset: int = 0) -> Column:
+    """Knuth multiplicative user hash into [0, MOD), modulo-first."""
+    return ((col % MOD) * F.lit(KNUTH_RED) + F.lit(offset)) % MOD
+
+
+def user_hash_sql(expr: str, offset: int = 0) -> str:
+    """DuckDB twin of :func:`user_hash` (same modulo-first form)."""
+    return f"((({expr}) % {MOD}) * {KNUTH_RED} + {offset}) % {MOD}"
+
 # --- count-min parameters (d rows x w buckets) -------------------------
 CMS_D = 4
 CMS_W = 512

@@ -429,7 +429,7 @@ def _e10_oracle_sql() -> str:
     WITH h AS (
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
-             ((user_id * 2654435761 + 40503) % 2147483647) AS th,
+             {K.user_hash_sql('user_id', 40503)} AS th,
              user_id
       FROM events
     ),
@@ -468,8 +468,7 @@ def e10_hourly_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "yyyy-MM-dd HH:mm:ss").alias("window_start")
     h = ev.select(
         hour, "user_id",
-        ((F.col("user_id") * F.lit(2654435761) + F.lit(40503))
-         % F.lit(K.MOD)).alias("th"))
+        K.user_hash(F.col("user_id"), 40503).alias("th"))
     reg = K.hll_registers(h, "th", ["window_start"])
     est = K.hll_estimate(reg, ["window_start"])
     exact = h.groupBy("window_start").agg(

@@ -975,8 +975,9 @@ def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pruning id set below
     cand_ids = (cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
                 .distinct())
-    # Verify on HASHED shingle arrays: the base-961^2 ascii hash is
-    # injective on 3-grams (ascii < 961), so intersect counts equal
+    # Verify on HASHED shingle arrays: the byte-positional base-256
+    # hash is injective on 3-grams (single-byte codepoints occupy
+    # disjoint byte lanes), so intersect counts equal
     # the string-set counts while the joins shuffle int arrays, not
     # 3-char strings. Pruned to candidate documents (broadcast
     # semi-join over the checkpoint — candidates are a vanishing

@@ -156,7 +156,7 @@ def _k03_oracle_sql() -> str:
     WITH ev AS (SELECT event_type, user_id FROM events),
     h AS (
       SELECT event_type,
-             (user_id * 2654435761) % {K.MOD} AS uh
+             {K.user_hash_sql('user_id')} AS uh
       FROM ev
     ),
     ty AS (SELECT DISTINCT event_type FROM ev),
@@ -223,7 +223,7 @@ def k03_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     h = (ev.select(
         "event_type",
-        ((F.col("user_id") * F.lit(2654435761)) % K.MOD).alias("uh"))
+        K.user_hash(F.col("user_id")).alias("uh"))
         .localCheckpoint(eager=False))  # per-type regs + two pair fans
     ty = h.select("event_type").distinct()
     pairs = (ty.select(F.col("event_type").alias("ta"))
@@ -345,7 +345,7 @@ def _k05_oracle_sql() -> str:
     return f"""
     WITH ev AS (
       SELECT CAST(ts AS DATE) AS day, user_id,
-             (user_id * 2654435761) % {K.MOD} AS uh
+             {K.user_hash_sql('user_id')} AS uh
       FROM events
     ),
     spine AS (SELECT DISTINCT day FROM ev),
@@ -400,7 +400,7 @@ def _k05_oracle_sql() -> str:
 def k05_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id",
-        ((F.col("user_id") * 2654435761) % K.MOD).alias("uh"))
+        K.user_hash(F.col("user_id")).alias("uh"))
     spine = ev.select("day").distinct()
     daily = K.hll_registers(ev, "uh", ["day"])
     offsets = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("i")

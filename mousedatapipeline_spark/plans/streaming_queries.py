@@ -487,15 +487,17 @@ def w05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the 100-TB cardinality dashboard: per-trigger work is one partial
 # max-aggregate, state never grows with history.
 # --------------------------------------------------------------------------
-_W06_HASH = "((user_id * 2654435761 + 40503) % 2147483647)"
+# Modulo-first Knuth hash (sketches.user_hash_sql twin): overflow-proof
+# for every bigint user_id, identical values for the non-wrapping range.
+_W06_HASH = ("(((user_id % 2147483647) * 506952114 + 40503) "
+             "% 2147483647)")
 
 
 def _w06_batch_registers(batch: DataFrame) -> DataFrame:
     from mousedatapipeline_spark.operators import sketches as K
     h = batch.select(
         "event_type",
-        ((F.col("user_id") * F.lit(2654435761) + F.lit(40503))
-         % F.lit(K.MOD)).alias("th"))
+        K.user_hash(F.col("user_id"), 40503).alias("th"))
     return K.hll_registers(h, "th", ["event_type"])
 
 
@@ -1565,7 +1567,7 @@ def _w16_hll_merge(batch: DataFrame, batch_id: int,
                    if int(p.name[1:]) < batch_id)
     ev = batch.select(
         F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"),
-        ((F.col("user_id") * 2654435761) % K.MOD).alias("uh"))
+        K.user_hash(F.col("user_id")).alias("uh"))
     daily = K.hll_registers(ev, "uh", ["day"])
     if opens:
         prior = spark.read.schema(_W16_REG_SCHEMA).parquet(str(opens[-1]))
@@ -1641,7 +1643,7 @@ def _finalize_w16_oracle() -> None:
     oracle = f"""
     WITH ev AS (
       SELECT CAST(ts AS DATE) AS day,
-             (user_id * 2654435761) % {K.MOD} AS uh
+             {K.user_hash_sql('user_id')} AS uh
       FROM events
     ),
     spine AS (SELECT DISTINCT day FROM ev),

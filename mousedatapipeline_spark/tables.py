@@ -38,17 +38,64 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     post-explosion shuffle these queries already pay) and buys full
     parallelism for the expensive projection.
 
-    Conditional on the scan's actual split count: on a real cluster
+    Conditional on the scan's ESTIMATED split count: on a real cluster
     the source is already many splits and this returns the plain scan
     — an unconditional repartition would be a pure-overhead shuffle of
     the whole corpus at 100 TB. Metadata-only queries should use plain
     :func:`load` and keep their one-stage scan.
+
+    The estimate comes from the scan's own file manifest
+    (``df.inputFiles()`` count, plus size/maxPartitionBytes for
+    locally-stattable files) — NOT ``df.rdd.getNumPartitions()``,
+    which forces a DataFrame→RDD plan conversion per call and tracks
+    the transient core count under dynamic allocation, so the same
+    query could get different physical plans across invocations
+    (ADVICE r05).  The spread target is ``spark.sql.shuffle.partitions``
+    — a stable session config — for the same reason.
     """
     df = load(spark, sf_dir, name)
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if _estimated_scan_splits(spark, df) >= target:
         return df
-    return df.repartition(par)
+    return df.repartition(target)
+
+
+def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
+    """Lower bound on the scan's input splits, from file metadata only:
+    one split per file, plus extra splits for local files larger than
+    ``spark.sql.files.maxPartitionBytes`` (Spark splits parquet by row
+    group past that size).  Non-local schemes are counted as one split
+    per file — a genuinely many-split remote source clears the spread
+    threshold on file count alone."""
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme in ("", "file") and os.path.exists(parsed.path):
+            size = os.path.getsize(parsed.path)
+            splits += max(1, -(-size // max_bytes))
+        else:
+            splits += 1
+    return splits
+
+
+def _parse_bytes(v: str) -> int:
+    """'134217728', '134217728b', '128m'/'128MB', '1g' → bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                      ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(s) * mult
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

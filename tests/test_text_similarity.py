@@ -376,3 +376,46 @@ def test_s42_matryoshka_recall_matches_numpy(spark):
             assert r.n_exact == 3
             assert r.n_hit == hit, (d, qid)
             assert abs(r.recall - hit / 3.0) < 5.1e-7
+
+
+def test_shingle_hash_injective_single_byte_codepoints(spark):
+    """Byte-positional base-256 weights are injective on the 1..255
+    codepoint cube by construction (each position owns a byte lane;
+    max value 0xFFFFFF < MOD so %MOD never wraps).  Verified on a
+    seeded 4096-triple sample plus the boundary corners and the old
+    923521/961/31 weights' documented collision pair (40,70)/(41,39)."""
+    import random
+
+    rng = random.Random(20260815)
+    triples = {(rng.randrange(1, 256), rng.randrange(1, 256),
+                rng.randrange(1, 256)) for _ in range(4096)}
+    triples |= {(1, 1, 1), (255, 255, 255), (1, 255, 1), (255, 1, 255),
+                (1, 40, 70), (1, 41, 39)}  # old-weight collision pair
+    rows = [("".join(map(chr, t)),) for t in sorted(triples)]
+    df = spark.createDataFrame(rows, "shingle string")
+    got = df.select(
+        S.shingle_hash(F.col("shingle")).alias("h")).collect()
+    hashes = [r["h"] for r in got]
+    assert len(set(hashes)) == len(triples)
+    # and the hash is exactly the positional value for byte codepoints
+    for (a, b, c), h in zip(sorted(triples), hashes):
+        assert h == a * 65536 + b * 256 + c
+
+
+def test_shingle_hash_injective_on_census(spark):
+    """Corpus census helper: equal counts on an ASCII corpus; a forced
+    cross-lane collision (codepoints >= 256) is detected."""
+    ok = spark.createDataFrame(
+        [(1, "abcdef"), (2, "hello world"), (3, "xy")],
+        "doc_id long, text string")
+    s, h = S.shingle_hash_injective_on(ok)
+    assert s == h > 0
+    # chr(256) in position 2 contributes 256*256 = 65536, colliding
+    # with codepoint 1 in position 1: chr(1)+chr(0+1)... construct the
+    # documented cross-lane pair: (1,0,0) lane-1 vs (0,256,0) lane-2.
+    # ascii(chr(256)) = 256 -> 256*256 = 65536 = 1*65536.
+    bad = spark.createDataFrame(
+        [(1, chr(1) + chr(0) + chr(0)), (2, chr(0) + chr(256) + chr(0))],
+        "doc_id long, text string")
+    s2, h2 = S.shingle_hash_injective_on(bad)
+    assert s2 == 2 and h2 == 1

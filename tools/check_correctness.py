@@ -89,6 +89,26 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+
+    # Corpus-level shingle-hash injectivity census (ADVICE r05): every
+    # hash-level set size / Jaccard in the MinHash family equals the
+    # string-level quantity only if shingle_hash is injective on this
+    # corpus's 3-grams (guaranteed for single-byte codepoints by the
+    # base-256 positional weights; codepoints >= 256 could cross lanes).
+    if not ONLY or any(n.startswith("s") for n in ONLY):
+        from mousedatapipeline_spark.operators.similarity import (
+            shingle_hash_injective_on)
+        from mousedatapipeline_spark.tables import load as load_table
+        n_str, n_hash = shingle_hash_injective_on(
+            load_table(spark, SF_DIR, "documents"))
+        if n_str == n_hash:
+            print(f"CHECK shingle-hash injective on corpus: "
+                  f"{n_str} distinct 3-grams == {n_hash} hashes")
+        else:
+            print(f"FAIL shingle-hash census: {n_str} distinct 3-grams "
+                  f"but {n_hash} hashes — hash-level dedup is NOT "
+                  f"string-level on this corpus")
+            n_fail += 1
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
