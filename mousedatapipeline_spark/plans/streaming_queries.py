@@ -138,6 +138,23 @@ def write_time_chunks(spark: SparkSession, sf_dir: str, landing: Path,
     return written
 
 
+def _final_state(spark: SparkSession, state_dir, schema) -> DataFrame:
+    """Latest ``v*`` state version as a DataFrame — or an EMPTY
+    DataFrame with the state's declared schema when no micro-batch
+    ever fired: an empty source fixture makes :func:`write_time_chunks`
+    emit zero chunks, foreachBatch never runs, and no ``v*`` dir
+    exists, which used to be an ``IndexError`` (ADVICE r05).  The
+    declared-schema fallback keeps the degenerate-fixture result equal
+    to the batch oracle over the same empty table.  The schema is also
+    applied to the read: a state version written from a batch with no
+    qualifying rows is an empty dir that breaks schema inference."""
+    versions = sorted(Path(state_dir).glob("v*"))
+    if not versions:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema) \
+        .parquet(str(versions[-1]))
+
+
 def drain_sessionization(spark: SparkSession, sf_dir: str, work: Path,
                          n_chunks: int = 2) -> DataFrame:
     """Run the stateful sessionization stream over time-chunked landing
@@ -375,8 +392,10 @@ def w04_stream_incremental_agg(spark: SparkSession,
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    final = sorted(state_dir.glob("v*"))[-1]
-    return spark.read.parquet(str(final)).select(
+    state = _final_state(
+        spark, state_dir,
+        f"event_type string, n_events bigint, value_dec {_DEC}")
+    return state.select(
         "event_type", "n_events",
         stable_round(F.col("value_dec").cast("double"))
         .alias("value_sum"))
@@ -586,8 +605,8 @@ def w06_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    final = sorted(state_dir.glob("v*"))[-1]
-    registers = spark.read.parquet(str(final))
+    registers = _final_state(
+        spark, state_dir, "event_type string, reg int, max_rho int")
     est = K.hll_estimate(registers, ["event_type"])
     return est.select("event_type",
                       stable_round(F.col("hll_est_raw")).alias("hll_users"))
@@ -710,8 +729,7 @@ def w07_stream_quantile_histogram(spark: SparkSession,
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    final = sorted(state_dir.glob("v*"))[-1]
-    hist = spark.read.parquet(str(final))
+    hist = _final_state(spark, state_dir, "bucket bigint, cnt bigint")
     c = hist.select(
         "bucket", "cnt",
         F.sum("cnt").over(W.orderBy("bucket")
@@ -747,6 +765,10 @@ def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = work / "landing"
     landing.mkdir()
     n_real = write_time_chunks(spark, sf_dir, landing, n_chunks=3)
+    if n_real == 0:  # empty fixture: no chunks, no sessions (ADVICE r05)
+        return spark.createDataFrame(
+            [], "user_id bigint, session_start_us bigint, "
+                "session_end_us bigint, n_events bigint")
     # Sentinel: ONE far-future event for a filtered-out user. It lands
     # in the final data trigger and pushes the stream's max event time
     # past every real session end (end <= max real ts + 30 min); the
@@ -759,6 +781,10 @@ def w08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_chunk = sorted(landing.glob("chunk*.parquet"))[-1]
     max_us = spark.read.parquet(str(last_chunk)).agg(
         F.max("ts_us")).collect()[0][0]
+    if max_us is None:  # chunks exist but hold zero rows (ADVICE r05)
+        return spark.createDataFrame(
+            [], "user_id bigint, session_start_us bigint, "
+                "session_end_us bigint, n_events bigint")
     # range+lit, not createDataFrame: local-data scans route through a
     # Python worker and cost seconds per job; this stays JVM-only.
     sent = spark.range(1).select(
@@ -897,11 +923,12 @@ def w09_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    final = sorted(state_dir.glob("v*"))[-1]
     from pyspark.sql import Window as W2
     w = W2.partitionBy("event_type").orderBy(
         F.col("value").desc(), "event_id")
-    return (spark.read.parquet(str(final))
+    state = _final_state(
+        spark, state_dir, "event_type string, event_id bigint, value double")
+    return (state
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .select("event_type", "rank", "event_id",
                     stable_round(F.col("value")).alias("value")))
@@ -1180,8 +1207,11 @@ def w13_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    final = sorted(state_dir.glob("v*"))[-1]
-    agg = spark.read.parquet(str(final))
+    dec = "decimal(30,10)"
+    agg = _final_state(
+        spark, state_dir,
+        f"event_type string, n bigint, sv {dec}, " + ", ".join(
+            f"sv{k} {dec}, sw{k} bigint" for k in range(_E22_B)))
     m = agg.selectExpr(
         "event_type", "n",
         "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v",
@@ -1335,11 +1365,17 @@ def w14_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     closed_dirs = [str(p) for p in sorted((state_dir / "closed").glob("v*"))]
-    open_last = sorted((state_dir / "open").glob("v*"))[-1]
     # Explicit schema: a batch with no transitions writes an empty dir
-    # (no part files), which would break schema inference on read-back.
-    closed = spark.read.schema(_W14_CLOSED_SCHEMA).parquet(*closed_dirs)
-    open_df = spark.read.parquet(str(open_last)).withColumn(
+    # (no part files), which would break schema inference on read-back;
+    # with NO batches at all (empty fixture) both sides degrade to
+    # empty declared-schema tables (see _final_state).
+    closed = (spark.read.schema(_W14_CLOSED_SCHEMA).parquet(*closed_dirs)
+              if closed_dirs
+              else spark.createDataFrame([], _W14_CLOSED_SCHEMA))
+    open_df = _final_state(
+        spark, state_dir / "open",
+        "user_id bigint, tier string, valid_from bigint, "
+        "version_event_id bigint").withColumn(
         "valid_to", F.lit(None).cast("long"))
     return (
         closed.unionByName(open_df)
@@ -1511,9 +1547,13 @@ def w15_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     closed_dirs = [str(p) for p in sorted((state_dir / "closed").glob("v*"))]
-    closed = spark.read.schema(_W15_BIN_SCHEMA).parquet(*closed_dirs)
-    open_last = sorted((state_dir / "open").glob("v*"))[-1]
-    open_df = spark.read.parquet(str(open_last)).select(
+    closed = (spark.read.schema(_W15_BIN_SCHEMA).parquet(*closed_dirs)
+              if closed_dirs
+              else spark.createDataFrame([], _W15_BIN_SCHEMA))
+    open_df = _final_state(
+        spark, state_dir / "open",
+        "source string, bin bigint, n bigint, tot bigint, "
+        "mn bigint, mx bigint, cum bigint").select(
         "source", "bin", "n", "tot", "mn", "mx")
     return (closed.unionByName(open_df)
             .select("source", "bin",
@@ -1620,8 +1660,7 @@ def w16_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    daily = spark.read.schema(_W16_REG_SCHEMA).parquet(
-        str(sorted(state_dir.glob("v*"))[-1]))
+    daily = _final_state(spark, state_dir, _W16_REG_SCHEMA)
     spine = daily.select("day").distinct()
     offsets = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("i")
     fan = daily.select("reg", "max_rho", "day", offsets).select(

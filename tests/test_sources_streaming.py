@@ -592,3 +592,34 @@ def test_w16_hll_merge_is_replay_idempotent_and_order_insensitive(
     assert replayed == fwd
     rev, _ = run([b1, b0], tmp_path / "rev")
     assert rev == fwd
+
+
+def test_streaming_queries_empty_fixture(spark, tmp_path):
+    """An EMPTY source fixture (zero chunks -> foreachBatch never fires
+    -> no v* state dirs) must yield the declared-schema degenerate
+    result, not an IndexError (ADVICE r05). w07 keeps its one
+    global-agg row of NULLs — exactly what its oracle returns over an
+    empty events table."""
+    spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from mousedatapipeline_spark.plans import streaming_queries as SQ
+    sf = str(tmp_path)
+    zero_row = [
+        SQ.w04_stream_incremental_agg, SQ.w06_stream_hll_users,
+        SQ.w08_stream_session_window, SQ.w09_stream_topk,
+        SQ.w13_stream_bootstrap, SQ.w14_stream_scd2,
+        SQ.w15_stream_compaction, SQ.w16_stream_sliding_hll,
+    ]
+    for fn in zero_row:
+        out = fn(spark, sf)
+        assert out.count() == 0, fn.__name__
+        assert len(out.columns) > 0, fn.__name__
+    h = SQ.w07_stream_quantile_histogram(spark, sf).collect()
+    assert len(h) == 1 and all(v is None for v in h[0])
