@@ -799,3 +799,165 @@ def c05_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").cast("bigint").alias("first_file"),
         F.max("file_id").cast("bigint").alias("last_file"),
         (F.sum("sz") >= _C05_TARGET).alias("full_bin"))
+
+
+# --------------------------------------------------------------------------
+# c06: the production dedup funnel END TO END, one plan (VERDICT r05
+# task 6). Exact dedup FIRST (hash groupBy — removes duplicate mass
+# before any per-character work), then s19's LSH->verify near-dup over
+# the SURVIVORS only, then s14's connected components, min-id
+# canonicalization, the t03 quality gate, and the c02-style per-source
+# census. This is the documented "production response to duplicate
+# mass" (SCALING.md): pair volume is bounded because the corpus that
+# reaches the shingle stage has no exact duplicates left, and
+# quadratic work only ever happens inside LSH buckets of that reduced
+# corpus. Composes lsh_verified_edges + connected_components verbatim
+# — the pipeline is the same code paths the standalone queries gate.
+# --------------------------------------------------------------------------
+@register(
+    "c06_production_dedup_e2e",
+    oracle="__C06_PLACEHOLDER__",
+    doc="Production dedup funnel end-to-end in ONE plan: exact dedup "
+        "(md5 min-id) -> s19 LSH+verified-Jaccard near-dup over "
+        "survivors -> connected components -> min-id canonical -> t03 "
+        "quality gate -> per-source census (docs, exact survivors, "
+        "near-dup canonicals, final docs, final token budget). The "
+        "scale story: duplicate mass is removed by one hash shuffle "
+        "BEFORE any shingle work, so the quadratic-in-bucket LSH "
+        "stage sees only unique content.",
+)
+def c06_production_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        lsh_verified_edges,
+    )
+    from mousedatapipeline_spark.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "lang", "text",
+        T.content_hash(F.col("text")).alias("xh"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        T.quality_score(F.col("text")).alias("quality"))
+    canon = base.groupBy("xh").agg(F.min("doc_id").alias("cid"))
+    # Survivors feed the shingle pipeline AND the component seed; the
+    # lazy checkpoint pins the post-dedup (smaller) corpus once.
+    surv = (base.join(canon, "xh")
+            .filter(F.col("doc_id") == F.col("cid"))
+            .select("doc_id", "lang", "text")
+            .localCheckpoint(eager=False))
+    edges = lsh_verified_edges(surv).select("d1", "d2")
+    cc = connected_components(surv.select("doc_id"), edges,
+                              "doc_id", "d1", "d2")
+    j = base.join(cc, "doc_id", "left")
+    is_nd = F.col("doc_id") == F.col("component_id")
+    is_final = is_nd & (F.col("quality") >= 0.5)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.col("component_id")).cast("bigint")
+        .alias("n_after_exact"),
+        F.count(F.when(is_nd, 1)).cast("bigint").alias("n_after_neardup"),
+        F.count(F.when(is_final, 1)).cast("bigint").alias("n_final"),
+        F.coalesce(F.sum(F.when(is_final, F.col("n_tok"))), F.lit(0))
+        .cast("bigint").alias("tokens_final"))
+
+
+def _finalize_c06_oracle() -> None:
+    from dataclasses import replace
+
+    from mousedatapipeline_spark.operators import similarity as S
+    from mousedatapipeline_spark.plans.catalog import _REGISTRY
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        MIN_SHARED_BANDS,
+        VERIFY_JACCARD,
+        _bands_wide_sql,
+        _minhash_wide_sql,
+    )
+
+    quality = f"""LEAST(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
+             + LEAST(CASE WHEN {_SQL_NTOK} > 0 THEN
+                 CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
+                 / CAST({_SQL_NTOK} AS DOUBLE)
+                 ELSE 0.0 END * 4.0, 1.0) * 0.3
+             + CASE WHEN length(text) > 0 THEN
+                 CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.3"""
+    oracle = f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT doc_id, source, lang, text, md5(text) AS xh,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+             {quality} AS quality
+      FROM documents
+    ),
+    canon AS (SELECT xh, MIN(doc_id) AS cid FROM base GROUP BY xh),
+    surv AS MATERIALIZED (
+      SELECT b.doc_id, b.lang, b.text
+      FROM base b JOIN canon c ON b.xh = c.xh AND b.doc_id = c.cid
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, lang,
+             substr(text, CAST(pos AS INT), 3) AS shingle
+      FROM surv,
+           UNNEST(generate_series(1, greatest(length(text) - 2, 0)))
+             AS t(pos)
+    ),
+    h AS (SELECT doc_id, lang, {S.SHINGLE_HASH_SQL} AS h FROM sh),
+    mh AS ({_minhash_wide_sql()}),
+    bands AS ({_bands_wide_sql()}),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SHARED_BANDS}
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+                AND b.lang = a.lang
+      GROUP BY c.d1, c.d2
+    ),
+    edges AS MATERIALIZED (
+      SELECT m.d1, m.d2 FROM common m
+      JOIN sz s1 ON s1.doc_id = m.d1
+      JOIN sz s2 ON s2.doc_id = m.d2
+      WHERE CAST(m.n_common AS DOUBLE)
+            / CAST(s1.n + s2.n - m.n_common AS DOUBLE)
+            >= {VERIFY_JACCARD}
+    ),
+    und AS (SELECT d1 AS u, d2 AS v FROM edges
+            UNION ALL SELECT d2, d1 FROM edges),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.u, r.lbl FROM und e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY u)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(comp.component_id) AS BIGINT) AS n_after_exact,
+           CAST(COUNT(CASE WHEN b.doc_id = comp.component_id THEN 1 END)
+                AS BIGINT) AS n_after_neardup,
+           CAST(COUNT(CASE WHEN b.doc_id = comp.component_id
+                            AND b.quality >= 0.5 THEN 1 END)
+                AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN b.doc_id = comp.component_id
+                                   AND b.quality >= 0.5
+                                  THEN b.n_tok END), 0) AS BIGINT)
+             AS tokens_final
+    FROM base b LEFT JOIN comp ON b.doc_id = comp.doc_id
+    GROUP BY b.source
+    """
+    spec = _REGISTRY["c06_production_dedup_e2e"]
+    _REGISTRY["c06_production_dedup_e2e"] = replace(spec, oracle=oracle)
+
+
+_finalize_c06_oracle()

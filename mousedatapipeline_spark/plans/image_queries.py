@@ -536,6 +536,72 @@ def m18_flux_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u03_mask_contract",
+    # Integer-EXACT lattice census, not a tolerance flag: for integer
+    # center/radius every pixel's d² <= r² comparison is exact integer
+    # arithmetic in both engines, so the disk's pixel count and its
+    # row/column extents are reproduced verbatim by the DuckDB
+    # generate_series census — a stronger gate than the Gauss-circle
+    # area bound. Keys mint clipped AND unclipped disks (centers near
+    # the borders), so the shape-bounds clipping path is gated too.
+    oracle="""
+    WITH k AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS key,
+             5 + (n_nationkey * 7) % 48 AS cy,
+             3 + (n_nationkey * 11) % 40 AS cx,
+             4 + n_nationkey % 13 AS r
+      FROM nation
+    ),
+    cells AS (
+      SELECT key,
+             CAST(gy.y AS BIGINT) AS y, CAST(gx.x AS BIGINT) AS x
+      FROM k,
+           UNNEST(generate_series(0, 47)) AS gy(y),
+           UNNEST(generate_series(0, 39)) AS gx(x)
+      WHERE (gy.y - cy) * (gy.y - cy) + (gx.x - cx) * (gx.x - cx)
+            <= r * r
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS mask_area,
+           CAST(COUNT(DISTINCT y) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_cols
+    FROM cells GROUP BY key
+    """,
+    doc="U5/P12 circular-mask contract under the driver hash gate: 25 "
+        "nation-keyed (center, radius) disks over a 48x40 frame — some "
+        "clipped at the borders — run through kernels.circular_mask; "
+        "the mask's pixel count and row/column extents must equal the "
+        "exact integer lattice census DuckDB computes from the closed "
+        "form (src/processstep_make_beam_mask.py:27-35). Completes "
+        "driver coverage of the kernel family (VERDICT r05 task 3).",
+)
+def u03_mask_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mousedatapipeline_spark.functions import kernels as K
+
+    keys = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("key"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for key in pdf["key"]:
+                k = int(key)
+                cy, cx, r = 5 + (k * 7) % 48, 3 + (k * 11) % 40, 4 + k % 13
+                m = K.circular_mask((48, 40), (float(cy), float(cx)),
+                                    float(r))
+                rows.append({
+                    "key": k, "mask_area": int(m.sum()),
+                    "n_rows": int(m.any(axis=1).sum()),
+                    "n_cols": int(m.any(axis=0).sum()),
+                })
+            yield pd.DataFrame(
+                rows, columns=["key", "mask_area", "n_rows", "n_cols"])
+
+    return keys.mapInPandas(
+        gen, "key bigint, mask_area bigint, n_rows bigint, n_cols bigint")
+
+
+@register(
     "mm06_media_dedup_clusters",
     # Same end-to-end gate as mm03: payloads are a pure function of
     # doc_id % 150, so the component structure is known — each key's

@@ -947,15 +947,24 @@ MIN_SHARED_BANDS = 2
         "join.",
 )
 def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Repartition first: documents.parquet is one file -> one input
+    # partition (see s03's comment).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return lsh_verified_edges(d)
+
+
+def lsh_verified_edges(d: DataFrame) -> DataFrame:
+    """s19's two-stage near-dup machinery over an arbitrary documents
+    frame (doc_id, lang, text[, ...]) — (d1, d2, n_common, jaccard)
+    verified edges.  Factored out so composed pipelines (c06) can run
+    the identical stage over a FILTERED corpus (e.g. exact-dedup
+    survivors) without re-stating the plan."""
     # ONE corpus pass computes the hashed shingle sets that BOTH stages
     # consume: the minhash signatures derive from `hashed`, and the
     # verify stage reads the same checkpoint (s03 run standalone would
     # recompute the sets for its own pipeline — inlining its body here
-    # halves the corpus-scan work of the combined query). Repartition
-    # first: documents.parquet is one file -> one input partition (see
-    # s03's comment).
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    # halves the corpus-scan work of the combined query).
     hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
