@@ -195,49 +195,68 @@ _R04_GREEN = frozenset({
     "s24_containment_neardup",
 })
 
+# Green rows earned in CORRECTNESS_r05.json (all 50 sampled queries
+# fully green — rows + schema + hash, zero err).
+_R05_GREEN = frozenset({
+    "c05_compaction_plan", "e22_bootstrap_stderr",
+    "e26_deletion_propagation", "m18_flux_contract", "m19_manifest_scan",
+    "m20_quarantine_roundtrip", "mm01_media_features",
+    "mm02_resized_frames", "mm03_phash_neardup",
+    "mm04_audio_frame_features", "mm05_scene_changes",
+    "mm06_media_dedup_clusters", "mm07_audio_neardup",
+    "mm08_audio_framing_census", "q47_merge_upsert",
+    "q48_zorder_skipping", "s02_ngram_jaccard", "s03_minhash_lsh",
+    "s04_simhash", "s09_embedding_neardup", "s14_neardup_components",
+    "s18_bloom_decontam", "s19_lsh_verified_neardup",
+    "s21_semantic_dedup", "s22_incremental_neardup",
+    "s24_containment_neardup", "s25_ann_recall", "s26_minhash_accuracy",
+    "s28_threshold_sweep", "s29_bbit_minhash",
+    "s33_cross_source_dup_matrix", "s34_quality_canonical",
+    "s35_hard_negatives", "s37_ivf_probe_sweep", "s40_neardup_pagerank",
+    "s41_power_iteration_pca", "s42_matryoshka_recall",
+    "s43_label_propagation", "t10_decontamination",
+    "t15_bigram_surprisal", "t18_novelty_scan", "t26_substring_removal",
+    "t27_bpe_merge_stats", "t28_dsir_importance",
+    "t30_split_contamination", "t31_dedup_savings_by_source",
+    "t34_corpus_drift", "t36_bm25_topk", "t37_textrank_keywords",
+    "u02_beam_contract",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
-# Round-4 edits (blocked_pairs max_block guard -> s02/s04/s09/s26/s28/s29;
-# stateful empty-chunk guard -> w12; replay-idempotence fix -> w13) landed
-# after those queries' last driver rows; all re-verified locally at both
-# SFs, but the rotation policy says they re-earn driver rows.  Round-5
-# edits (foreachBatch strictly-below-batch merge for w04/w06/w07, packed-
-# key overflow guards for t26/t31, weight-hash guard for e22, streaming
-# trigger trim for w08/w10/w12/w13) re-queue those names too.
 _STALE_PROOF = frozenset({
-    "s02_ngram_jaccard", "s04_simhash", "s09_embedding_neardup",
-    "s26_minhash_accuracy", "s28_threshold_sweep", "s29_bbit_minhash",
+    # Round-5 edits not yet re-proven by a driver row (keystream change
+    # for mm09/mm10; streaming trigger trims + strictly-below-batch
+    # merges for the w family):
+    "mm09_video_neardup", "mm10_modality_census",
     "w04_stream_incremental_agg", "w06_stream_hll_users",
     "w07_stream_quantile_histogram", "w08_stream_session_window",
     "w10_stream_decontam", "w12_stream_running_profile",
-    "w13_stream_bootstrap", "t26_substring_removal",
-    "t31_dedup_savings_by_source", "e22_bootstrap_stderr",
-    # Round-5 perf edits (weights-array staging, sentinel/probes via
-    # range+lit, repartition before single-file gram work):
-    "s18_bloom_decontam", "s37_ivf_probe_sweep",
-    # Round-5 keystream change (hex-chained md5 + 'm' salt, the change
-    # that made mm01/mm02/mm04/mm05 oracle-able) alters every minted
-    # payload byte, so the other payload consumers' proofs are stale:
-    "mm03_phash_neardup", "mm06_media_dedup_clusters",
-    "mm07_audio_neardup", "mm08_audio_framing_census",
-    "mm09_video_neardup", "mm10_modality_census",
-    # Round-5 hashed_shingle_docs refactor (hash-at-position scan,
-    # single evaluation): every MinHash-pipeline query and composer:
-    "s03_minhash_lsh", "s19_lsh_verified_neardup",
-    "s22_incremental_neardup", "s14_neardup_components",
-    "s21_semantic_dedup", "s25_ann_recall",
+    "w13_stream_bootstrap",
+    # Round-6 injective trigram hash (base-256 positional weights):
+    # every MinHash-family query and composer re-earns its row.  All
+    # re-verified locally at sf0.01 AND sf0.1 the day of the change.
+    "s02_ngram_jaccard", "s03_minhash_lsh", "s14_neardup_components",
+    "s19_lsh_verified_neardup", "s21_semantic_dedup",
+    "s22_incremental_neardup", "s24_containment_neardup",
+    "s26_minhash_accuracy", "s28_threshold_sweep", "s29_bbit_minhash",
     "s33_cross_source_dup_matrix", "s34_quality_canonical",
-    "s35_hard_negatives",
-    "s24_containment_neardup",  # r05: hashed-set blocked_pairs scan
-    # Round-5 load_spread adoption (single-file scan parallelized
-    # before per-row-expensive tokenize/ngram work):
-    "t10_decontamination",
-    "t15_bigram_surprisal", "t18_novelty_scan", "t27_bpe_merge_stats",
-    "t28_dsir_importance", "t30_split_contamination",
-    "t34_corpus_drift",
+    "s35_hard_negatives", "s40_neardup_pagerank",
+    "s43_label_propagation",
+    # Round-6 modulo-first user hash (value-identical at every shipped
+    # SF, but the expression changed):
+    "k03_hll_set_ops", "e10_hourly_distinct_hll",
+    # Round-6 empty-fixture state guard (w04/w06/w07/w08/w13 already
+    # above; w14-w16 never had rows):
+    "w09_stream_topk",
+    # NOT staled: the round-6 load_spread heuristic change (manifest-
+    # derived split estimate) was verified DECISION-IDENTICAL to the
+    # old RDD-partition check for documents AND events at sf0.001/
+    # 0.01/0.1 — same physical plans, proofs remain valid.
 })
 
-_PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN) - _STALE_PROOF
+_PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
+           | _R05_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:
