@@ -66,10 +66,18 @@ PROBE = [
     "s36_product_quantization", "e16_rolling_active_users",
     "e20_decayed_engagement", "q35_scd2_intervals",
     "s41_power_iteration_pca", "c05_compaction_plan",
-    "q48_zorder_skipping",
+    "q48_zorder_skipping", "k05_sliding_hll", "w15_stream_compaction",
+    # iterative-graph family over the near-dup edge list: replication
+    # x10 grows duplicate-mass-squared edges ~100x — the stress that
+    # would expose a non-checkpointed iteration recomputing s19
+    # per round (VERDICT r05 task 4)
+    "s40_neardup_pagerank", "s43_label_propagation",
     # duplicate-mass family: pair emitters (expected superlinear in
     # duplicate multiplicity, linear in distinct content)
     "s01_exact_dedup", "s03_minhash_lsh",
+    # the production funnel: exact dedup FIRST collapses the 10
+    # replicas, so the pair stages see only distinct content
+    "c06_production_dedup_e2e",
 ]
 
 
