@@ -137,10 +137,11 @@ def hashed_shingle_docs(d: DataFrame, extra_cols: Sequence[str] = ("lang",),
       re-runs the scan.
 
     Dedup happens on hashes (array_distinct of ints): identical to
-    string-level dedup whenever the codepoint hash is injective on the
-    corpus 3-grams — the same assumption every hash-level intersect in
-    this module already makes, and checked against the string-level
-    DuckDB oracles at every shipped SF.
+    string-level dedup whenever :func:`shingle_hash` is injective on
+    the corpus 3-grams — GUARANTEED for single-byte codepoints by the
+    base-256 positional weights, and checked corpus-wide for the
+    general case by :func:`shingle_hash_injective_on` (run by
+    tools/check_correctness.py at every shipped SF).
     """
     base = d.filter(F.length("text") >= 3)
     t = F.col("text")
