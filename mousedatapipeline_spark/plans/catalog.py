@@ -249,6 +249,11 @@ _STALE_PROOF = frozenset({
     # Round-6 empty-fixture state guard (w04/w06/w07/w08/w13 already
     # above; w14-w16 never had rows):
     "w09_stream_topk",
+    # Round-6 write_bucketed re-run-safety fix (DROP + stale-location
+    # cleanup before saveAsTable): values identical — re-verified at
+    # sf0.001/0.01/0.1 the day of the change — but the implementation
+    # changed, so the proof re-earns a row:
+    "q34_bucketed_join_roundtrip",
     # NOT staled: the round-6 load_spread heuristic change (manifest-
     # derived split estimate) was verified DECISION-IDENTICAL to the
     # old RDD-partition check for documents AND events at sf0.001/

@@ -125,12 +125,33 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
 
     THE co-location primitive for 100 TB joins: two tables bucketed by
     the same keys into the same bucket count join with ZERO exchanges —
-    every bucket pair meets on one executor, and with sort_cols the
-    sort-merge join skips its sort too. Worth it for any fact table
+    every bucket pair meets on one executor (q34 value-checks the
+    round trip; test_plan_shapes pins the zero-Exchange plan).
+    ``sort_cols`` additionally bucket-sorts the files; note Spark >= 3
+    only uses that order to skip the join sort behind the legacy flag
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (and only at
+    one file per bucket — repartition by the bucket key first to get
+    that layout). Worth it for any fact table
     joined repeatedly on the same key (measurements by (ymd, batch),
     documents by doc_id, ...). Bucketing metadata lives in the catalog,
     so this writes a managed table (`saveAsTable`), not a bare path.
+
+    Re-run safety: with the default in-memory catalog the table entry
+    dies with the session but its warehouse DIRECTORY persists, and a
+    later session's `overwrite` then fails with
+    LOCATION_ALREADY_EXISTS (overwrite only clears locations the
+    catalog knows about). Drop any stale entry and clear the orphaned
+    default location first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is None:
+        import shutil as _sh
+        from pathlib import Path as _P
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = _P(wh.removeprefix("file:")) / table.lower()
+        if loc.exists():
+            _sh.rmtree(loc)
     w = df.write.mode("overwrite").format("parquet") \
         .bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

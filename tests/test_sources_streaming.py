@@ -623,3 +623,28 @@ def test_streaming_queries_empty_fixture(spark, tmp_path):
         assert len(out.columns) > 0, fn.__name__
     h = SQ.w07_stream_quantile_histogram(spark, sf).collect()
     assert len(h) == 1 and all(v is None for v in h[0])
+
+
+def test_write_bucketed_managed_survives_stale_location(spark):
+    """In-memory-catalog sessions forget managed tables but their
+    warehouse directories persist; a rewrite in a later session must
+    not die with LOCATION_ALREADY_EXISTS. Simulated by dropping the
+    catalog entry while leaving the directory behind."""
+    import shutil
+    from pathlib import Path
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    sinks.write_bucketed(df, "bt_stale", ["k"], 4)
+    wh = Path(spark.conf.get("spark.sql.warehouse.dir")
+              .removeprefix("file:"))
+    loc = wh / "bt_stale"
+    assert loc.exists()
+    stash = loc.with_name("bt_stale_stash")
+    shutil.copytree(loc, stash)
+    spark.sql("DROP TABLE bt_stale")          # drops dir too (managed)
+    shutil.move(str(stash), str(loc))         # orphan the location
+    try:
+        sinks.write_bucketed(df, "bt_stale", ["k"], 4)  # must not raise
+        assert spark.table("bt_stale").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_stale")
