@@ -72,6 +72,14 @@ PROBE = [
     # would expose a non-checkpointed iteration recomputing s19
     # per round (VERDICT r05 task 4)
     "s40_neardup_pagerank", "s43_label_propagation",
+    # round-6 widening: the heaviest bench queries not yet probed —
+    # ANN/index builds, dedup composition, profiling, bootstrap
+    "s38_knn_graph_stats", "s39_ivf_pq_index_build",
+    "s33_cross_source_dup_matrix", "s34_quality_canonical",
+    "s21_semantic_dedup", "s19_lsh_verified_neardup",
+    "s14_neardup_components", "s18_bloom_decontam",
+    "q16_column_profile", "q25_group_percentiles",
+    "e22_bootstrap_stderr", "mm06_media_dedup_clusters",
     # duplicate-mass family: pair emitters (expected superlinear in
     # duplicate multiplicity, linear in distinct content)
     "s01_exact_dedup", "s03_minhash_lsh",
