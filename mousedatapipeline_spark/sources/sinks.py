@@ -139,19 +139,37 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     Re-run safety: with the default in-memory catalog the table entry
     dies with the session but its warehouse DIRECTORY persists, and a
     later session's `overwrite` then fails with
-    LOCATION_ALREADY_EXISTS (overwrite only clears locations the
-    catalog knows about). Drop any stale entry and clear the orphaned
-    default location first.
+    LOCATION_ALREADY_EXISTS — Spark only clears locations the catalog
+    knows about, and the conf escape was removed in Spark 3.0. So:
+    when the catalog does NOT know `table` (a known table is handled
+    by overwrite itself), clear the orphaned managed location, asking
+    the session catalog for the path (`defaultTablePath` respects the
+    current database, `.db` suffixes and URI encoding — a hand-built
+    ``<warehouse>/<table>`` guess gets qualified names wrong). This is
+    the same destruction `mode("overwrite")` already promises for the
+    table name; only file-scheme locations are touched.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    if path is None:
+    if path is None and not spark.catalog.tableExists(table):
         import shutil as _sh
         from pathlib import Path as _P
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = _P(wh.removeprefix("file:")) / table.lower()
-        if loc.exists():
-            _sh.rmtree(loc)
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        parts = table.split(".")
+        jvm = spark._jvm
+        if len(parts) == 1:
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                parts[0])
+        else:
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                parts[-1], jvm.scala.Some(parts[-2]))
+        uri = urlparse(str(spark._jsparkSession.sessionState().catalog()
+                           .defaultTablePath(ident)))
+        if uri.scheme in ("", "file"):
+            loc = _P(url2pathname(uri.path))
+            if loc.exists():
+                _sh.rmtree(loc)
     w = df.write.mode("overwrite").format("parquet") \
         .bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

@@ -38,7 +38,7 @@ import tempfile
 import time
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 PROBE = [
     "q01_pricing_summary",      # join + agg over lineitem

@@ -38,7 +38,7 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SCRATCH = [("sfx30", "/tmp/mouse_scale_probe/sfx30"),
            ("sfx10", "/tmp/mouse_scale_probe/sfx10"),
@@ -52,8 +52,12 @@ def main() -> None:
     from mousedatapipeline_spark.session import get_spark
     from mousedatapipeline_spark.tables import load
 
+    fixtures = [(l, p) for l, p in SCRATCH if Path(p).exists()]
+    if not fixtures:
+        sys.exit("skew_probe: no fixture data found (looked for "
+                 + ", ".join(p for _, p in SCRATCH) + ")")
     spark = get_spark("skew_probe")
-    label, d = next((l, p) for l, p in SCRATCH if Path(p).exists())
+    label, d = fixtures[0]
 
     for k, v in [
         ("spark.sql.autoBroadcastJoinThreshold", "-1"),
