@@ -52,7 +52,19 @@ PROBE = [
     "s36_product_quantization", # vector subspace k-means assignment
     "mm08_audio_framing_census",  # Arrow mapInPandas on executors
     "c06_production_dedup_e2e", # the full funnel in one plan
+    # Structured Streaming under real executors: per-executor state
+    # store providers, watermark/session/sliding-sketch state — a
+    # different execution surface than any batch plan
+    "w01_stream_tumbling_counts",
+    "w08_stream_session_window",
+    "w16_stream_sliding_hll",
 ]
+
+# streaming fixtures are sized for sf0.01/sf0.1; the w-family reads
+# sf-dir chunk files, so sfx scratch dirs (no chunks) are batch-only
+STREAM_SCALES = {"w01_stream_tumbling_counts",
+                 "w08_stream_session_window",
+                 "w16_stream_sliding_hll"}
 
 SCALES = [("sf0.1", "/root/testdata/sf0.1"),
           ("sfx10", "/tmp/mouse_scale_probe/sfx10")]
@@ -110,6 +122,8 @@ def main() -> None:
             row: dict[str, dict] = {}
             for label, d in SCALES:
                 if not Path(d).exists():
+                    continue
+                if name in STREAM_SCALES and label != "sf0.1":
                     continue
                 try:
                     t0 = time.time()
