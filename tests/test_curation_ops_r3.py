@@ -126,3 +126,20 @@ def test_t31_savings_bounded(spark):
     for r in rows:
         assert 0 <= r["removed_tokens"] <= r["raw_tokens"]
         assert 0.0 <= r["savings_share"] < 1.0
+
+
+@_needs_data
+def test_c06_funnel_counts_are_monotone(spark):
+    """The production funnel only ever REMOVES documents, stage by
+    stage: per source, docs >= exact-dedup survivors >= near-dup
+    canonicals >= quality-gated final, with a non-negative token
+    budget — on ANY corpus, independent of the oracle's exact values."""
+    rows = _run(spark, "c06_production_dedup_e2e")
+    assert rows, "funnel census must cover every source"
+    for r in rows:
+        assert (r["n_docs"] >= r["n_after_exact"]
+                >= r["n_after_neardup"] >= r["n_final"] >= 0), r
+        assert r["tokens_final"] >= 0, r
+        # an empty final set must carry an empty budget
+        if r["n_final"] == 0:
+            assert r["tokens_final"] == 0, r
