@@ -101,7 +101,13 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL_local.json")) as fh:
-            ref = json.load(fh).get("queries", {})
+            ref_full = json.load(fh)
+        # Only comparable at the SAME scale factor: against e.g. an sf1
+        # reference every sf0.1 query looks "regressed" and the retry
+        # pass degenerates into re-running the whole catalog
+        # (code-review r06).
+        if ref_full.get("sf") == sf:
+            ref = ref_full.get("queries", {})
     except (OSError, ValueError):
         pass
     for name, t in list(timings.items()):
@@ -126,9 +132,14 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    # The committed round-over-round reference is an sf0.1 artifact; a
+    # local iteration run at another SF must not clobber it (it would
+    # also poison the retry guard above for the next real run).
+    ref_name = ("BENCH_FULL_local.json" if sf == 0.1
+                else f"BENCH_FULL_sf{sf}.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL_local.json"), "w") as fh:
+                               ref_name), "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
     except OSError as exc:

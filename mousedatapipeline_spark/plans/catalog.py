@@ -243,6 +243,10 @@ _STALE_PROOF = frozenset({
     "s33_cross_source_dup_matrix", "s34_quality_canonical",
     "s35_hard_negatives", "s40_neardup_pagerank",
     "s43_label_propagation",
+    # ... including s27, which builds its edge set by calling
+    # s02_ngram_jaccard verbatim (similarity_queries.py) — the one
+    # composer the first pass missed (code-review r06):
+    "s27_triangle_count",
     # Round-6 modulo-first user hash (value-identical at every shipped
     # SF, but the expression changed):
     "k03_hll_set_ops", "e10_hourly_distinct_hll",

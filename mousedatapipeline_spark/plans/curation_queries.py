@@ -404,6 +404,21 @@ _C01_STOPWORDS_SQL = (
     + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
     + "], t)))")
 
+# The ONE inline (single-expression) SQL twin of T.quality_score —
+# shared by the c02 and c06 oracles so a future tweak to the scorer has
+# exactly two SQL surfaces to update (this and c01's staged-CTE form)
+# instead of three hand-maintained copies (code-review r06).  The text
+# (including indentation) is byte-identical to what c02's oracle
+# previously inlined, so c02's driver proof remains valid.
+_QUALITY_SQL = f"""LEAST(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
+             + LEAST(CASE WHEN {_SQL_NTOK} > 0 THEN
+                 CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
+                 / CAST({_SQL_NTOK} AS DOUBLE)
+                 ELSE 0.0 END * 4.0, 1.0) * 0.3
+             + CASE WHEN length(text) > 0 THEN
+                 CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.3"""
+
 
 @register(
     "c01_curation_e2e",
@@ -481,14 +496,7 @@ def c01_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT doc_id, source, md5(text) AS h,
              CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
-             LEAST(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
-             + LEAST(CASE WHEN {_SQL_NTOK} > 0 THEN
-                 CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
-                 / CAST({_SQL_NTOK} AS DOUBLE)
-                 ELSE 0.0 END * 4.0, 1.0) * 0.3
-             + CASE WHEN length(text) > 0 THEN
-                 CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.3
+             {_QUALITY_SQL}
                AS quality
       FROM documents
     ),
@@ -876,14 +884,7 @@ def _finalize_c06_oracle() -> None:
         _minhash_wide_sql,
     )
 
-    quality = f"""LEAST(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * 0.4
-             + LEAST(CASE WHEN {_SQL_NTOK} > 0 THEN
-                 CAST({_C01_STOPWORDS_SQL} AS DOUBLE)
-                 / CAST({_SQL_NTOK} AS DOUBLE)
-                 ELSE 0.0 END * 4.0, 1.0) * 0.3
-             + CASE WHEN length(text) > 0 THEN
-                 CAST(len(regexp_extract_all(lower(text), '[a-z ]')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.3"""
+    quality = _QUALITY_SQL
     oracle = f"""
     WITH RECURSIVE base AS MATERIALIZED (
       SELECT doc_id, source, lang, text, md5(text) AS xh,

@@ -506,10 +506,13 @@ def w05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the 100-TB cardinality dashboard: per-trigger work is one partial
 # max-aggregate, state never grows with history.
 # --------------------------------------------------------------------------
-# Modulo-first Knuth hash (sketches.user_hash_sql twin): overflow-proof
-# for every bigint user_id, identical values for the non-wrapping range.
-_W06_HASH = ("(((user_id % 2147483647) * 506952114 + 40503) "
-             "% 2147483647)")
+# Modulo-first Knuth hash: generated from the ONE definition in
+# operators/sketches.py so the Spark side (K.user_hash) and this oracle
+# can never desynchronize (code-review r06 — a hand-inlined copy of the
+# reduced constant 506952114 lived here before).
+def _w06_hash_sql() -> str:
+    from mousedatapipeline_spark.operators.sketches import user_hash_sql
+    return f"({user_hash_sql('user_id', 40503)})"
 
 
 def _w06_batch_registers(batch: DataFrame) -> DataFrame:
@@ -540,7 +543,7 @@ def _w06_oracle_sql() -> str:
     reg_expr, rho_expr = K.hll_registers_sql("th")
     return f"""
     WITH h AS (
-      SELECT event_type, {_W06_HASH} AS th FROM events
+      SELECT event_type, {_w06_hash_sql()} AS th FROM events
     ),
     reg AS (
       SELECT event_type, {reg_expr} AS reg, MAX({rho_expr}) AS max_rho

@@ -45,8 +45,9 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     :func:`load` and keep their one-stage scan.
 
     The estimate comes from the scan's own file manifest
-    (``df.inputFiles()`` count, plus size/maxPartitionBytes for
-    locally-stattable files) — NOT ``df.rdd.getNumPartitions()``,
+    (``df.inputFiles()`` sizes run through Spark's FilePartition
+    bin-packing formula, see :func:`_estimated_scan_splits`) — NOT
+    ``df.rdd.getNumPartitions()``,
     which forces a DataFrame→RDD plan conversion per call and tracks
     the transient core count under dynamic allocation, so the same
     query could get different physical plans across invocations
@@ -55,47 +56,84 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = load(spark, sf_dir, name)
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if _estimated_scan_splits(spark, df) >= target:
+    if _estimated_scan_splits(spark, df, target) >= target:
         return df
     return df.repartition(target)
 
 
-def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
-    """Lower bound on the scan's input splits, from file metadata only:
-    one split per file, plus extra splits for local files larger than
-    ``spark.sql.files.maxPartitionBytes`` (Spark splits parquet by row
-    group past that size).  Non-local schemes are counted as one split
-    per file — a genuinely many-split remote source clears the spread
-    threshold on file count alone."""
+def _estimated_scan_splits(spark: SparkSession, df: DataFrame,
+                           parallelism: int) -> int:
+    """Estimate of the scan's input partitions, from file metadata only,
+    modeling Spark's FilePartition planning: splittable files are cut
+    into chunks of at most ``maxSplitBytes``, each chunk weighs
+    ``size + openCostInBytes``, and chunks are bin-packed into
+    partitions of at most ``maxSplitBytes`` total weight, where
+
+        maxSplitBytes = min(maxPartitionBytes,
+                            max(openCostInBytes, totalWeight / cores))
+
+    The ``/ cores`` term is why neither of the two naive estimators
+    works (code-review r06 + the load_spread plan test): counting one
+    split per file over-estimates when files are tiny relative to
+    maxPartitionBytes AND numerous relative to the core count (Spark
+    packs them), while ``ceil(total / maxPartitionBytes)`` ignores that
+    Spark SHRINKS the split size to keep every core busy on small
+    totals (36 tiny files on 32 cores really do scan as 36 partitions,
+    not 2).  For ``cores`` we use the caller's spread target
+    (``spark.sql.shuffle.partitions``) — a stable session config —
+    rather than ``defaultParallelism``, which is transient under
+    dynamic allocation (ADVICE r05).  Files whose size can't be
+    statted locally (remote schemes) contribute only their open cost;
+    with lumpy chunks the packing bound below is a lower bound, so
+    uncertainty errs toward spreading."""
     import os
     from urllib.parse import urlparse
 
     files = df.inputFiles()
+    if not files:
+        return 0
     max_bytes = _parse_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    splits = 0
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        default=134217728)
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+        default=4194304)
+    sizes = []
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme in ("", "file") and os.path.exists(parsed.path):
-            size = os.path.getsize(parsed.path)
-            splits += max(1, -(-size // max_bytes))
+            sizes.append(os.path.getsize(parsed.path))
         else:
-            splits += 1
-    return splits
+            sizes.append(0)
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_bytes,
+                    max(open_cost, -(-total // max(1, parallelism))))
+    chunks = sum(max(1, -(-s // max_split)) for s in sizes)
+    return min(chunks, max(1, -(-total // max_split)))
 
 
-def _parse_bytes(v: str) -> int:
-    """'134217728', '134217728b', '128m'/'128MB', '1g' → bytes."""
+def _parse_bytes(v: str, default: int = 134217728) -> int:
+    """'134217728', '134217728b', '128m'/'128MB', '1g', '1t' → bytes.
+
+    Mirrors Spark's JavaUtils.byteStringAs suffix set (b/k/m/g/t/p,
+    with optional trailing 'b').  Unparseable input degrades to
+    ``default`` instead of raising — a bad estimate must never abort
+    the query it was sizing (code-review r06)."""
     s = str(v).strip().lower()
     mult = 1
     for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                      ("tb", 1024**4), ("pb", 1024**5),
                       ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                      ("t", 1024**4), ("p", 1024**5),
                       ("b", 1)):
         if s.endswith(suffix):
             s = s[: -len(suffix)]
             mult = m
             break
-    return int(s) * mult
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
