@@ -80,3 +80,49 @@ def test_registration_order_is_verification_policy():
                 f"oracled {n!r} ranked after a rows-only query")
     # every _PROVEN name actually exists (typo guard for the rotation)
     assert _PROVEN <= set(names)
+
+
+def test_proven_query_never_composes_unproven_one():
+    """Staleness must propagate through composition: if query X's plan
+    function is called by query Y, an edit that stales X stales Y's
+    results too, so Y may not stay in _PROVEN while X is out (the r06
+    review caught exactly this: s27 composes s02, whose shingle hash
+    changed, but only s02 was staled).  Edges are detected as direct
+    ``<registered_name>(`` call sites in the composer's source — shared
+    non-query helpers (e.g. lsh_verified_edges) can't be tracked
+    statically and still need the grep-for-callers discipline."""
+    import inspect
+    import re
+
+    from mousedatapipeline_spark.plans.catalog import _PROVEN, all_queries
+
+    qs = all_queries()
+    calls: dict[str, set[str]] = {}
+    for name, spec in qs.items():
+        src = inspect.getsource(spec.spark)
+        calls[name] = {other for other in qs
+                       if other != name
+                       and re.search(rf"\b{other}\s*\(", src)}
+    # transitive closure
+    changed = True
+    while changed:
+        changed = False
+        for name, callees in calls.items():
+            extra = set().union(*(calls[c] for c in callees)) - callees
+            if extra:
+                callees |= extra
+                changed = True
+    composed = {n: c for n, c in calls.items() if c}
+    assert composed, "expected at least one composing query (s14->s02)"
+    for name, callees in composed.items():
+        if name in _PROVEN:
+            # Rows-only queries (oracle=None: u01, m15) can never be
+            # driver-proven BY DESIGN — their oracled contract twins
+            # (u02, m18) are the proof mechanism, so a twin composing
+            # its rows-only subject is the intended shape, not a leak.
+            leaked = {c for c in callees
+                      if c not in _PROVEN and qs[c].oracle is not None}
+            assert not leaked, (
+                f"{name!r} is driver-proven but composes unproven "
+                f"{sorted(leaked)} — stale the composer too "
+                f"(plans/catalog.py _STALE_PROOF)")

@@ -185,6 +185,37 @@ def test_hashed_shingle_docs_single_evaluation_plan(spark):
     assert plan.count("array_distinct") <= 1, plan
 
 
+def test_parse_bytes_spark_suffixes():
+    """Every JavaUtils.byteStringAs suffix parses; garbage degrades to
+    the caller's default instead of aborting the query (r06 review)."""
+    from mousedatapipeline_spark.tables import _parse_bytes
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == _parse_bytes("128MB") == 128 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("1t") == _parse_bytes("1tb") == 1024**4
+    assert _parse_bytes("2p") == _parse_bytes("2pb") == 2 * 1024**5
+    assert _parse_bytes("64b") == 64
+    assert _parse_bytes("not-a-size", default=42) == 42
+
+
+def test_estimated_scan_splits_models_bin_packing(spark, tmp_path):
+    """The estimate reproduces FilePartition planning: many tiny files
+    really scan as ~one-per-core partitions (the bytesPerCore shrink),
+    while few tiny files stay few — one-split-per-file and
+    total/maxPartitionBytes are both wrong (r06 review + plan test)."""
+    from mousedatapipeline_spark.tables import _estimated_scan_splits
+    par = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many.parquet")
+    spark.range(10_000).repartition(par * 2).write.parquet(many)
+    est = _estimated_scan_splits(spark, spark.read.parquet(many), par)
+    assert est >= par          # packed to keep every core busy
+    assert est <= par * 2      # never more partitions than chunks
+    few = str(tmp_path / "few.parquet")
+    spark.range(100).coalesce(1).write.parquet(few)
+    assert _estimated_scan_splits(
+        spark, spark.read.parquet(few), par) < par
+
+
 def test_load_spread_conditional(spark, tmp_path):
     """load_spread repartitions a single-split scan to cluster
     parallelism but leaves an already-parallel scan untouched."""
