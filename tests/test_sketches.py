@@ -220,3 +220,46 @@ def test_k05_sliding_hll_merge_equals_union_sketch(spark):
         r = got[day.strftime("%Y-%m-%d")]
         assert r.n_exact == len(window), day
         assert abs(r.hll_est - est(window)) < 5.1e-7, day
+
+
+def test_cms_grid_and_estimates_match_pure_python(spark):
+    """Exact (not bound-only) triangulation of the count-min grid and
+    its point estimates against an independent dict-based build — the
+    existing CMS tests check the over-estimate GUARANTEE, this one
+    checks the numbers, catching a bucket-arithmetic bug the Spark plan
+    and its SQL oracle could share."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(7)
+    agg = Counter()
+    for _ in range(300):
+        agg[rng.randrange(1, 5000)] += rng.randrange(1, 40)
+
+    def h_of(u: int) -> int:
+        return ((u % K.MOD) * K.KNUTH_RED) % K.MOD
+
+    df = spark.createDataFrame(
+        [(u, h_of(u), c) for u, c in agg.items()],
+        "key bigint, h bigint, cnt bigint")
+    grid: dict[tuple[int, int], int] = defaultdict(int)
+    for u, c in agg.items():
+        for j in range(K.CMS_D):
+            grid[(j, ((K.CMS_A[j] * h_of(u) + K.CMS_B[j]) % K.MOD)
+                  % K.CMS_W)] += c
+
+    sketch = K.cms_build(df, "h", "cnt")
+    got_grid = {(r["j"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    assert got_grid == dict(grid)
+
+    exp_est = {
+        u: min(grid.get((j, ((K.CMS_A[j] * h_of(u) + K.CMS_B[j]) % K.MOD)
+                        % K.CMS_W), 0)
+               for j in range(K.CMS_D))
+        for u in agg}
+    got_est = {r["key"]: r["cms_est"]
+               for r in K.cms_estimate(df.select("key", "h"), sketch,
+                                       "h", ["key"]).collect()}
+    assert got_est == exp_est
+    # and the guarantee holds exactly on this fixture too
+    assert all(got_est[u] >= c for u, c in agg.items())
