@@ -265,3 +265,78 @@ def test_e22_weights_array_matches_scalar_form(spark):
     neg = spark.createDataFrame([(-7,)], "event_id: bigint")
     with pytest.raises(Exception, match="negative event_id"):
         neg.select(_e22_weights_col().alias("w")).collect()
+
+
+def test_substring_removal_matches_pure_python_brute_force(spark):
+    """Randomized triangulation of the WHOLE t26 span-removal pipeline
+    (tokenize -> md5 chunk hashes -> corpus-first occurrence ->
+    gaps-and-islands runs -> reconstruction) against an independent
+    pure-Python implementation.  The hand-crafted cases above pin the
+    named semantics; this one walks 40 random docs built from a shared
+    segment pool (aligned AND misaligned repeats) and demands exact
+    equality of (n_tokens, n_removed, clean_text) per doc."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(42)
+    chunk, min_run = 8, 2
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    segments = [" ".join(rng.choice(vocab) for _ in range(chunk))
+                for _ in range(10)]
+    docs = {}
+    for did in range(40):
+        parts = [segments[rng.randrange(len(segments))]
+                 for _ in range(rng.randrange(1, 6))]
+        text = " ".join(parts)
+        if did % 4 == 0:      # misalign: chunks straddle segment bounds
+            text = "pre fix tok " + text
+        if did % 7 == 0:      # ragged tail dropped by chunking
+            text += " tail" + str(did)
+        docs[did] = text
+
+    def ref(docs):
+        toks = {d: [t for t in txt.lower().split(" ") if t]
+                for d, txt in docs.items()}
+        occ = []
+        for d in sorted(toks):
+            ts = toks[d]
+            for j in range(len(ts) // chunk):
+                h = hashlib.md5(
+                    " ".join(ts[j * chunk:(j + 1) * chunk]).encode()
+                ).hexdigest()
+                occ.append((d, j, h))
+        first = {}
+        for d, j, h in occ:
+            if h not in first or (d, j) < first[h]:
+                first[h] = (d, j)
+        rmv = defaultdict(list)
+        for d, j, h in occ:
+            if (d, j) > first[h]:
+                rmv[d].append(j)
+        out = {}
+        for d, ts in toks.items():
+            removed, run = set(), []
+            for j in sorted(rmv.get(d, [])):
+                if run and j == run[-1] + 1:
+                    run.append(j)
+                else:
+                    if len(run) >= min_run:
+                        removed |= set(run)
+                    run = [j]
+            if len(run) >= min_run:
+                removed |= set(run)
+            kept = [t for i, t in enumerate(ts)
+                    if (i // chunk) not in removed]
+            out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in T.remove_duplicate_spans(
+               df, chunk=chunk, min_run=min_run).collect()}
+    exp = ref(docs)
+    assert got == exp
+    assert any(v[1] > 0 for v in exp.values()), \
+        "fixture must exercise actual removal"

@@ -538,3 +538,37 @@ def test_shingle_hash_injective_on_census(spark):
         "doc_id long, text string")
     s2, h2 = S.shingle_hash_injective_on(bad)
     assert s2 == 2 and h2 == 1
+
+
+def test_simhash_matches_pure_python(spark):
+    """Exact triangulation of token_hashes_16bit + simhash_col against
+    an independent Python implementation (signed per-bit sums over the
+    RAW hash multiset — duplicates weight naturally)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["data", "spark", "pipeline", "dedup", "x", "yy", "zzz",
+             "embedding", "scan", "a"]
+    docs = {d: [rng.choice(vocab) for _ in range(rng.randrange(1, 25))]
+            for d in range(30)}
+
+    def th(t: str) -> int:
+        return ((ord(t[0]) * 8191 + ord(t[-1]) * 131 + len(t))
+                % S.MOD) % (1 << S.SIMHASH_BITS)
+
+    def ref(ts: list[str]) -> int:
+        out = 0
+        for j in range(S.SIMHASH_BITS):
+            s = sum(((th(t) >> j) & 1) * 2 - 1 for t in ts)
+            if s > 0:
+                out |= 1 << j
+        return out
+
+    df = spark.createDataFrame(
+        [(d, ts) for d, ts in docs.items()],
+        "doc_id bigint, toks array<string>")
+    staged = df.select(
+        "doc_id", S.token_hashes_16bit(F.col("toks")).alias("ths"))
+    got = {r["doc_id"]: r["sh"] for r in staged.select(
+        "doc_id", S.simhash_col(F.col("ths")).alias("sh")).collect()}
+    assert got == {d: ref(ts) for d, ts in docs.items()}
