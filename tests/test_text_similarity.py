@@ -572,3 +572,174 @@ def test_simhash_matches_pure_python(spark):
     got = {r["doc_id"]: r["sh"] for r in staged.select(
         "doc_id", S.simhash_col(F.col("ths")).alias("sh")).collect()}
     assert got == {d: ref(ts) for d, ts in docs.items()}
+
+
+def test_label_propagation_matches_pure_python(spark, tmp_path):
+    """s43's synchronous label-propagation rounds (neighbor-label count,
+    tie-break by (max count, min label)) replicated in pure Python over
+    the SAME fixture, with the edge list derived by the already-
+    triangulated pure-Python s19 replica — exact community census
+    equality. All-integer math, so no float caveats."""
+    import hashlib
+    import itertools
+    from collections import Counter, defaultdict
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        _S43_ITERS,
+        MIN_SHARED_BANDS,
+        VERIFY_JACCARD,
+        s43_label_propagation,
+    )
+
+    bases = [
+        "one shared base text that repeats across many documents here",
+        "a second unrelated base string for the other community cluster",
+    ]
+    docs = {}
+    for did in range(30):
+        b = bases[did % 2]
+        suffix = "" if did % 3 == 0 else f" v{did % 3}"
+        docs[did] = ("en", b + suffix)
+    spark.createDataFrame(
+        [(d, lg, t) for d, (lg, t) in docs.items()],
+        "doc_id bigint, lang string, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    hsets, sigs = {}, {}
+    for did, (lang, text) in docs.items():
+        hs = {(ord(text[i]) * 65536 + ord(text[i + 1]) * 256
+               + ord(text[i + 2])) % S.MOD
+              for i in range(len(text) - 2)}
+        hsets[did] = hs
+        sigs[did] = [
+            min((S.MINHASH_A[i] * h + S.MINHASH_B[i]) % S.MOD for h in hs)
+            for i in range(S.N_PERM)]
+    buckets = defaultdict(list)
+    for did, sig in sigs.items():
+        for b in range(S.N_BANDS):
+            lo = b * S.ROWS_PER_BAND
+            key = (docs[did][0], b,
+                   "-".join(str(x) for x in sig[lo:lo + S.ROWS_PER_BAND]))
+            buckets[key].append(did)
+    shared = Counter()
+    for ds in buckets.values():
+        for d1, d2 in itertools.combinations(sorted(ds), 2):
+            shared[(d1, d2)] += 1
+    adj = defaultdict(set)
+    for (d1, d2), nb in shared.items():
+        if nb < MIN_SHARED_BANDS:
+            continue
+        common = len(hsets[d1] & hsets[d2])
+        union = len(hsets[d1] | hsets[d2])
+        if union and common / union >= VERIFY_JACCARD:
+            adj[d1].add(d2)
+            adj[d2].add(d1)
+    assert adj, "fixture must produce near-dup edges"
+
+    lab = {v: v for v in adj}
+    for _ in range(_S43_ITERS):
+        new = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            new[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        lab = new
+    exp = {}
+    for v, lb in lab.items():
+        n, mn, mx = exp.get(lb, (0, v, v))
+        exp[lb] = (n + 1, min(mn, v), max(mx, v))
+
+    got = {r["community"]: (r["n_members"], r["min_member"],
+                            r["max_member"])
+           for r in s43_label_propagation(spark, str(tmp_path)).collect()}
+    assert got == exp
+    assert len(exp) >= 2, "fixture must produce multiple communities"
+
+
+def test_pagerank_matches_pure_python(spark, tmp_path):
+    """s40's PageRank rounds replicated in pure Python with the SAME
+    numeric contract: contributions r/outdeg as IEEE doubles, each
+    quantized to DECIMAL(30,10) HALF_UP and summed exactly (dsum), sum
+    cast back to double, damping in doubles, final stable_round.  Edge
+    list from the already-triangulated pure-Python s19 replica.  Exact
+    (bit-level) equality of every pagerank value."""
+    import hashlib
+    import itertools
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        _S40_ITERS,
+        MIN_SHARED_BANDS,
+        VERIFY_JACCARD,
+        s40_neardup_pagerank,
+    )
+
+    bases = [
+        "one shared base text that repeats across many documents here",
+        "a second unrelated base string for the other community cluster",
+        "third tiny island pair text that matches only its own twin",
+    ]
+    docs = {}
+    for did in range(36):
+        b = bases[did % 3]
+        suffix = "" if did % 4 == 0 else f" v{did % 4}"
+        docs[did] = ("en", b + suffix)
+    spark.createDataFrame(
+        [(d, lg, t) for d, (lg, t) in docs.items()],
+        "doc_id bigint, lang string, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    hsets, sigs = {}, {}
+    for did, (lang, text) in docs.items():
+        hs = {(ord(text[i]) * 65536 + ord(text[i + 1]) * 256
+               + ord(text[i + 2])) % S.MOD
+              for i in range(len(text) - 2)}
+        hsets[did] = hs
+        sigs[did] = [
+            min((S.MINHASH_A[i] * h + S.MINHASH_B[i]) % S.MOD for h in hs)
+            for i in range(S.N_PERM)]
+    buckets = defaultdict(list)
+    for did, sig in sigs.items():
+        for b in range(S.N_BANDS):
+            lo = b * S.ROWS_PER_BAND
+            key = (docs[did][0], b,
+                   "-".join(str(x) for x in sig[lo:lo + S.ROWS_PER_BAND]))
+            buckets[key].append(did)
+    shared = Counter()
+    for ds in buckets.values():
+        for d1, d2 in itertools.combinations(sorted(ds), 2):
+            shared[(d1, d2)] += 1
+    adj = defaultdict(set)
+    for (d1, d2), nb in shared.items():
+        if nb < MIN_SHARED_BANDS:
+            continue
+        common = len(hsets[d1] & hsets[d2])
+        union = len(hsets[d1] | hsets[d2])
+        if union and common / union >= VERIFY_JACCARD:
+            adj[d1].add(d2)
+            adj[d2].add(d1)
+    assert adj, "fixture must produce near-dup edges"
+
+    outdeg = {v: len(ns) for v, ns in adj.items()}
+    n = float(len(adj))
+    r = {v: 1.0 / n for v in adj}
+    q10 = Decimal("1e-10")
+    for _ in range(_S40_ITERS):
+        s = {}
+        for v in adj:
+            total = sum(
+                (Decimal(r[u] / float(outdeg[u]))
+                 .quantize(q10, rounding=ROUND_HALF_UP)
+                 for u in adj[v]),
+                Decimal(0))
+            s[v] = float(total)
+        r = {v: 0.15 / n + 0.85 * s[v] for v in adj}
+
+    def sr(x: float) -> float:
+        return x if abs(x) >= 1.0e9 else math.floor(x * 1e6 + 0.5001) / 1e6
+
+    exp = {v: (outdeg[v], sr(r[v])) for v in adj}
+    got = {row["doc_id"]: (row["degree"], row["pagerank"])
+           for row in s40_neardup_pagerank(spark, str(tmp_path)).collect()}
+    assert got == exp
