@@ -743,3 +743,67 @@ def test_pagerank_matches_pure_python(spark, tmp_path):
     got = {row["doc_id"]: (row["degree"], row["pagerank"])
            for row in s40_neardup_pagerank(spark, str(tmp_path)).collect()}
     assert got == exp
+
+
+def test_power_iteration_pca_matches_pure_python():
+    """s41's 3-step power iteration replicated in pure Python over the
+    real sf0.001 embeddings with the exact numeric contract: in-order
+    double fold for each vector's dot, per-addend DECIMAL(30,10)
+    HALF_UP quantization with exact accumulation for the component sums
+    and the sum-of-squares, IEEE sqrt/divide, stable_round.  Bit-level
+    equality per dimension."""
+    import math
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR",
+                            "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no test data at {sf_dir}")
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["embedding"])
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    d = max(len(v) for v in vecs)
+    q10 = Decimal("1e-10")
+
+    def dsum(addends):
+        return float(sum(
+            (Decimal(a).quantize(q10, rounding=ROUND_HALF_UP)
+             for a in addends), Decimal(0)))
+
+    def step(v):
+        w = [0.0] * d
+        per_pos = [[] for _ in range(d)]
+        for xs in vecs:
+            dot = 0.0
+            for a, b in zip(xs, v):
+                dot = dot + a * b
+            for pos, x in enumerate(xs):
+                per_pos[pos].append(x * dot)
+        return [dsum(per_pos[pos]) for pos in range(d)]
+
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(2):                       # _S41_ITERS - 1
+        w = step(v)
+        nrm = math.sqrt(dsum([x * x for x in w]))
+        v = [x / nrm for x in w]
+    w = step(v)
+    nrm = math.sqrt(dsum([x * x for x in w]))
+
+    def sr(x):
+        return x if abs(x) >= 1.0e9 else math.floor(x * 1e6 + 0.5001) / 1e6
+
+    exp = {pos + 1: (sr(w[pos] / nrm), sr(nrm)) for pos in range(d)}
+
+    from mousedatapipeline_spark.plans.similarity_queries import (
+        s41_power_iteration_pca,
+    )
+    from mousedatapipeline_spark.session import get_spark
+    spark = get_spark()
+    got = {r["dim"]: (r["loading"], r["eigenvalue"])
+           for r in s41_power_iteration_pca(spark, sf_dir).collect()}
+    assert got == exp
