@@ -92,3 +92,70 @@ def test_bloom_empty_keyset_rejects_everything(spark):
     probes = spark.createDataFrame([("x",), ("y",)], ["k"])
     assert probes.filter(
         bloom.might_contain(blit, "k", bits=1 << 12, k=4)).count() == 0
+
+
+def test_q44_logistic_steps_match_pure_python(spark):
+    """Two fixed gradient steps + accuracy census of q44 replicated in
+    pure Python over the real sf0.001 embeddings: decimal-exact
+    gradient sums (DECIMAL(30,10) HALF_UP per addend), IEEE dot
+    products in feature order, sigmoid via libm.  Weights are compared
+    post-stable_round within one last-digit ulp (JVM Math.exp and
+    CPython's libm exp may differ by 1 ulp); the integer outputs (n,
+    n_correct) must be exact."""
+    import math
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR",
+                            "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no test data at {sf_dir}")
+    import pyarrow.parquet as pq
+
+    from mousedatapipeline_spark.plans.relational_queries import (
+        _Q44_D,
+        q44_logistic_regression_steps,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["label", "embedding"])
+    rows = [(1.0 if lb >= 5 else 0.0,
+             [1.0] + [float(v[j]) for j in range(_Q44_D)])
+            for lb, v in zip(tbl.column("label").to_pylist(),
+                             tbl.column("embedding").to_pylist())]
+    n = len(rows)
+    q10 = Decimal("1e-10")
+
+    def dsum(addends):
+        return float(sum(
+            (Decimal(a).quantize(q10, rounding=ROUND_HALF_UP)
+             for a in addends), Decimal(0)))
+
+    def grads(resid_fn):
+        return [dsum([resid_fn(y, x) * x[j] for y, x in rows]) / float(n)
+                for j in range(_Q44_D + 1)]
+
+    def dot(w, x):
+        out = None
+        for j in range(_Q44_D + 1):
+            term = w[j] * x[j]
+            out = term if out is None else out + term
+        return out
+
+    w1 = [-g for g in grads(lambda y, x: 0.5 - y)]
+    w2_g = grads(lambda y, x: 1.0 / (1.0 + math.exp(-dot(w1, x))) - y)
+    w2 = [w1[j] - w2_g[j] for j in range(_Q44_D + 1)]
+    n_correct = sum(1 for y, x in rows
+                    if (dot(w2, x) >= 0) == (y == 1.0))
+
+    def sr(v):
+        return v if abs(v) >= 1.0e9 else math.floor(v * 1e6 + 0.5001) / 1e6
+
+    out = q44_logistic_regression_steps(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["n_correct"]) == (n, n_correct)
+    for j in range(_Q44_D + 1):
+        assert abs(r[f"w{j}"] - sr(w2[j])) <= 1.1e-6, (j, r[f"w{j}"], w2[j])
