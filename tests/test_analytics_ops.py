@@ -159,3 +159,89 @@ def test_q44_logistic_steps_match_pure_python(spark):
     assert (r["n"], r["n_correct"]) == (n, n_correct)
     for j in range(_Q44_D + 1):
         assert abs(r[f"w{j}"] - sr(w2[j])) <= 1.1e-6, (j, r[f"w{j}"], w2[j])
+
+
+def test_t36_bm25_matches_pure_python(spark):
+    """t36's BM25 (Lucene idf, k1=1.2 b=0.75, decimal-accumulated
+    per-(query,doc) contributions) replicated in pure Python over the
+    real sf0.001 documents.  Every returned row's score must match the
+    reference within one rounded ulp (idf goes through libm log, which
+    JVM and CPython may round 1 ulp apart — and the corpus really has
+    adjacent scores 1e-6 apart, so exact rank equality would be
+    ambiguous); n_terms_matched is exact, and every returned doc must
+    be a genuine top-k member within the same tolerance."""
+    import math
+    import os
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR",
+                            "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no test data at {sf_dir}")
+    import pyarrow.parquet as pq
+
+    from mousedatapipeline_spark.plans.text_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        t36_bm25_topk,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    toks = {d: [t for t in txt.lower().split(" ") if t]
+            for d, txt in zip(tbl.column("doc_id").to_pylist(),
+                              tbl.column("text").to_pylist())}
+    n_docs = len(toks)
+    avgdl = float(sum(len(ts) for ts in toks.values())) / float(n_docs)
+    terms = {t for _, ts in _BM25_QUERIES for t in ts}
+    tf = {(d, t): c for d, ts in toks.items()
+          for t, c in Counter(x for x in ts if x in terms).items()}
+    df_tbl = Counter(t for (_, t) in tf)
+    q10 = Decimal("1e-10")
+
+    def contrib(d, t):
+        idf = math.log((float(n_docs) - float(df_tbl[t]) + 0.5)
+                       / (float(df_tbl[t]) + 0.5) + 1.0)
+        tfdt = float(tf[(d, t)])
+        dl = float(len(toks[d]))
+        return (idf * (tfdt * (_BM25_K1 + 1.0))
+                / (tfdt + _BM25_K1 * ((1.0 - _BM25_B)
+                                      + _BM25_B * (dl / avgdl))))
+
+    def sr(v):
+        return v if abs(v) >= 1.0e9 else math.floor(v * 1e6 + 0.5001) / 1e6
+
+    ref = {}      # (qid, doc) -> (score, n_terms)
+    kth = {}      # qid -> k-th highest reference score
+    for qid, qterms in _BM25_QUERIES:
+        per_doc = defaultdict(list)
+        for t in qterms:
+            for d in toks:
+                if (d, t) in tf:
+                    per_doc[d].append(contrib(d, t))
+        scores = {}
+        for d, cs in per_doc.items():
+            scores[d] = sr(float(sum(
+                (Decimal(c).quantize(q10, rounding=ROUND_HALF_UP)
+                 for c in cs), Decimal(0))))
+            ref[(qid, d)] = (scores[d], len(cs))
+        ranked = sorted(scores.values(), reverse=True)
+        kth[qid] = ranked[min(_BM25_TOPK, len(ranked)) - 1]
+
+    rows = t36_bm25_topk(spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == {q for q, _ in _BM25_QUERIES}
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(c <= _BM25_TOPK for c in per_q.values())
+    for r in rows:
+        key = (r["query_id"], r["doc_id"])
+        assert key in ref, key
+        score, n_terms = ref[key]
+        assert r["n_terms_matched"] == n_terms, key
+        assert abs(r["score"] - score) <= 1.1e-6, (key, r["score"], score)
+        # genuine top-k membership within the libm-drift tolerance
+        assert score >= kth[r["query_id"]] - 2.2e-6, key
