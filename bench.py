@@ -97,10 +97,15 @@ def main() -> None:
     # COMMITTED reference time (the previous BENCH_FULL_local.json),
     # take one extra trial before believing the number — regressions
     # that survive are then attributable to plans, not load.
+    # Read the same file this run would write (sf0.1 uses the committed
+    # round-over-round reference; other SFs their own sidecar), so a
+    # repeat run at e.g. sf0.01 also gets the retry pass (ADVICE r06).
+    ref_basename = ("BENCH_FULL_local.json" if sf == 0.1
+                    else f"BENCH_FULL_sf{sf}.json")
     ref: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL_local.json")) as fh:
+                               ref_basename)) as fh:
             ref_full = json.load(fh)
         # Only comparable at the SAME scale factor: against e.g. an sf1
         # reference every sf0.1 query looks "regressed" and the retry
@@ -135,8 +140,7 @@ def main() -> None:
     # The committed round-over-round reference is an sf0.1 artifact; a
     # local iteration run at another SF must not clobber it (it would
     # also poison the retry guard above for the next real run).
-    ref_name = ("BENCH_FULL_local.json" if sf == 0.1
-                else f"BENCH_FULL_sf{sf}.json")
+    ref_name = ref_basename
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ref_name), "w") as fh:

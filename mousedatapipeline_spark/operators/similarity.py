@@ -525,3 +525,46 @@ def cell_ranks(vecs: DataFrame, cent_arr: DataFrame,
     return (dots.select("vec_id", "cell",
                         F.row_number().over(w).alias("crn"))
             .filter(F.col("crn") <= max_rank))
+
+
+def degree_cap_edges(verified: DataFrame, max_degree: int) -> DataFrame:
+    """Union top-m degree cap over a verified near-dup edge list
+    (d1, d2, n_common, jaccard_raw) — the in-plan edge-mass contract
+    for the iterative consumers (CC / PageRank / label propagation).
+
+    Each edge is exploded in both directions, ranked per node by
+    (jaccard_raw DESC, neighbor ASC), and kept iff EITHER endpoint
+    ranks it <= max_degree.  Contract (tested in
+    tests/test_text_similarity.py):
+
+    - total kept mass <= max_degree * |V| (each node contributes at
+      most m picks), so a pathological duplicate cluster (an N^2/2
+      clique) can never feed a quadratic edge list downstream — the
+      banded analogue of ``blocked_pairs``' ``max_block`` raise;
+    - no node is isolated (its own top-1 pick always survives), and an
+      equal-jaccard clique stays one component (every member keeps its
+      edge to the min-id member; a mutual-kNN AND-cap would shatter
+      large cliques);
+    - deterministic across engines: jaccard_raw is one IEEE division
+      of exact integer counts, and (jr DESC, nbr ASC) totally orders
+      each node partition.  SQL twin: plans.similarity_queries.
+      degree_cap_sql().
+
+    Both directions of a doubly-kept edge carry identical values, so
+    the closing distinct() collapses them exactly.
+    """
+    from pyspark.sql import Window
+
+    und = verified.select(
+        F.col("d1").alias("node"), F.col("d2").alias("nbr"),
+        "n_common", "jaccard_raw").unionByName(verified.select(
+            F.col("d2").alias("node"), F.col("d1").alias("nbr"),
+            "n_common", "jaccard_raw"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("jaccard_raw").desc(), F.col("nbr").asc())
+    return (und.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_degree)
+            .select(F.least("node", "nbr").alias("d1"),
+                    F.greatest("node", "nbr").alias("d2"),
+                    "n_common", "jaccard_raw")
+            .distinct())

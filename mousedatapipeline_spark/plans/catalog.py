@@ -222,50 +222,52 @@ _R05_GREEN = frozenset({
     "u02_beam_contract",
 })
 
+# Green rows earned in CORRECTNESS_r06.json (48 hash-green of 50
+# sampled; u01/m15 are the declared rows-only kernels). This rotation
+# covered every round-5/6 stale, so the pre-r07 stale pool drained to
+# zero before the round-7 edits below re-opened it.
+_R06_GREEN = frozenset({
+    "c06_production_dedup_e2e", "e10_hourly_distinct_hll",
+    "k03_hll_set_ops", "k05_sliding_hll", "mm09_video_neardup",
+    "mm10_modality_census", "q01_pricing_summary", "q02_order_census",
+    "q03_region_revenue", "q04_asof_view_before_purchase",
+    "q05_window_propagation", "q06_latest_order_per_customer",
+    "q07_customers_without_orders", "q08_active_customers_semi",
+    "q09_thickness_physics", "q10_energy_tcf", "q11_stack_stats",
+    "q12_identifiers", "q13_repetition_stack",
+    "q34_bucketed_join_roundtrip", "s02_ngram_jaccard",
+    "s03_minhash_lsh", "s14_neardup_components",
+    "s19_lsh_verified_neardup", "s21_semantic_dedup",
+    "s22_incremental_neardup", "s24_containment_neardup",
+    "s26_minhash_accuracy", "s27_triangle_count", "s28_threshold_sweep",
+    "s29_bbit_minhash", "s33_cross_source_dup_matrix",
+    "s34_quality_canonical", "s35_hard_negatives",
+    "s40_neardup_pagerank", "s43_label_propagation", "u03_mask_contract",
+    "w04_stream_incremental_agg", "w06_stream_hll_users",
+    "w07_stream_quantile_histogram", "w08_stream_session_window",
+    "w09_stream_topk", "w10_stream_decontam",
+    "w12_stream_running_profile", "w13_stream_bootstrap",
+    "w14_stream_scd2", "w15_stream_compaction", "w16_stream_sliding_hll",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
 _STALE_PROOF = frozenset({
-    # Round-5 edits not yet re-proven by a driver row (keystream change
-    # for mm09/mm10; streaming trigger trims + strictly-below-batch
-    # merges for the w family):
-    "mm09_video_neardup", "mm10_modality_census",
-    "w04_stream_incremental_agg", "w06_stream_hll_users",
-    "w07_stream_quantile_histogram", "w08_stream_session_window",
-    "w10_stream_decontam", "w12_stream_running_profile",
-    "w13_stream_bootstrap",
-    # Round-6 injective trigram hash (base-256 positional weights):
-    # every MinHash-family query and composer re-earns its row.  All
-    # re-verified locally at sf0.01 AND sf0.1 the day of the change.
-    "s02_ngram_jaccard", "s03_minhash_lsh", "s14_neardup_components",
-    "s19_lsh_verified_neardup", "s21_semantic_dedup",
-    "s22_incremental_neardup", "s24_containment_neardup",
-    "s26_minhash_accuracy", "s28_threshold_sweep", "s29_bbit_minhash",
-    "s33_cross_source_dup_matrix", "s34_quality_canonical",
-    "s35_hard_negatives", "s40_neardup_pagerank",
-    "s43_label_propagation",
-    # ... including s27, which builds its edge set by calling
-    # s02_ngram_jaccard verbatim (similarity_queries.py) — the one
-    # composer the first pass missed (code-review r06):
-    "s27_triangle_count",
-    # Round-6 modulo-first user hash (value-identical at every shipped
-    # SF, but the expression changed):
-    "k03_hll_set_ops", "e10_hourly_distinct_hll",
-    # Round-6 empty-fixture state guard (w04/w06/w07/w08/w13 already
-    # above; w14-w16 never had rows):
-    "w09_stream_topk",
-    # Round-6 write_bucketed re-run-safety fix (DROP + stale-location
-    # cleanup before saveAsTable): values identical — re-verified at
-    # sf0.001/0.01/0.1 the day of the change — but the implementation
-    # changed, so the proof re-earns a row:
-    "q34_bucketed_join_roundtrip",
-    # NOT staled: the round-6 load_spread heuristic change (manifest-
-    # derived split estimate) was verified DECISION-IDENTICAL to the
-    # old RDD-partition check for documents AND events at sf0.001/
-    # 0.01/0.1 — same physical plans, proofs remain valid.
+    # Round-7 edge-mass guard: lsh_verified_edges now applies a union
+    # top-m degree cap (MAX_NEARDUP_DEGREE, similarity_queries.py) with
+    # the cap mirrored in the SQL twins via degree_cap_sql(). A no-op
+    # at the driver-gate SFs (max degree 17 < 64 at sf0.01), but the
+    # plan AND every composed oracle string changed, so s19 and every
+    # composer of its edges re-earns a row: s33/s40/s43 compose the
+    # registered s19 oracle; c06 inlines the capped edge SQL.  All
+    # re-verified locally at sf0.001/0.01/0.1 the day of the change.
+    "s19_lsh_verified_neardup", "s33_cross_source_dup_matrix",
+    "s40_neardup_pagerank", "s43_label_propagation",
+    "c06_production_dedup_e2e",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-           | _R05_GREEN) - _STALE_PROOF
+           | _R05_GREEN | _R06_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:

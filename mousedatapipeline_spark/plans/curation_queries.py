@@ -882,6 +882,7 @@ def _finalize_c06_oracle() -> None:
         VERIFY_JACCARD,
         _bands_wide_sql,
         _minhash_wide_sql,
+        degree_cap_sql,
     )
 
     quality = _QUALITY_SQL
@@ -925,14 +926,19 @@ def _finalize_c06_oracle() -> None:
                 AND b.lang = a.lang
       GROUP BY c.d1, c.d2
     ),
-    edges AS MATERIALIZED (
-      SELECT m.d1, m.d2 FROM common m
+    verified AS (
+      SELECT m.d1, m.d2, m.n_common,
+             CAST(m.n_common AS DOUBLE)
+             / CAST(s1.n + s2.n - m.n_common AS DOUBLE) AS jr
+      FROM common m
       JOIN sz s1 ON s1.doc_id = m.d1
       JOIN sz s2 ON s2.doc_id = m.d2
       WHERE CAST(m.n_common AS DOUBLE)
             / CAST(s1.n + s2.n - m.n_common AS DOUBLE)
             >= {VERIFY_JACCARD}
     ),
+    {degree_cap_sql()},
+    edges AS MATERIALIZED (SELECT d1, d2 FROM capped),
     und AS (SELECT d1 AS u, d2 AS v FROM edges
             UNION ALL SELECT d2, d1 FROM edges),
     reach(u, lbl) AS (

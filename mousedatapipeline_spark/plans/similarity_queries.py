@@ -903,6 +903,55 @@ VERIFY_JACCARD = 0.5
 # (650k+ candidates at sf0.1); two-band agreement restores the sparse
 # candidate set the pattern is designed around.
 MIN_SHARED_BANDS = 2
+# In-plan edge-mass guard (r06 verdict): the verified edge list grows
+# quadratically in duplicate mass (a cluster of N mutual near-dups is
+# an N^2/2 clique — 30x-replication probes hit ~50M edges and the
+# iterative consumers s40/s43 ran unbounded). The guard is a symmetric
+# UNION top-m degree cap: explode each verified edge in both
+# directions, rank per node by (jaccard DESC, neighbor ASC), and keep
+# an edge iff EITHER endpoint ranks it <= m. Properties that make this
+# the right cap (see tests/test_text_similarity.py):
+# - total edge mass <= m * |V| (each node contributes <= m picks):
+#   every downstream |E|-join (s14-CC seed, s40 PageRank, s43 label
+#   propagation, c06 components) is linear in the corpus, never
+#   quadratic in duplicate mass — the same contract blocked_pairs'
+#   max_block raise gives the all-pairs path (similarity.py:368);
+# - no node is ever isolated (its own top-1 pick always survives), so
+#   near-dup clusters keep a canonical: an equal-jaccard clique stays
+#   one component because every member picks the min-id member
+#   (mutual-kNN AND-capping would shatter large cliques instead);
+# - deterministic: (jr DESC, nbr ASC) totally orders each partition in
+#   both engines (jr is one IEEE division of exact integer counts).
+# m=64 is a no-op at the driver-gate SFs (max degree: 13 at sf0.001,
+# 17 at sf0.01) and binds only in hub clusters at sf0.1 (max degree
+# 220; 49,526 of 56,329 edges survive).
+MAX_NEARDUP_DEGREE = 64
+
+
+def degree_cap_sql() -> str:
+    """CTE chain applying the union top-m degree cap to a CTE named
+    ``verified`` with columns (d1, d2, n_common, jr); exposes the
+    surviving edges as a CTE named ``capped`` with the same columns.
+    ONE definition shared by s19's oracle and c06's composed funnel
+    oracle so the SQL twins can never desynchronize from each other
+    (the Spark twin is the tail of :func:`lsh_verified_edges`)."""
+    return f"""
+    vund AS (
+      SELECT d1 AS node, d2 AS nbr, n_common, jr FROM verified
+      UNION ALL
+      SELECT d2 AS node, d1 AS nbr, n_common, jr FROM verified
+    ),
+    vrank AS (
+      SELECT node, nbr, n_common, jr,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY jr DESC, nbr ASC) AS rn
+      FROM vund
+    ),
+    capped AS (
+      SELECT DISTINCT LEAST(node, nbr) AS d1, GREATEST(node, nbr) AS d2,
+             n_common, jr
+      FROM vrank WHERE rn <= {MAX_NEARDUP_DEGREE}
+    )"""
 
 
 @register(
@@ -928,23 +977,29 @@ MIN_SHARED_BANDS = 2
       JOIN sh a ON a.doc_id = c.d1
       JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
       GROUP BY c.d1, c.d2
-    )
-    SELECT m.d1, m.d2, m.n_common,
-           {stable_round_sql(
-               'CAST(m.n_common AS DOUBLE) '
-               '/ CAST(s1.n + s2.n - m.n_common AS DOUBLE)')} AS jaccard
-    FROM common m
-    JOIN sz s1 ON s1.doc_id = m.d1
-    JOIN sz s2 ON s2.doc_id = m.d2
-    WHERE CAST(m.n_common AS DOUBLE)
-          / CAST(s1.n + s2.n - m.n_common AS DOUBLE) >= {VERIFY_JACCARD}
+    ),
+    verified AS (
+      SELECT m.d1, m.d2, m.n_common,
+             CAST(m.n_common AS DOUBLE)
+             / CAST(s1.n + s2.n - m.n_common AS DOUBLE) AS jr
+      FROM common m
+      JOIN sz s1 ON s1.doc_id = m.d1
+      JOIN sz s2 ON s2.doc_id = m.d2
+      WHERE CAST(m.n_common AS DOUBLE)
+            / CAST(s1.n + s2.n - m.n_common AS DOUBLE) >= {VERIFY_JACCARD}
+    ),
+    {degree_cap_sql()}
+    SELECT d1, d2, n_common, {stable_round_sql('jr')} AS jaccard
+    FROM capped
     """,
     doc="Two-stage near-dup: LSH band candidates (s03) verified with "
         "exact shingle-set Jaccard — candidates join back to their two "
         "shingle sets, overlap is a JVM array_intersect, survivors are "
         "exact at threshold 0.5. The scale pattern: quadratic work "
         "only inside hash buckets, exactness restored by the verify "
-        "join.",
+        "join, and the surviving edge list bounded to m*|V| by the "
+        "union top-m degree cap (MAX_NEARDUP_DEGREE) so iterative "
+        "consumers never see quadratic duplicate mass.",
 )
 def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition first: documents.parquet is one file -> one input
@@ -957,9 +1012,11 @@ def s19_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_verified_edges(d: DataFrame) -> DataFrame:
     """s19's two-stage near-dup machinery over an arbitrary documents
     frame (doc_id, lang, text[, ...]) — (d1, d2, n_common, jaccard)
-    verified edges.  Factored out so composed pipelines (c06) can run
-    the identical stage over a FILTERED corpus (e.g. exact-dedup
-    survivors) without re-stating the plan."""
+    verified edges, degree-capped to MAX_NEARDUP_DEGREE per node
+    (union top-m — edge mass <= m*|V| by construction).  Factored out
+    so composed pipelines (c06) can run the identical stage over a
+    FILTERED corpus (e.g. exact-dedup survivors) without re-stating
+    the plan."""
     # ONE corpus pass computes the hashed shingle sets that BOTH stages
     # consume: the minhash signatures derive from `hashed`, and the
     # verify stage reads the same checkpoint (s03 run standalone would
@@ -1005,9 +1062,15 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
         (n_common.cast("double")
          / (F.col("n1") + F.col("n2") - n_common).cast("double"))
         .alias("jaccard_raw"))
-    return (scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
-            .select("d1", "d2", "n_common",
-                    stable_round(F.col("jaccard_raw")).alias("jaccard")))
+    verified = (scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
+                .localCheckpoint(eager=False))  # exploded twice by the cap
+    # Edge-mass guard: symmetric union top-m degree cap (rationale at
+    # MAX_NEARDUP_DEGREE above; SQL twin = degree_cap_sql()). Bounds
+    # the edge list to m*|V| so the iterative consumers stay linear in
+    # the corpus even under pathological duplicate mass.
+    capped = S.degree_cap_edges(verified, MAX_NEARDUP_DEGREE)
+    return capped.select("d1", "d2", "n_common",
+                         stable_round(F.col("jaccard_raw")).alias("jaccard"))
 
 
 # --------------------------------------------------------------------------

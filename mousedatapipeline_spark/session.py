@@ -24,7 +24,8 @@ def default_parallelism() -> int:
 
 
 def get_spark(app_name: str = "mousedatapipeline_spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              ansi: bool = False) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
     - AQE on: runtime partition coalescing + skew-join handling means the
@@ -33,6 +34,19 @@ def get_spark(app_name: str = "mousedatapipeline_spark",
       in columnar batches, not pickled rows.
     - shuffle.partitions sized to cores locally; on a cluster AQE
       coalesces or splits as observed sizes dictate.
+
+    ``ansi`` (default False) is an EXPLICIT contract, not an oversight:
+    the catalog's DuckDB oracles return NULL for x/0 on every numeric
+    type and wrap nothing (the queries are written modulo-first /
+    decimal-widened so no intermediate can overflow), while Spark 4's
+    ANSI default raises DIVIDE_BY_ZERO — a data-dependent abort the
+    oracle gate can never mirror.  Deployments that want ANSI aborts
+    pass ``ansi=True``; the two sites where silent BIGINT wrap could
+    otherwise corrupt results are guarded in-plan either way
+    (packed_occurrence_key's raise_error, operators/text.py; the
+    blocked_pairs max_block raise, operators/similarity.py).  Note the
+    flag only applies to the session this call CREATES — Spark ignores
+    config on getOrCreate reuse.
     """
     n = shuffle_partitions or default_parallelism()
     builder = (
@@ -42,11 +56,7 @@ def get_spark(app_name: str = "mousedatapipeline_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # NULL-on-divide-by-zero (pre-Spark-4 semantics): the DuckDB
-        # oracles return NULL for x/0 on every numeric type, while
-        # Spark 4's ANSI default raises DIVIDE_BY_ZERO — a
-        # data-dependent abort the oracle can never mirror.
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")

@@ -106,8 +106,12 @@ def _estimated_scan_splits(spark: SparkSession, df: DataFrame,
         else:
             sizes.append(0)
     total = sum(sizes) + open_cost * len(sizes)
-    max_split = min(max_bytes,
-                    max(open_cost, -(-total // max(1, parallelism))))
+    # Clamp to >= 1: with openCostInBytes=0 and all-unstattable files
+    # total is 0, and an unclamped split of 0 would divide by zero
+    # below — a bad estimate must never abort the query (ADVICE r06).
+    max_split = max(1, min(max_bytes,
+                           max(open_cost,
+                               -(-total // max(1, parallelism)))))
     chunks = sum(max(1, -(-s // max_split)) for s in sizes)
     return min(chunks, max(1, -(-total // max_split)))
 
@@ -118,7 +122,10 @@ def _parse_bytes(v: str, default: int = 134217728) -> int:
     Mirrors Spark's JavaUtils.byteStringAs suffix set (b/k/m/g/t/p,
     with optional trailing 'b').  Unparseable input degrades to
     ``default`` instead of raising — a bad estimate must never abort
-    the query it was sizing (code-review r06)."""
+    the query it was sizing (code-review r06).  Non-positive results
+    ('0', '-128m') degrade to ``default`` too: a zero or negative
+    split size would poison the estimator's min/max/ceil arithmetic
+    downstream (ADVICE r06)."""
     s = str(v).strip().lower()
     mult = 1
     for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
@@ -131,9 +138,10 @@ def _parse_bytes(v: str, default: int = 134217728) -> int:
             mult = m
             break
     try:
-        return int(s) * mult
+        n = int(s) * mult
     except ValueError:
         return default
+    return n if n > 0 else default
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -340,3 +340,42 @@ def test_substring_removal_matches_pure_python_brute_force(spark):
     assert got == exp
     assert any(v[1] > 0 for v in exp.values()), \
         "fixture must exercise actual removal"
+
+
+def test_guards_still_raise_loudly_under_ansi(spark):
+    """session.get_spark pins ansi.enabled=false for DuckDB NULL-on-
+    divide parity (an explicit, documented contract — session.py). A
+    production deployment flipping ANSI ON must not change the guard
+    story: the two in-plan overflow guards raise their OWN loud error
+    (never a silent wrap, and ideally before ANSI's arithmetic check
+    can fire) with ANSI on too. ansi.enabled is runtime-settable, so
+    this exercises the real config, not a fresh session."""
+    bad_doc = T._OCC_DOC_MAX + 1
+    df = spark.createDataFrame([(bad_doc, "a b c d a b c d")],
+                               "doc_id: bigint, text: string")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(Exception, match="packed occurrence key"):
+            T.remove_duplicate_spans(df, chunk=2, min_run=2).collect()
+        # in-range keys still compute under ANSI (no spurious aborts)
+        ok = spark.createDataFrame([(7, 3)], "doc_id: bigint, j: bigint") \
+            .select(T.packed_occurrence_key(
+                F.col("doc_id"), F.col("j")).alias("k")).collect()
+        assert ok[0]["k"] == 7 * T._OCC_KEY_SPAN + 3
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_get_spark_ansi_parameter_sets_builder_config():
+    """get_spark(ansi=...) must translate to the session config when a
+    session is CREATED (on reuse Spark ignores builder config — the
+    docstring warns about this); assert against the active session's
+    conf, which this suite created with the default ansi=False."""
+    from mousedatapipeline_spark.session import get_spark
+
+    s = get_spark()
+    assert s.conf.get("spark.sql.ansi.enabled") == "false"
+    import inspect
+    sig = inspect.signature(get_spark)
+    assert sig.parameters["ansi"].default is False

@@ -284,6 +284,36 @@ def test_parse_bytes_spark_suffixes():
     assert _parse_bytes("2p") == _parse_bytes("2pb") == 2 * 1024**5
     assert _parse_bytes("64b") == 64
     assert _parse_bytes("not-a-size", default=42) == 42
+    # non-positive parses degrade to the default like unparseable
+    # input — a zero/negative split size would poison the estimator's
+    # min/max/ceil arithmetic (ADVICE r06)
+    assert _parse_bytes("0", default=42) == 42
+    assert _parse_bytes("-128m", default=42) == 42
+
+
+def test_estimated_scan_splits_survives_zero_split_inputs(spark, tmp_path):
+    """openCostInBytes=0 plus unstattable (size-0) inputs must degrade
+    to a sane estimate, never a ZeroDivisionError: a bad estimate must
+    never abort the query it was sizing (ADVICE r06)."""
+    from mousedatapipeline_spark.tables import _estimated_scan_splits
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        # real local file (statted size > 0): still fine with 0 open cost
+        assert _estimated_scan_splits(spark, df, 32) >= 1
+        # simulate all-remote/unstattable inputs (statted sizes all 0):
+        # pre-fix this made total=0 -> max_split=0 -> ZeroDivisionError;
+        # now the non-positive open cost degrades to its default AND
+        # max_split is clamped >= 1, so both layers protect the query
+        class _Fake:
+            def inputFiles(self):
+                return ["s3a://bucket/a.parquet", "s3a://bucket/b.parquet"]
+        assert _estimated_scan_splits(spark, _Fake(), 32) >= 1
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
 
 
 def test_estimated_scan_splits_models_bin_packing(spark, tmp_path):
@@ -807,3 +837,126 @@ def test_power_iteration_pca_matches_pure_python():
     got = {r["dim"]: (r["loading"], r["eigenvalue"])
            for r in s41_power_iteration_pca(spark, sf_dir).collect()}
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# Round-7 edge-mass guard: the union top-m degree cap on
+# lsh_verified_edges (MAX_NEARDUP_DEGREE / degree_cap_sql).  Contract:
+# (a) total edge mass <= m * |V| — every downstream |E|-join is linear
+#     in the corpus even under pathological duplicate mass;
+# (b) no node is isolated — its own top-1 pick always survives;
+# (c) an equal-jaccard clique stays ONE component (every member keeps
+#     its edge to the min-id member), so canonical selection after the
+#     cap still collapses the whole cluster;
+# (d) the kept set matches a pure-Python reference of the rule.
+# --------------------------------------------------------------------------
+def _capped_edges_python(edges, m):
+    """Union top-m reference: edges = {(d1, d2): (n_common, jr)}."""
+    from collections import defaultdict
+
+    byn = defaultdict(list)
+    for (d1, d2), (_, jr) in edges.items():
+        byn[d1].append((-jr, d2))
+        byn[d2].append((-jr, d1))
+    keep = set()
+    for node, nbrs in byn.items():
+        for _, nbr in sorted(nbrs)[:m]:
+            keep.add((min(node, nbr), max(node, nbr)))
+    return keep
+
+
+def test_degree_cap_clique_stays_connected(spark, tmp_path, monkeypatch):
+    """12 identical docs form a jaccard-1.0 clique (66 edges). With the
+    cap monkeypatched to m=4 the kept mass is <= 4*12, nobody is
+    isolated, the clique is still ONE component, and the kept set is
+    exactly the pure-Python union-top-m reference."""
+    from mousedatapipeline_spark.plans import similarity_queries as SQ
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(i, "en", text) for i in range(12)],
+        "doc_id bigint, lang string, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    uncapped = {(r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+                for r in SQ.lsh_verified_edges(d).collect()}
+    assert len(uncapped) == 66  # 12-clique, cap a no-op at m=64
+
+    monkeypatch.setattr(SQ, "MAX_NEARDUP_DEGREE", 4)
+    got = {(r["d1"], r["d2"]) for r in SQ.lsh_verified_edges(d).collect()}
+    assert got == _capped_edges_python(uncapped, 4)
+    assert len(got) <= 4 * 12
+    nodes = {n for e in got for n in e}
+    assert nodes == set(range(12))  # (b): nobody isolated
+    # (c): single component via union-find over the kept edges
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(n) for n in nodes}) == 1
+
+
+def test_degree_cap_star_keeps_leaf_edges(spark):
+    """A star graph (hub 0, leaves 1..8, no leaf-leaf edges) fed to the
+    operator directly: each leaf's only (hence top-1) pick is its hub
+    edge, so the union rule keeps EVERY star edge even with m=2 — a
+    hub's popularity never severs a leaf's canonical link.  Mass stays
+    linear (|E| = 8 <= m * |V|), and a mutual-kNN AND-cap would have
+    dropped 6 of the 8 edges here (only the hub's own top-2 survive
+    an AND)."""
+    edges = {(0, i): (50 + i, 0.9 - 0.01 * i) for i in range(1, 9)}
+    verified = spark.createDataFrame(
+        [(d1, d2, nc, jr) for (d1, d2), (nc, jr) in edges.items()],
+        "d1 bigint, d2 bigint, n_common bigint, jaccard_raw double")
+    got = {(r["d1"], r["d2"])
+           for r in S.degree_cap_edges(verified, 2).collect()}
+    assert got == _capped_edges_python(edges, 2)
+    assert got == set(edges)  # all 8 survive via the leaves' side
+
+
+def test_degree_cap_dense_bipartite_bounds_mass(spark):
+    """20x20 complete bipartite block (400 edges, all jaccard-equal):
+    with m=3 the kept mass respects the <= m*|V| contract, no node is
+    isolated, and the kept set equals the pure-Python union-top-m
+    reference (tie groups decided by the nbr ASC tie-break)."""
+    edges = {(a, 100 + b): (10, 0.75) for a in range(20) for b in range(20)}
+    verified = spark.createDataFrame(
+        [(d1, d2, nc, jr) for (d1, d2), (nc, jr) in edges.items()],
+        "d1 bigint, d2 bigint, n_common bigint, jaccard_raw double")
+    got = {(r["d1"], r["d2"])
+           for r in S.degree_cap_edges(verified, 3).collect()}
+    assert got == _capped_edges_python(edges, 3)
+    assert len(got) <= 3 * 40
+    assert {n for e in got for n in e} == set(range(20)) | {
+        100 + b for b in range(20)}
+
+
+def test_degree_cap_binding_at_sf0001_matches_python(monkeypatch):
+    """On real testdata (sf0.001 corpus, 409 verified edges, max degree
+    13) a cap of m=3 binds hard; the kept set must equal the pure-
+    Python union-top-m reference computed from the uncapped list —
+    including jaccard-tie groups, where the (jr DESC, nbr ASC) order
+    decides deterministically."""
+    from mousedatapipeline_spark.plans import similarity_queries as SQ
+    from mousedatapipeline_spark.session import get_spark
+    from mousedatapipeline_spark.tables import load
+
+    spark = get_spark()
+    d = load(spark, "/root/testdata/sf0.001", "documents").repartition(8)
+    uncapped = {(r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+                for r in SQ.lsh_verified_edges(d).collect()}
+    assert max(
+        sum(1 for e in uncapped if n in e)
+        for n in {x for e in uncapped for x in e}) > 3  # cap must bind
+
+    monkeypatch.setattr(SQ, "MAX_NEARDUP_DEGREE", 3)
+    got = {(r["d1"], r["d2"]) for r in SQ.lsh_verified_edges(d).collect()}
+    assert got == _capped_edges_python(uncapped, 3)
+    assert len(got) <= 3 * len({x for e in uncapped for x in e})

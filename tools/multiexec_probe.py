@@ -52,6 +52,14 @@ PROBE = [
     "s36_product_quantization", # vector subspace k-means assignment
     "mm08_audio_framing_census",  # Arrow mapInPandas on executors
     "c06_production_dedup_e2e", # the full funnel in one plan
+    # round-7 widening (VERDICT r06 task 6): the iterative similarity
+    # family — localCheckpoint state lives on EXECUTOR block managers
+    # under local-cluster, so these prove the per-iteration checkpoint
+    # reuse (s40/s43 edge list, s38 IVF assignment) works with real
+    # executor-side storage, not the single-JVM shared-memory crutch
+    "s38_knn_graph_stats",      # IVF cell-join + localCheckpoint reuse
+    "s40_neardup_pagerank",     # 3 iterations over checkpointed edges
+    "s43_label_propagation",    # integer label rounds, same edge list
     # Structured Streaming under real executors: per-executor state
     # store providers, watermark/session/sliding-sketch state — a
     # different execution surface than any batch plan
