@@ -264,6 +264,13 @@ _STALE_PROOF = frozenset({
     "s19_lsh_verified_neardup", "s33_cross_source_dup_matrix",
     "s40_neardup_pagerank", "s43_label_propagation",
     "c06_production_dedup_e2e",
+    # Round-7 real-HDF5 closure: sources/hdf5.py grew open_h5 (h5py ->
+    # vendored minihdf5 fallback) and nexus_source._load_tree now
+    # routes .h5/.nxs through it. m13's .json-fixture behavior is
+    # byte-identical, but its ingest modules changed, so its r02 proof
+    # re-earns a row (re-verified locally at sf0.01 the day of the
+    # change).
+    "m13_nexus_ingest_merge",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN

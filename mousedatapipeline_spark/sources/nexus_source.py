@@ -16,10 +16,11 @@ task, so ingestion parallelism equals file count (matching the
 reference's per-repetition unit of work) and scales with the cluster,
 not the driver. The driver only globs the listing.
 
-File formats: ``.h5``/``.nxs`` via h5py when installed (import-gated —
-not in this container); ``.json`` trees (nested dicts, the same fake
-accepted by ``hdf5.read_h5_value``) everywhere, so the full source is
-testable here. Keys (ymd, batch, repetition) parse from the
+File formats: ``.h5``/``.nxs`` via h5py when installed, else the
+vendored classic-format reader (``sources/minihdf5.py``) — real HDF5
+bytes work everywhere; ``.json`` trees (nested dicts, the same fake
+accepted by ``hdf5.read_h5_value``) remain supported for logic
+fixtures. Keys (ymd, batch, repetition) parse from the
 ``{ymd}_{batch}_{repetition}`` stem, like the reference's directory
 naming (src/YMD_class.py:33-44).
 """
@@ -64,13 +65,10 @@ def _load_tree(path: str):
     if path.endswith(".json"):
         with open(path, encoding="utf-8") as f:
             return json.load(f)
-    try:  # pragma: no cover - h5py absent in this container
-        import h5py
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            f"reading {path} requires h5py; only .json fixture trees "
-            "are supported without it") from exc
-    return h5py.File(path, "r")  # pragma: no cover
+    # Real HDF5 bytes: h5py when installed, the vendored classic-format
+    # reader otherwise (sources/minihdf5.py).
+    from mousedatapipeline_spark.sources.hdf5 import open_h5
+    return open_h5(path)
 
 
 def _plain_schema(schema: IngestSchema):

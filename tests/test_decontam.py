@@ -374,8 +374,18 @@ def test_get_spark_ansi_parameter_sets_builder_config():
     conf, which this suite created with the default ansi=False."""
     from mousedatapipeline_spark.session import get_spark
 
-    s = get_spark()
-    assert s.conf.get("spark.sql.ansi.enabled") == "false"
+    # getOrCreate on the suite's existing session still APPLIES
+    # runtime-settable builder configs (shuffle.partitions would jump
+    # to the machine's core count and leak into later plan-shape
+    # tests) — snapshot and restore what get_spark touches.
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    prev = active.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s = get_spark()
+        assert s.conf.get("spark.sql.ansi.enabled") == "false"
+    finally:
+        active.conf.set("spark.sql.shuffle.partitions", prev)
     import inspect
     sig = inspect.signature(get_spark)
     assert sig.parameters["ansi"].default is False

@@ -339,6 +339,19 @@ def test_load_spread_conditional(spark, tmp_path):
     parallelism but leaves an already-parallel scan untouched."""
     from mousedatapipeline_spark import tables
     par = spark.sparkContext.defaultParallelism
+    # load_spread's target is shuffle.partitions; pin it to `par` so
+    # the assertions hold regardless of what earlier tests did to the
+    # shared session's runtime conf (r07 flake: a get_spark() call in
+    # another file left it at the machine core count).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    try:
+        _run_load_spread_checks(spark, tmp_path, tables, par)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_load_spread_checks(spark, tmp_path, tables, par):
     spark.range(100).coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet"))
     one = tables.load_spread(spark, str(tmp_path), "documents")

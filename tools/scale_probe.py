@@ -128,6 +128,11 @@ def build_sfx(spark, k: int) -> str:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
+    # Optional trailing query names: re-measure just that slice (e.g.
+    # after a plan change to one family) without paying for the full
+    # probe. The output file then holds only the slice — merge into
+    # the committed full run by hand, don't overwrite it.
+    only = set(sys.argv[3:])
     from mousedatapipeline_spark.plans.catalog import spark_queries
     from mousedatapipeline_spark.session import get_spark
     spark = get_spark("scale_probe")
@@ -137,6 +142,8 @@ def main() -> None:
               ("sf0.1", BASE), (f"sfx{k}", sfx)]
     results: dict[str, dict] = {}
     for name in PROBE:
+        if only and name not in only:
+            continue
         row: dict[str, dict] = {}
         for label, d in scales:
             t0 = time.time()

@@ -64,7 +64,15 @@ def main() -> None:
         "|---|---|",
     ]
     lines += [f"| {n} | {s} |" for n, s in sorted(rows)]
-    (ROOT / "VERIFICATION.md").write_text("\n".join(lines) + "\n")
+    # Preserve the hand-maintained appendix (cross-cutting evidence
+    # that isn't derivable from catalog.py) across regenerations.
+    out = ROOT / "VERIFICATION.md"
+    if out.exists():
+        old = out.read_text()
+        marker = old.find("\n## ")
+        if marker != -1:
+            lines.append(old[marker:].rstrip("\n"))
+    out.write_text("\n".join(lines) + "\n")
     print(f"VERIFICATION.md: {len(rows)} queries "
           f"({n_proven} proven / {n_queued} queued / {n_rows_only} rows-only)")
 
