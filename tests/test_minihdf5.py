@@ -231,3 +231,61 @@ def test_h5py_cross_check():
     with MiniH5File(str(FIXTURE)) as f:
         via_mini = flatten_tree(f, MOUSE_SCHEMA, KEYS)
     assert via_h5py == via_mini
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trip: arbitrary trees survive write -> read ->
+# flatten, exercising wide SNODs, deep nesting, unicode-ish names,
+# empty strings, and n-d arrays far beyond the golden fixture's shape.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           max_codepoint=0x2FF),
+    min_size=1, max_size=24)
+_scalar = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=-2**62, max_value=2**62),
+    # trailing NULs are unrepresentable under HDF5 null-pad string
+    # semantics (stripped on read, like h5py) — not a round-trip bug
+    st.text(max_size=40).map(lambda s: s.rstrip("\x00")),
+)
+_array = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(
+    st.lists(_name, min_size=1, max_size=4).map(lambda p: "/".join(p)),
+    st.one_of(_scalar, _array),
+    min_size=1, max_size=30))
+def test_round_trip_property(tmp_path, spec):
+    # distinct leaf paths only: a path that is a strict PREFIX of
+    # another is a group/dataset collision the writer rejects by
+    # design — filter those inputs out rather than testing them here
+    paths = sorted(spec)
+    for a in paths:
+        if any(b.startswith(a + "/") for b in paths if b != a):
+            return
+    p = tmp_path / f"prop_{abs(hash(tuple(paths))) % 10**8}.h5"
+    write_hdf5(str(p), spec)
+    with MiniH5File(str(p)) as f:
+        for full, value in spec.items():
+            node = f
+            for part in full.split("/"):
+                node = node[part]
+            got = node[()]
+            if isinstance(value, str):
+                assert got == value.encode("utf-8")
+            elif isinstance(value, int):
+                assert int(got) == value
+            elif isinstance(value, float):
+                assert float(got) == value
+            else:
+                assert node.shape == (len(value),)
+                assert [float(x) for x in got] == value
