@@ -552,14 +552,26 @@ def degree_cap_edges(verified: DataFrame, max_degree: int) -> DataFrame:
 
     Both directions of a doubly-kept edge carry identical values, so
     the closing distinct() collapses them exactly.
+
+    Both directions come out of ONE pass over ``verified`` (explode of
+    a two-struct array, the same idiom as connected_components' ``und``)
+    — a union of two selects would evaluate the upstream edge subtree
+    once per branch when the whole thing materializes inside a single
+    job, where a lazy localCheckpoint cannot yet serve the second
+    branch (measured: the union form doubled c06's LSH-verify stage,
+    17.3 s vs 6.3 s uncapped at sf0.1).
     """
     from pyspark.sql import Window
 
-    und = verified.select(
-        F.col("d1").alias("node"), F.col("d2").alias("nbr"),
-        "n_common", "jaccard_raw").unionByName(verified.select(
-            F.col("d2").alias("node"), F.col("d1").alias("nbr"),
-            "n_common", "jaccard_raw"))
+    und = (verified.select(F.explode(F.array(
+               F.struct(F.col("d1").alias("node"),
+                        F.col("d2").alias("nbr"),
+                        F.col("n_common"), F.col("jaccard_raw")),
+               F.struct(F.col("d2").alias("node"),
+                        F.col("d1").alias("nbr"),
+                        F.col("n_common"), F.col("jaccard_raw"))))
+           .alias("e"))
+           .select("e.node", "e.nbr", "e.n_common", "e.jaccard_raw"))
     w = Window.partitionBy("node").orderBy(
         F.col("jaccard_raw").desc(), F.col("nbr").asc())
     return (und.withColumn("rn", F.row_number().over(w))
