@@ -177,19 +177,29 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
               .groupBy("token")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    # Distributed top-k (orderBy+limit -> TakeOrderedAndProject)
+    # before any window: the counts table is vocabulary-sized, and the
+    # previous global row_number/cumsum windows sorted all of it
+    # through ONE partition. The rank-ordered prefix of the top-k set
+    # equals the prefix of the full set ((n DESC, token) is a total
+    # order), so rank and cum_n are value-identical; the corpus-wide
+    # total comes from a plain aggregate (map-side partials) attached
+    # as a broadcast one-row scalar.
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_n")) \
+        .withColumn("__k", F.lit(1))
+    top = counts.orderBy(F.desc("n"), "token").limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("n"), "token")
-    ranked = counts.select(
+    ranked = (top.select(
         "token", "n",
         F.row_number().over(w).cast("bigint").alias("rank"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint").alias("cum_n"),
-        F.sum("n").over(Window.partitionBy())
-        .cast("bigint").alias("total_n"))
-    return (ranked.filter(F.col("rank") <= VOCAB_TOP)
-            .select("token", "n", "rank", "cum_n",
-                    stable_round(F.col("cum_n").cast("double")
-                                 / F.col("total_n").cast("double"))
-                    .alias("cum_coverage")))
+        .cast("bigint").alias("cum_n"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k"))
+    return ranked.select("token", "n", "rank", "cum_n",
+                         stable_round(F.col("cum_n").cast("double")
+                                      / F.col("total_n").cast("double"))
+                         .alias("cum_coverage"))
 
 
 # --------------------------------------------------------------------------

@@ -910,10 +910,17 @@ def t27_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.ngrams_from_tokens(T.tokens(F.col("text")), 2)).alias("pair"))
     c = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Distributed top-k FIRST (orderBy+limit -> TakeOrderedAndProject:
+    # per-partition top-k, merged at the driver), THEN the ranking
+    # window over just MERGE_TOP rows. A global window over the raw
+    # pair table would sort the whole vocab-squared aggregate through
+    # ONE partition — the single-partition-window warning Spark logs.
+    # (cnt DESC, pair) is a total order, so the top-k set and ranks
+    # are identical to the windowed-then-filtered form.
+    top = c.orderBy(F.desc("cnt"), "pair").limit(MERGE_TOP)
     w = Window.orderBy(F.desc("cnt"), "pair")
-    ranked = c.select("pair", "cnt",
+    return top.select("pair", "cnt",
                       F.row_number().over(w).cast("bigint").alias("rank"))
-    return ranked.filter(F.col("rank") <= MERGE_TOP)
 
 
 DSIR_BUCKETS = 1024  # hashed bigram feature space (DSIR-style)
@@ -1631,10 +1638,17 @@ def t37_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = c.select(F.col("dst").alias("word"),
                      (F.lit(0.15) / F.lit(n)
                       + F.lit(0.85) * F.col("s")).alias("r"))
+    # Distributed top-k (TakeOrderedAndProject) before the ranking
+    # window: the scored table is vocabulary-sized, and a global
+    # row_number over it would sort the whole vocabulary through one
+    # partition. (r DESC, word) totally orders the rows (word is
+    # unique after the rank aggregation), so top-k + re-rank is
+    # value-identical to window-then-filter.
     w_top = Window.orderBy(F.col("r").desc(), F.col("word").asc())
     return (r.join(deg.withColumnRenamed("src", "word"), "word")
+            .orderBy(F.col("r").desc(), F.col("word").asc())
+            .limit(_T37_TOPK)
             .withColumn("pos", F.row_number().over(w_top).cast("int"))
-            .filter(F.col("pos") <= _T37_TOPK)
             .select("word", "wdeg", "pos",
                     stable_round(F.col("r")).alias("score")))
 

@@ -146,6 +146,10 @@ _INTENTIONAL_BROADCAST_PRODUCT = {"s05_knn_cosine", "s08_ann_ivf",
                                   # heavy-hitter threshold, t14 scales
                                   # by the corpus token total
                                   "k01_cms_heavy_hitters",
+                                  # 1-row corpus-total broadcast onto
+                                  # the top-k vocab rows (scalar-
+                                  # subquery shape, see t12's rewrite)
+                                  "t12_vocab_coverage",
                                   # |types|^2 pair spine cross (tiny,
                                   # broadcast) for HLL set algebra
                                   "k03_hll_set_ops",
@@ -717,3 +721,25 @@ def test_t37_pair_emission_is_scan_stage(spark):
     plan = _plan(spark, "t37_textrank_keywords")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@_needs_data
+def test_vocab_topk_is_distributed_take_ordered(spark):
+    """t12/t27/t37 rank a vocabulary-sized aggregate: the top-k must
+    come from TakeOrderedAndProject (per-partition top-k, merged at
+    the driver), and any row_number window may only run AFTER that
+    limit — a global window over the raw vocab table would sort the
+    whole thing through one partition (the WindowExec single-partition
+    warning). Regression guard for the orderBy+limit rewrite."""
+    for name in ("t12_vocab_coverage", "t27_bpe_merge_stats",
+                 "t37_textrank_keywords"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        # The one remaining global window runs on the <= top-k rows
+        # downstream of the take-ordered node: in the bottom-up plan
+        # string the Window line must appear ABOVE (i.e. at a smaller
+        # offset than) the TakeOrderedAndProject it consumes.
+        w_at = plan.find("Window ")
+        t_at = plan.find("TakeOrderedAndProject")
+        if w_at != -1:
+            assert w_at < t_at, (name, plan)
