@@ -38,7 +38,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "orient_by_degree"]
+__all__ = ["connected_components", "orient_by_degree",
+           "symmetrize_edges"]
+
+
+def symmetrize_edges(pairs: DataFrame, src_in: str, dst_in: str,
+                     src: str = "src", dst: str = "dst",
+                     carry: tuple[str, ...] = ()) -> DataFrame:
+    """Both directions of an undirected edge list from ONE pass over
+    ``pairs`` — explode of a two-struct array, the idiom
+    ``connected_components`` uses for its own ``und``.
+
+    A union of two selects reads the pair subtree once per branch, and
+    when the symmetric list is the thing being materialized (the
+    eager-checkpoint-then-iterate pattern of s40/s43/t37) the branches
+    evaluate inside ONE job, where neither lazy checkpoints nor
+    exchange reuse fence the second branch — measured at 30x
+    replication: 554 s (union) vs 368 s (explode) to materialize the
+    same 10.4 M-row edge list.  ``carry`` columns ride along
+    unchanged in both directions.
+    """
+    extras = [F.col(c) for c in carry]
+    return (pairs.select(F.explode(F.array(
+                F.struct(F.col(src_in).alias(src),
+                         F.col(dst_in).alias(dst), *extras),
+                F.struct(F.col(dst_in).alias(src),
+                         F.col(src_in).alias(dst), *extras)))
+            .alias("e"))
+            .select("e.*"))
 
 
 def orient_by_degree(edges: DataFrame, src: str = "d1",

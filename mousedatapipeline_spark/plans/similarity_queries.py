@@ -2953,14 +2953,16 @@ def _s40_oracle_iterations() -> str:
 def s40_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
 
+    from mousedatapipeline_spark.operators.graph import symmetrize_edges
+
     pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
-    edges = pairs.select(F.col("d1").alias("src"),
-                         F.col("d2").alias("dst")).unionByName(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
     # One s19 run shared by the degree table and all three iterations:
     # eager checkpoint materializes the (small) edge list exactly once;
     # every iteration then replans only over the cached |E|-row RDD.
-    edges = edges.localCheckpoint(eager=True)
+    # Both directions come from one pass (symmetrize_edges) — a union
+    # would evaluate the s19 subtree once per branch inside this job.
+    edges = symmetrize_edges(pairs, "d1", "d2") \
+        .localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     ew = edges.join(deg, "src").localCheckpoint(eager=True)
@@ -3344,11 +3346,13 @@ def _s43_oracle_iterations() -> str:
 def s43_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from mousedatapipeline_spark.operators.graph import symmetrize_edges
+
     pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
-    edges = pairs.select(F.col("d1").alias("src"),
-                         F.col("d2").alias("dst")).unionByName(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
+    # Single-pass symmetrization (see s40) before the one eager
+    # checkpoint every round re-reads.
+    edges = symmetrize_edges(pairs, "d1", "d2") \
+        .localCheckpoint(eager=True)
     lab = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab"))
     w = Window.partitionBy("v").orderBy(

@@ -1618,13 +1618,14 @@ def t37_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest("w1", "w2").alias("b"))
           .groupBy("a", "b")
           .agg(F.count(F.lit(1)).cast("bigint").alias("w")))
-    e = pc.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w") \
-        .unionByName(
-            pc.select(F.col("b").alias("src"), F.col("a").alias("dst"),
-                      "w"))
+    from mousedatapipeline_spark.operators.graph import symmetrize_edges
+
     # One pair-counting pass shared by the degree table and all
-    # iterations (s40's eager-checkpoint recipe).
-    e = e.localCheckpoint(eager=True)
+    # iterations (s40's eager-checkpoint recipe); both directions from
+    # a single pass over pc (a union would run the corpus pair count
+    # once per branch inside the checkpoint job).
+    e = symmetrize_edges(pc, "a", "b", carry=("w",)) \
+        .localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
     ew = e.join(deg, "src").localCheckpoint(eager=True)
     n = float(ew.select(F.count_distinct("src")).first()[0])
