@@ -743,3 +743,46 @@ def test_vocab_topk_is_distributed_take_ordered(spark):
         t_at = plan.find("TakeOrderedAndProject")
         if w_at != -1:
             assert w_at < t_at, (name, plan)
+
+
+def test_symmetrize_edges_is_single_pass(spark):
+    """Both directions of an undirected edge list must come from ONE
+    pass over the pair subtree — a Union above an expensive pair
+    pipeline evaluates it once per branch inside the materializing
+    job (measured 554 s vs 293 s for s40 at 30x). The helper's plan
+    must be a Generate (explode), never a Union, and its output must
+    equal the union form row-for-row including carried columns."""
+    from pyspark.sql import functions as F
+
+    from mousedatapipeline_spark.operators.graph import symmetrize_edges
+
+    pairs = spark.range(5).select(
+        F.col("id").alias("d1"), (F.col("id") + 100).alias("d2"),
+        (F.col("id") * 10).alias("w"))
+    sym = symmetrize_edges(pairs, "d1", "d2", carry=("w",))
+    plan = sym._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert "Generate explode" in plan, plan
+    expect = pairs.select(F.col("d1").alias("src"),
+                          F.col("d2").alias("dst"), "w").unionByName(
+        pairs.select(F.col("d2").alias("src"),
+                     F.col("d1").alias("dst"), "w"))
+    assert sorted(map(tuple, sym.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+
+def test_iterative_edge_builders_use_symmetrize():
+    """The eager checkpoint in s40/s43/t37 hides the edge-construction
+    plan from explain (it becomes a LogicalRDD), so the no-union
+    property is pinned at the source level: each builder must go
+    through symmetrize_edges and must not union the pair frame."""
+    import inspect
+
+    from mousedatapipeline_spark.plans import similarity_queries as SQ
+    from mousedatapipeline_spark.plans import text_queries as TQ
+
+    for fn in (SQ.s40_neardup_pagerank, SQ.s43_label_propagation,
+               TQ.t37_textrank_keywords):
+        src = inspect.getsource(fn)
+        assert "symmetrize_edges" in src, fn.__name__
+        assert "unionByName" not in src, fn.__name__
