@@ -270,7 +270,11 @@ _STALE_PROOF = frozenset({
     # only the top-k rows; values are provably identical ((sort key)
     # is a total order) and re-verified locally at sf0.001/0.01/0.1
     # the day of the change, but the plans changed, so the proofs
-    # re-earn driver rows.
+    # re-earn driver rows.  s40/s43/t37 additionally symmetrize their
+    # edge lists in one pass (operators/graph.symmetrize_edges) —
+    # row-identical by construction, same re-verification.  The whole
+    # 9-query stale pool also re-passed its oracles under local[5]/
+    # shuffle=5 (partition-invariance axis) the day of the change.
     "t12_vocab_coverage", "t27_bpe_merge_stats",
     "t37_textrank_keywords",
     # Round-7 real-HDF5 closure: sources/hdf5.py grew open_h5 (h5py ->
