@@ -277,6 +277,11 @@ _STALE_PROOF = frozenset({
     # shuffle=5 (partition-invariance axis) the day of the change.
     "t12_vocab_coverage", "t27_bpe_merge_stats",
     "t37_textrank_keywords",
+    # Round-7: k03's union-fan over the corpus-sized hashed stream
+    # became a single broadcast join against the melted pair spine
+    # (one h pass; multiset-identical since pair roles are disjoint).
+    # Re-verified at sf0.001/0.01/0.1 the day of the change.
+    "k03_hll_set_ops",
     # Round-7 real-HDF5 closure: sources/hdf5.py grew open_h5 (h5py ->
     # vendored minihdf5 fallback) and nexus_source._load_tree now
     # routes .h5/.nxs through it. m13's .json-fixture behavior is

@@ -231,12 +231,19 @@ def k03_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("ta") < F.col("tb")))
     est1 = K.hll_estimate(
         K.hll_registers(h, "uh", ["event_type"]), ["event_type"])
-    stream = (
-        h.join(F.broadcast(pairs), h.event_type == pairs.ta)
-        .select("ta", "tb", "uh")
-        .union(
-            h.join(F.broadcast(pairs), h.event_type == pairs.tb)
-            .select("ta", "tb", "uh")))
+    # ONE pass over the corpus-sized h: melt the tiny pair spine so a
+    # single broadcast equi-join fans each event row into every pair
+    # either of its roles touches — the previous union of two joins
+    # read (and at first materialization, computed) h once per branch.
+    # Roles are disjoint (ta < tb), so the fanned multiset is
+    # identical to the two-join union.
+    melted = (pairs.select(F.explode(F.array(
+        F.struct("ta", "tb", F.col("ta").alias("key")),
+        F.struct("ta", "tb", F.col("tb").alias("key"))))
+        .alias("p"))
+        .select("p.ta", "p.tb", "p.key"))
+    stream = (h.join(F.broadcast(melted), h.event_type == melted.key)
+              .select("ta", "tb", "uh"))
     estu = (K.hll_estimate(
         K.hll_registers(stream, "uh", ["ta", "tb"]), ["ta", "tb"])
         .withColumnRenamed("hll_est_raw", "eu"))
