@@ -17,6 +17,13 @@ serialization. Every query runs $SPARK_GRAFT_BENCH_TRIALS times
 environment swing 3-10x from JIT/GC noise unrelated to the plan, and
 the minimum is the stable estimator of plan cost. `value` is the sum of
 the reported minima.
+
+The committed round-over-round reference BENCH_FULL_local.json only
+updates from an sf0.1 run with SPARK_GRAFT_BENCH_TRIALS>=3 (an idle
+min-of-3); any other sf0.1 run (the driver's default 2-trial pass)
+writes the gitignored BENCH_FULL_driver.json sidecar instead, so a
+driver bench run leaves the worktree clean and regressions are only
+ever called against like-for-like min-of-3 rows.
 """
 
 from __future__ import annotations
@@ -137,10 +144,16 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    # The committed round-over-round reference is an sf0.1 artifact; a
-    # local iteration run at another SF must not clobber it (it would
-    # also poison the retry guard above for the next real run).
-    ref_name = ref_basename
+    # The committed round-over-round reference is an sf0.1 MIN-OF-3
+    # artifact; neither a local iteration run at another SF nor a
+    # driver/CI single-or-double-shot run may clobber it (it would
+    # also poison the retry guard above for the next real run, and it
+    # left the worktree dirty two rounds running — VERDICT r07 #2).
+    # Non-min-of-3 sf0.1 runs land in the BENCH_FULL_driver.json
+    # sidecar; the committed reference only updates under the explicit
+    # SPARK_GRAFT_BENCH_TRIALS=3 path.
+    ref_name = (ref_basename if sf != 0.1 or trials >= 3
+                else "BENCH_FULL_driver.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ref_name), "w") as fh:

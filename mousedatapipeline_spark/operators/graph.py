@@ -53,9 +53,10 @@ def symmetrize_edges(pairs: DataFrame, src_in: str, dst_in: str,
     when the symmetric list is the thing being materialized (the
     eager-checkpoint-then-iterate pattern of s40/s43/t37) the branches
     evaluate inside ONE job, where neither lazy checkpoints nor
-    exchange reuse fence the second branch — measured at 30x
-    replication: 554 s (union) vs 368 s (explode) to materialize the
-    same 10.4 M-row edge list.  ``carry`` columns ride along
+    exchange reuse fence the second branch — controlled A/B at 30x
+    replication (SCALING.md round-7 section): s40 end-to-end 554 s
+    (union) vs 293 s (explode), of which materializing the same
+    10.4 M-row edge list is 282 s.  ``carry`` columns ride along
     unchanged in both directions.
     """
     extras = [F.col(c) for c in carry]

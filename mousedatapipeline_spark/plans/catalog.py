@@ -250,49 +250,71 @@ _R06_GREEN = frozenset({
     "w14_stream_scd2", "w15_stream_compaction", "w16_stream_sliding_hll",
 })
 
+# Green rows earned in CORRECTNESS_r07.json (48 hash-green of 50
+# sampled; u01/m15 are the declared rows-only kernels). This rotation
+# covered all 10 round-7 stales, draining the pre-r08 pool to zero
+# before the round-8 edits below re-opened it.
+_R07_GREEN = frozenset({
+    "c06_production_dedup_e2e", "k03_hll_set_ops",
+    "m13_nexus_ingest_merge", "q01_pricing_summary", "q02_order_census",
+    "q03_region_revenue", "q04_asof_view_before_purchase",
+    "q05_window_propagation", "q06_latest_order_per_customer",
+    "q07_customers_without_orders", "q08_active_customers_semi",
+    "q09_thickness_physics", "q10_energy_tcf", "q11_stack_stats",
+    "q12_identifiers", "q13_repetition_stack", "q14_first_file",
+    "q15_date_arith", "q16_column_profile", "q17_rollup_revenue",
+    "q18_snapshot_diff", "q19_incremental_agg", "q20_cube_revenue",
+    "q21_pivot_status_counts", "q22_customer_set_ops",
+    "q23_exists_slow_orders", "q24_window_analytics",
+    "q25_group_percentiles", "q26_above_avg_orders",
+    "q27_topk_open_orders", "q28_sole_late_supplier",
+    "q30_fk_orphan_audit", "q31_scalable_percentiles",
+    "q32_grouping_sets", "q33_approx_percentiles",
+    "q34_bucketed_join_roundtrip", "q35_scd2_intervals",
+    "q36_unpivot_metrics", "q37_distribution_ranks",
+    "q38_constraint_audit", "q39_partition_backfill",
+    "s19_lsh_verified_neardup", "s33_cross_source_dup_matrix",
+    "s40_neardup_pagerank", "s43_label_propagation",
+    "t12_vocab_coverage", "t27_bpe_merge_stats",
+    "t37_textrank_keywords",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
 _STALE_PROOF = frozenset({
-    # Round-7 edge-mass guard: lsh_verified_edges now applies a union
-    # top-m degree cap (MAX_NEARDUP_DEGREE, similarity_queries.py) with
-    # the cap mirrored in the SQL twins via degree_cap_sql(). A no-op
-    # at the driver-gate SFs (max degree 17 < 64 at sf0.01), but the
-    # plan AND every composed oracle string changed, so s19 and every
-    # composer of its edges re-earns a row: s33/s40/s43 compose the
-    # registered s19 oracle; c06 inlines the capped edge SQL.  All
-    # re-verified locally at sf0.001/0.01/0.1 the day of the change.
-    "s19_lsh_verified_neardup", "s33_cross_source_dup_matrix",
-    "s40_neardup_pagerank", "s43_label_propagation",
-    "c06_production_dedup_e2e",
-    # Round-7 global-window removal: the vocabulary-sized ranking in
-    # t12/t27/t37 now goes through a distributed top-k (orderBy+limit
-    # -> TakeOrderedAndProject) with the row_number window running on
-    # only the top-k rows; values are provably identical ((sort key)
-    # is a total order) and re-verified locally at sf0.001/0.01/0.1
-    # the day of the change, but the plans changed, so the proofs
-    # re-earn driver rows.  s40/s43/t37 additionally symmetrize their
-    # edge lists in one pass (operators/graph.symmetrize_edges) —
-    # row-identical by construction, same re-verification.  The whole
-    # 9-query stale pool also re-passed its oracles under local[5]/
-    # shuffle=5 (partition-invariance axis) the day of the change.
-    "t12_vocab_coverage", "t27_bpe_merge_stats",
-    "t37_textrank_keywords",
-    # Round-7: k03's union-fan over the corpus-sized hashed stream
-    # became a single broadcast join against the melted pair spine
-    # (one h pass; multiset-identical since pair roles are disjoint).
-    # Re-verified at sf0.001/0.01/0.1 the day of the change.
-    "k03_hll_set_ops",
-    # Round-7 real-HDF5 closure: sources/hdf5.py grew open_h5 (h5py ->
-    # vendored minihdf5 fallback) and nexus_source._load_tree now
-    # routes .h5/.nxs through it. m13's .json-fixture behavior is
-    # byte-identical, but its ingest modules changed, so its r02 proof
-    # re-earns a row (re-verified locally at sf0.01 the day of the
-    # change).
+    # Round-8 IVF hardening (VERDICT r07 #1): assign_cells/cell_ranks
+    # now carry the in-plan hot-cell budget (hot_cell_guard raise,
+    # identity under budget) — stales every consumer's plan: s08, s35
+    # (also eager-checkpointed), s37 (eager), s39.  s38 additionally
+    # switched its quantizer from the fixed label vocabulary to the
+    # scale-aware sqrt(N) k-means codebook (sqrtn_kmeans_centroids,
+    # mirrored via the shared sqrtn_quantizer_sql() CTE chain), so its
+    # oracle AND values changed.  All re-verified locally at
+    # sf0.001/0.01/0.1 the day of the change.
+    "s08_ann_ivf", "s35_hard_negatives", "s37_ivf_probe_sweep",
+    "s38_knn_graph_stats", "s39_ivf_pq_index_build",
+    # Round-8 cap routing (VERDICT r07 #5): s14's CC now iterates on
+    # the degree-capped s02 edge list (degree_cap_edges, mirrored into
+    # the recursive-CTE oracle via the shared degree_cap_sql()); s34
+    # composes s14's Spark plan and registered oracle. Re-verified
+    # locally at sf0.001/0.01/0.1 the day of the change.
+    "s14_neardup_components", "s34_quality_canonical",
+    # Round-8: t12's 1-row corpus-total attach became an explicit
+    # crossJoin(broadcast) instead of a synthetic __k=1 equi-join
+    # (ADVICE r07) — value-identical, plan changed. Re-verified
+    # locally at sf0.01 the day of the change.
+    "t12_vocab_coverage",
+    # Round-8 minihdf5 widening (VERDICT r07 #6/#7): attribute
+    # messages (units read + flatten_tree unit cross-check) and
+    # chunked-unfiltered datasets. m13's fixture behavior is
+    # byte-identical (no attrs, contiguous), but its ingest modules
+    # changed, so its r07 proof re-earns a row (re-verified locally
+    # at sf0.01 the day of the change).
     "m13_nexus_ingest_merge",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-           | _R05_GREEN | _R06_GREEN) - _STALE_PROOF
+           | _R05_GREEN | _R06_GREEN | _R07_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -185,17 +185,17 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order), so rank and cum_n are value-identical; the corpus-wide
     # total comes from a plain aggregate (map-side partials) attached
     # as a broadcast one-row scalar.
-    total = counts.agg(F.sum("n").cast("bigint").alias("total_n")) \
-        .withColumn("__k", F.lit(1))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
     top = counts.orderBy(F.desc("n"), "token").limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("n"), "token")
+    # Explicit 1-row scalar broadcast (crossJoin, no synthetic key):
+    # the scalar-subquery shape, self-evident in the plan (ADVICE r07).
     ranked = (top.select(
         "token", "n",
         F.row_number().over(w).cast("bigint").alias("rank"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint").alias("cum_n"))
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(total), "__k"))
+        .crossJoin(F.broadcast(total)))
     return ranked.select("token", "n", "rank", "cum_n",
                          stable_round(F.col("cum_n").cast("double")
                                       / F.col("total_n").cast("double"))

@@ -693,8 +693,11 @@ def s08_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_arr = S.train_label_centroids(e)
     assign = S.assign_cells(vecs, cent_arr, carry=["v", "norm"])
     # The tiny (vec_id, cell, v, norm) table feeds BOTH probe sides;
-    # checkpoint so the training+assignment subtree runs once.
-    assign = assign.localCheckpoint(eager=False)
+    # EAGER checkpoint so the training+assignment subtree (now
+    # including the hot-cell guard's count branch) runs exactly once —
+    # lazy cannot serve the second branch inside the one materializing
+    # job (the r07/r08 sweep; same idiom as s35/s37/s38).
+    assign = assign.localCheckpoint(eager=True)
     # Probe: same-cell candidates only; exact cosine re-rank within.
     qa = assign.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "cell",
@@ -782,6 +785,76 @@ _KM_SQL_ASSIGN = """
     )"""
 
 
+def sqrtn_quantizer_sql() -> str:
+    """CTE chain mirroring operators.similarity.sqrtn_kmeans_centroids
+    followed by assign_cells, over a CTE named ``dims`` (vec_id, dim,
+    v): exposes ``c1`` (cell, dim, cv — the Lloyd-refined ceil(sqrt(N))
+    codebook) and ``assign`` (vec_id, cell — the final argmax-dot
+    assignment, ties (rounded dot DESC, cell ASC)). ONE definition for
+    every consumer oracle (the degree_cap_sql() pattern), so the SQL
+    twins can never desynchronize from the Spark quantizer: seed
+    stride, Lloyd fold, tie-breaks and rounding all live here and in
+    the operator, nowhere else."""
+    return f"""
+    nk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(vec_id) AS BIGINT) AS mx
+      FROM embeddings
+    ),
+    st AS (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      (mx + 1) // CAST(CEIL(SQRT(CAST(n AS DOUBLE)))
+                                       AS BIGINT)) AS step
+      FROM nk
+    ),
+    seeds AS (
+      SELECT e.vec_id AS cell FROM embeddings e, st
+      WHERE e.vec_id % st.step = 0
+    ),
+    c0 AS (
+      SELECT s.cell, d.dim, d.v AS cv
+      FROM seeds s JOIN dims d ON d.vec_id = s.cell
+    ),
+    kdist AS (
+      SELECT d.vec_id, c.cell,
+             CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv)
+                                AS DECIMAL(30,10))) AS VARCHAR)
+                  AS DOUBLE) AS dist
+      FROM dims d JOIN c0 c ON d.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    ka AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY {stable_round_sql('dist')} ASC, cell ASC) AS rn
+        FROM kdist)
+      WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cell, d.dim,
+             CAST(CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS VARCHAR)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cv
+      FROM dims d JOIN ka a ON d.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    qdots AS (
+      SELECT d.vec_id, c.cell,
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10)))
+                       AS VARCHAR) AS DOUBLE) AS dot
+      FROM dims d JOIN c1 c ON d.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY {stable_round_sql('dot')} DESC, cell ASC) AS rn
+        FROM qdots)
+      WHERE rn = 1
+    )"""
+
+
 @register(
     "s10_kmeans_ivf",
     oracle=f"""
@@ -827,13 +900,71 @@ def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("cv")).alias("centroid_v"))
 
 
+# In-plan edge-mass guard (r06 verdict): a verified near-dup edge list
+# grows quadratically in duplicate mass (a cluster of N mutual
+# near-dups is an N^2/2 clique — 30x-replication probes hit ~50M edges
+# and the iterative consumers s40/s43 ran unbounded). The guard is a
+# symmetric UNION top-m degree cap: explode each verified edge in both
+# directions, rank per node by (jaccard DESC, neighbor ASC), and keep
+# an edge iff EITHER endpoint ranks it <= m. Properties that make this
+# the right cap (see tests/test_text_similarity.py):
+# - total edge mass <= m * |V| (each node contributes <= m picks):
+#   every downstream |E|-join (s14's CC seed, s40 PageRank, s43 label
+#   propagation, c06 components) is linear in the corpus, never
+#   quadratic in duplicate mass — the same contract blocked_pairs'
+#   max_block raise gives the all-pairs path (similarity.py:368);
+# - no node is ever isolated (its own top-1 pick always survives), so
+#   near-dup clusters keep a canonical: an equal-jaccard clique stays
+#   one component because every member picks the min-id member
+#   (mutual-kNN AND-capping would shatter large cliques instead);
+# - deterministic: (jr DESC, nbr ASC) totally orders each partition in
+#   both engines (jr is one IEEE division of exact integer counts).
+# m=64 is a no-op at the driver-gate SFs (max degree: 13 at sf0.001,
+# 17 at sf0.01) and binds only in hub clusters at sf0.1 (max degree
+# 220; 49,526 of 56,329 edges survive on s19's 0.5-threshold list).
+MAX_NEARDUP_DEGREE = 64
+
+
+def degree_cap_sql() -> str:
+    """CTE chain applying the union top-m degree cap to a CTE named
+    ``verified`` with columns (d1, d2, n_common, jr); exposes the
+    surviving edges as a CTE named ``capped`` with the same columns.
+    ONE definition shared by the s19 / s14 oracles and c06's composed
+    funnel oracle so the SQL twins can never desynchronize from each
+    other (the Spark twin is :func:`operators.similarity.
+    degree_cap_edges`, the tail of :func:`lsh_verified_edges`)."""
+    return f"""
+    vund AS (
+      SELECT d1 AS node, d2 AS nbr, n_common, jr FROM verified
+      UNION ALL
+      SELECT d2 AS node, d1 AS nbr, n_common, jr FROM verified
+    ),
+    vrank AS (
+      SELECT node, nbr, n_common, jr,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY jr DESC, nbr ASC) AS rn
+      FROM vund
+    ),
+    capped AS (
+      SELECT DISTINCT LEAST(node, nbr) AS d1, GREATEST(node, nbr) AS d2,
+             n_common, jr
+      FROM vrank WHERE rn <= {MAX_NEARDUP_DEGREE}
+    )"""
+
+
 # --------------------------------------------------------------------------
 # Near-dup clustering: connected components over the s02 pair graph.
 # The step between "pairs found" and "corpus deduped": transitive
 # closure of near-dup edges, one canonical doc (min doc_id) per
 # component. Spark side is iterative min-label propagation with
 # pointer jumping (O(log n) rounds; see operators/graph.py); the
-# oracle is a recursive-CTE reachability closure.
+# oracle is a recursive-CTE reachability closure. The edge list goes
+# through the SAME union top-m degree cap as s19/c06 (r07 verdict:
+# s14 was the last iterative consumer on an uncapped list — 460 s at
+# 30x duplicate mass), so every |E|-join of the CC iteration is
+# bounded by m * |V|. A no-op at the driver-gate SFs (s02's
+# 0.6-threshold graph has max degree < 64 there); where it binds, the
+# cap is mirrored in the oracle below via the shared degree_cap_sql().
 # --------------------------------------------------------------------------
 @register(
     "s14_neardup_components",
@@ -847,14 +978,19 @@ def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    edges AS (
-      SELECT d1, d2 FROM common JOIN sz x ON d1 = x.doc_id
-                                JOIN sz y ON d2 = y.doc_id
+    verified AS (
+      SELECT d1, d2, n_common,
+             {stable_round_sql(
+                 'CAST(n_common AS DOUBLE)'
+                 ' / CAST(x.n + y.n - n_common AS DOUBLE)')} AS jr
+      FROM common JOIN sz x ON d1 = x.doc_id
+                  JOIN sz y ON d2 = y.doc_id
       WHERE CAST(n_common AS DOUBLE)
             / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6
     ),
-    und AS (SELECT d1 AS u, d2 AS v FROM edges
-            UNION ALL SELECT d2, d1 FROM edges),
+    {degree_cap_sql()},
+    und AS (SELECT d1 AS u, d2 AS v FROM capped
+            UNION ALL SELECT d2, d1 FROM capped),
     reach(u, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
@@ -869,15 +1005,24 @@ def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp
     """,
     doc="Near-dup clustering: connected components of the 3-gram "
-        "Jaccard >= 0.6 pair graph (transitive closure), canonical doc "
-        "= min(doc_id) per component, singletons included. Iterative "
-        "min-label propagation + pointer jumping, label state one row "
-        "per node, edges checkpointed once (operators/graph.py).",
+        "Jaccard >= 0.6 pair graph under the shared union top-m "
+        "degree cap (transitive closure of the capped list), "
+        "canonical doc = min(doc_id) per component, singletons "
+        "included. Iterative min-label propagation + pointer jumping, "
+        "label state one row per node, edges checkpointed once "
+        "(operators/graph.py); the cap bounds every iteration's "
+        "|E|-join to m * |V|.",
 )
 def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.graph import connected_components
     d = load(spark, sf_dir, "documents")
-    edges = s02_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    # s02's rounded jaccard is the cap's ranking key in BOTH engines
+    # (stable_round here == stable_round_sql in the oracle's verified
+    # CTE — s02's own green hash proves the equality), so the top-m
+    # pick order is identical; ties break on neighbor id.
+    raw = s02_ngram_jaccard(spark, sf_dir).select(
+        "d1", "d2", "n_common", F.col("jaccard").alias("jaccard_raw"))
+    edges = S.degree_cap_edges(raw, MAX_NEARDUP_DEGREE).select("d1", "d2")
     cc = connected_components(d.select("doc_id"), edges,
                               "doc_id", "d1", "d2")
     sizes = cc.groupBy("component_id") \
@@ -903,55 +1048,6 @@ VERIFY_JACCARD = 0.5
 # (650k+ candidates at sf0.1); two-band agreement restores the sparse
 # candidate set the pattern is designed around.
 MIN_SHARED_BANDS = 2
-# In-plan edge-mass guard (r06 verdict): the verified edge list grows
-# quadratically in duplicate mass (a cluster of N mutual near-dups is
-# an N^2/2 clique — 30x-replication probes hit ~50M edges and the
-# iterative consumers s40/s43 ran unbounded). The guard is a symmetric
-# UNION top-m degree cap: explode each verified edge in both
-# directions, rank per node by (jaccard DESC, neighbor ASC), and keep
-# an edge iff EITHER endpoint ranks it <= m. Properties that make this
-# the right cap (see tests/test_text_similarity.py):
-# - total edge mass <= m * |V| (each node contributes <= m picks):
-#   every downstream |E|-join (s14-CC seed, s40 PageRank, s43 label
-#   propagation, c06 components) is linear in the corpus, never
-#   quadratic in duplicate mass — the same contract blocked_pairs'
-#   max_block raise gives the all-pairs path (similarity.py:368);
-# - no node is ever isolated (its own top-1 pick always survives), so
-#   near-dup clusters keep a canonical: an equal-jaccard clique stays
-#   one component because every member picks the min-id member
-#   (mutual-kNN AND-capping would shatter large cliques instead);
-# - deterministic: (jr DESC, nbr ASC) totally orders each partition in
-#   both engines (jr is one IEEE division of exact integer counts).
-# m=64 is a no-op at the driver-gate SFs (max degree: 13 at sf0.001,
-# 17 at sf0.01) and binds only in hub clusters at sf0.1 (max degree
-# 220; 49,526 of 56,329 edges survive).
-MAX_NEARDUP_DEGREE = 64
-
-
-def degree_cap_sql() -> str:
-    """CTE chain applying the union top-m degree cap to a CTE named
-    ``verified`` with columns (d1, d2, n_common, jr); exposes the
-    surviving edges as a CTE named ``capped`` with the same columns.
-    ONE definition shared by s19's oracle and c06's composed funnel
-    oracle so the SQL twins can never desynchronize from each other
-    (the Spark twin is the tail of :func:`lsh_verified_edges`)."""
-    return f"""
-    vund AS (
-      SELECT d1 AS node, d2 AS nbr, n_common, jr FROM verified
-      UNION ALL
-      SELECT d2 AS node, d1 AS nbr, n_common, jr FROM verified
-    ),
-    vrank AS (
-      SELECT node, nbr, n_common, jr,
-             ROW_NUMBER() OVER (PARTITION BY node
-                                ORDER BY jr DESC, nbr ASC) AS rn
-      FROM vund
-    ),
-    capped AS (
-      SELECT DISTINCT LEAST(node, nbr) AS d1, GREATEST(node, nbr) AS d2,
-             n_common, jr
-      FROM vrank WHERE rn <= {MAX_NEARDUP_DEGREE}
-    )"""
 
 
 @register(
@@ -2302,7 +2398,10 @@ def s35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_arr = S.train_label_centroids(e)
     assign = S.assign_cells(vecs, cent_arr,
                             carry=["label", "v", "norm"])
-    assign = assign.localCheckpoint(eager=False)  # both probe sides
+    # EAGER: both probe sides derive from assign inside one job, where
+    # a lazy checkpoint cannot serve the second branch (VERDICT r07
+    # sweep). A/B at sf0.1 min-of-3: lazy 2.37 s -> eager 2.17 s.
+    assign = assign.localCheckpoint(eager=True)
     qa = assign.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("q_label"),
         "cell", F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
@@ -2558,14 +2657,18 @@ def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    # EAGER (this + cellrank + excos below): each frame feeds 2-3
+    # branches of the one materializing job — the lazy-checkpoint
+    # double-compute shape (VERDICT r07 sweep). A/B at sf0.1
+    # min-of-3 for the whole query: lazy 3.96 s -> eager 3.51 s.
     vecs = (vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
-            .localCheckpoint(eager=False))  # quantizer + exact + probe
+            .localCheckpoint(eager=True))  # quantizer + exact + probe
     # Shared quantizer; cell_ranks windows over SCALAR (vec_id, cell,
     # rounded-dot) rows only — arrays/norms join back by vec_id below,
     # never riding the |labels|-fan-out ranking shuffle.
     cent_arr = S.train_label_centroids(e)
     cellrank = (S.cell_ranks(vecs, cent_arr, _S37_MAX_P)
-                .localCheckpoint(eager=False))  # queries + assignment
+                .localCheckpoint(eager=True))  # queries + assignment
     assign = (cellrank.filter(F.col("crn") == 1)
               .join(vecs, "vec_id")
               .select(F.col("vec_id").alias("cid"), "cell",
@@ -2587,7 +2690,7 @@ def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (F.col("qnorm") * F.col("cnorm")))
         .otherwise(F.lit(0.0)))
     excos = (allc.select("qid", "cid", rcos.alias("rcos"))
-             .localCheckpoint(eager=False))  # exact3 + candidate lookup
+             .localCheckpoint(eager=True))  # exact3 + candidate lookup
     wq = Window.partitionBy("qid").orderBy(F.desc("rcos"), "cid")
     exact3 = (excos.select("qid", "cid",
                            F.row_number().over(wq).alias("rn"))
@@ -2634,6 +2737,14 @@ def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking window runs over scalar (qid, cid, cosine) rows, and
 # mutuality is one self-join on the top-3 edge list — graph-sized,
 # not corpus-sized.
+#
+# Quantizer: sqrt(N) k-means (sqrtn_kmeans_centroids), NOT the fixed
+# label vocabulary — with k = ceil(sqrt(N)) cells the expected cell is
+# ~sqrt(N) vectors and the within-cell pair total is ~N^1.5, bounded
+# at any corpus size, where |labels|=10 cells made pair work N^2/10
+# (measured: 10x replication cost ~100x, VERDICT r07). assign_cells'
+# hot-cell budget (max_cell raise) additionally makes a quantizer
+# collapse loud instead of a runaway stage.
 # --------------------------------------------------------------------------
 _S38_K = 3
 
@@ -2643,30 +2754,7 @@ _S38_K = 3
     oracle=f"""
     WITH dims AS ({_SQL_DIMS}),
     norms AS ({_SQL_NORMS}),
-    labeled AS (
-      SELECT e.label, d.dim, d.v
-      FROM embeddings e JOIN dims d ON e.vec_id = d.vec_id
-    ),
-    centroids AS (
-      SELECT label, dim,
-             CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS cv
-      FROM labeled GROUP BY label, dim
-    ),
-    cdots AS (
-      SELECT d.vec_id, c.label,
-             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
-      FROM dims d JOIN centroids c ON d.dim = c.dim
-      GROUP BY d.vec_id, c.label
-    ),
-    assign AS (
-      SELECT vec_id, cell
-      FROM (SELECT vec_id, label AS cell, ROW_NUMBER() OVER (
-              PARTITION BY vec_id
-              ORDER BY {stable_round_sql('dot')} DESC, label) AS rn
-            FROM cdots)
-      WHERE rn = 1
-    ),
+    {sqrtn_quantizer_sql()},
     pdots AS (
       SELECT a.vec_id AS qid, b.vec_id AS cid, a.cell,
              CAST(CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dot
@@ -2722,9 +2810,11 @@ _S38_K = 3
         "neighbors among its cellmates, the mutual edges (each ranks "
         "the other — the robust-neighborhood criterion HNSW and "
         "mutual-kNN clustering build on), and per-cell counts plus "
-        "mean mutual cosine. Pair work is quadratic only inside a "
-        "cell (the IVF contract); ranking windows see scalar rows; "
-        "mutuality is one self-join on the top-3 edge list.",
+        "mean mutual cosine. Quantized by sqrt(N) k-means cells "
+        "(~sqrt(N) members each, so pair work totals ~N^1.5 at any "
+        "scale) under assign_cells' loud hot-cell budget; ranking "
+        "windows see scalar rows; mutuality is one self-join on the "
+        "top-3 edge list.",
 )
 def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2736,9 +2826,18 @@ def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     vecs = vecs.withColumn("norm", F.sqrt(S.ddot(F.col("v"), F.col("v"))))
-    cent_arr = S.train_label_centroids(e)
+    cent_arr = S.sqrtn_kmeans_centroids(e)
+    # EAGER checkpoint: assign feeds both pair sides AND the cell
+    # census inside the one materializing job, where a lazy checkpoint
+    # cannot serve the later branches (the symmetrize/degree-cap
+    # lesson, VERDICT r07 #3). A/B at sf0.1 is noise-level (eager 5.67
+    # vs lazy 5.62 s min-of-3: the capped quantizer made the assign
+    # subtree cheap at this SF) — eager is kept because at scale the
+    # subtree includes the sqrt(N) k-means TRAINING (several corpus
+    # passes) plus the guard's count branch, and each extra consumer
+    # would re-run all of it.
     assign = (S.assign_cells(vecs, cent_arr, carry=["v", "norm"])
-              .localCheckpoint(eager=False))  # both pair sides + census
+              .localCheckpoint(eager=True))
     a = assign.select(F.col("vec_id").alias("qid"), "cell",
                       F.col("v").alias("qv"), F.col("norm").alias("qn"))
     b = assign.select(F.col("vec_id").alias("cid"), "cell",
@@ -2755,7 +2854,7 @@ def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= _S38_K)
             .drop("rn")
-            .localCheckpoint(eager=False))  # mutuality self-join
+            .localCheckpoint(eager=True))  # mutuality self-join + ecnt
     t2 = top3.select(F.col("qid").alias("cid"),
                      F.col("cid").alias("qid"))
     mutual = (top3.join(t2, ["qid", "cid"])

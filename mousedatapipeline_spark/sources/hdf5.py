@@ -132,11 +132,48 @@ def read_h5_value(tree, path: str, kind: str):
         return {"float": 0.0, "string": "", "float_array": None}[kind]
 
 
+def read_h5_units(tree, path: str) -> str | None:
+    """The dataset's ``units`` attribute, decoded — the NeXus metadata
+    the reference turns into pint quantities
+    (src/utilities.py:55-59: ``h5f[path].attrs.get('units', ...)``).
+    Returns None when the node, its ``.attrs``, or the key is absent
+    (dict-fake trees have no attrs; most fixtures carry none)."""
+    try:
+        node = tree
+        for part in path.strip("/").split("/"):
+            node = node[part]
+        units = getattr(node, "attrs", {}).get("units")
+        if isinstance(units, bytes):
+            units = units.decode("utf-8")
+        return units if units is None else str(units)
+    except (KeyError, TypeError, AttributeError, IndexError):
+        return None
+
+
 def flatten_tree(tree, schema: IngestSchema,
                  keys: Mapping[str, object]) -> dict:
-    """One HDF5 tree (or dict fake) → one flat row dict."""
+    """One HDF5 tree (or dict fake) → one flat row dict.
+
+    Unit contract: when BOTH the mapping config declares a unit and
+    the file carries a ``units`` attribute on that dataset, they must
+    agree — a mismatch raises loudly (naming path and both spellings)
+    instead of silently trusting either side, because downstream
+    physics (functions/physics.py) assumes the config units. The
+    reference instead converts via pint (src/utilities.py:55-59);
+    without pint in this environment, agreement is exact-string — a
+    loud false positive on an equivalent spelling ("1/s" vs "s**-1")
+    beats a silent wrong magnitude (SURVEY.md §1.2 sentinel ethos).
+    Files or fakes without attrs skip the check.
+    """
     row = dict(keys)
     for m in schema.mappings:
+        if m.unit is not None:
+            file_units = read_h5_units(tree, m.source_path)
+            if file_units is not None and file_units != m.unit:
+                raise ValueError(
+                    f"unit mismatch at {m.source_path}: file says "
+                    f"{file_units!r}, mapping config says {m.unit!r} "
+                    f"(column {m.column!r})")
         row[m.column] = read_h5_value(tree, m.source_path, m.kind)
     return row
 

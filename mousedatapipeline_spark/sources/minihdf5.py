@@ -17,9 +17,17 @@ small arrays and strings, never chunked/compressed stacks):
 * groups: v1 B-tree (node type 0) + local heap + SNOD symbol tables
 * datasets: contiguous layout (v3 message), datatypes float64 / int64 /
   fixed ASCII string; compact layout is read but never written
-* NO chunking, filters, vlen types, attributes, or links — a reader
-  hitting one of those raises ``UnsupportedHDF5Feature`` loudly instead
-  of guessing
+* chunked layout WITHOUT filters (v3 class-2 message + v1 chunk B-tree,
+  node type 1, any depth) — a real uncompressed ``eiger_*_master.h5``
+  detector stack opens without h5py; a filter pipeline (gzip etc.)
+  still raises, that subset genuinely needs ``pip install h5py``
+* attributes: version-1 attribute messages (type 0x000C) on datasets
+  and groups — the ``units`` metadata the reference reads via
+  ``h5f[path].attrs.get('units', ...)`` (src/utilities.py:55-59);
+  exposed as the h5py-shaped ``.attrs`` mapping (fixed ASCII strings
+  come back as ``bytes``, exactly like h5py)
+* NO chunking, filters, vlen types, or links — a reader hitting one of
+  those raises ``UnsupportedHDF5Feature`` loudly instead of guessing
 
 The reader is written against the spec, not against this writer: it
 walks B-trees of any depth, follows object-header continuation blocks,
@@ -48,6 +56,8 @@ _MSG_NIL = 0x0000
 _MSG_DATASPACE = 0x0001
 _MSG_DATATYPE = 0x0003
 _MSG_LAYOUT = 0x0008
+_MSG_FILTER_PIPELINE = 0x000B
+_MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
 
@@ -115,28 +125,106 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
 
 
-def _write_dataset(buf: _Buf, value) -> int:
-    dt_body, raw, dims = _dtype_message(value)
-    data_addr = buf.alloc(raw)
+def _space_message(dims: tuple[int, ...]) -> bytes:
     space = struct.pack("<BBB5x", 1, len(dims), 0)
-    space += b"".join(struct.pack("<Q", d) for d in dims)
-    layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
+    return space + b"".join(struct.pack("<Q", d) for d in dims)
+
+
+def _attribute_message(name: str, value) -> bytes:
+    """Version-1 attribute message (spec IV.A.2.m): 8-byte header with
+    the UNPADDED name/datatype/dataspace sizes, each field then padded
+    to 8 bytes, raw data last (not padded)."""
+    dt_body, raw, dims = _dtype_message(value)
+    space = _space_message(dims)
+    nb = name.encode("utf-8") + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt_body), len(space))
+    body += nb.ljust(_pad8(len(nb)), b"\x00")
+    body += dt_body.ljust(_pad8(len(dt_body)), b"\x00")
+    body += space.ljust(_pad8(len(space)), b"\x00")
+    body += raw
+    return _message(_MSG_ATTRIBUTE, body)
+
+
+def _attr_messages(attrs: Mapping[str, object] | None) -> list[bytes]:
+    return [_attribute_message(n, v) for n, v in sorted((attrs or {}).items())]
+
+
+def _chunk_starts(dims: tuple[int, ...], cdims: tuple[int, ...]):
+    """Row-major grid of chunk origin coordinates."""
+    import itertools
+    axes = [range(0, d, c) for d, c in zip(dims, cdims)]
+    return itertools.product(*axes)
+
+
+def _write_chunked(buf: _Buf, arr, cdims: tuple[int, ...]) -> bytes:
+    """Chunked layout: raw full-size chunks (edge chunks zero-padded,
+    libhdf5's uncompressed allocation) indexed by a LEVEL-0 v1 B-tree
+    (node type 1). Returns the layout message body. Multi-level trees
+    are read-side-only (like group B-trees of depth > 1)."""
+    dims = arr.shape
+    nd = len(dims)
+    entries: list[tuple[int, tuple[int, ...], int]] = []
+    full = int(np.prod(cdims)) * 8
+    for start in _chunk_starts(dims, cdims):
+        sl = tuple(slice(s, min(s + c, d))
+                   for s, c, d in zip(start, cdims, dims))
+        chunk = np.zeros(cdims, dtype="<f8")
+        piece = arr[sl]
+        chunk[tuple(slice(0, n) for n in piece.shape)] = piece
+        addr = buf.alloc(chunk.tobytes())
+        entries.append((full, start, addr))
+    # Node: sig/type/level/used + left/right, then used x (key, child)
+    # and one closing key (the dataset-extent upper bound).
+    node = bytearray(b"TREE")
+    node += struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
+    for nbytes, start, addr in entries:
+        node += struct.pack("<II", nbytes, 0)
+        node += struct.pack(f"<{nd + 1}Q", *start, 0)
+        node += struct.pack("<Q", addr)
+    node += struct.pack("<II", 0, 0)
+    node += struct.pack(f"<{nd + 1}Q", *dims, 0)
+    btree_addr = buf.alloc(bytes(node))
+    body = struct.pack("<BBB", 3, 2, nd + 1)
+    body += struct.pack("<Q", btree_addr)
+    body += struct.pack(f"<{nd + 1}I", *cdims, 8)
+    return body
+
+
+def _write_dataset(buf: _Buf, value,
+                   attrs: Mapping[str, object] | None = None,
+                   chunk_shape: tuple[int, ...] | None = None) -> int:
+    dt_body, raw, dims = _dtype_message(value)
+    if chunk_shape is not None:
+        arr = np.asarray(value, dtype="<f8")
+        if arr.ndim != len(chunk_shape) or arr.ndim == 0:
+            raise ValueError(
+                f"chunk shape {chunk_shape} does not match array rank "
+                f"{arr.ndim} (only float arrays can be chunked)")
+        layout = _write_chunked(buf, arr, tuple(chunk_shape))
+    else:
+        data_addr = buf.alloc(raw)
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
     return buf.alloc(_object_header([
-        _message(_MSG_DATASPACE, space),
+        _message(_MSG_DATASPACE, _space_message(dims)),
         _message(_MSG_DATATYPE, dt_body),
         _message(_MSG_LAYOUT, layout),
+        *_attr_messages(attrs),
     ]))
 
 
-def _write_group(buf: _Buf, children: dict) -> tuple[int, int, int]:
+def _write_group(buf: _Buf, children: dict, attrs_map: Mapping,
+                 chunks_map: Mapping, path: str) -> tuple[int, int, int]:
     """-> (object header addr, btree addr, heap addr)."""
     child_addrs: dict[str, int] = {}
     for name in sorted(children):
         node = children[name]
+        cpath = f"{path.rstrip('/')}/{name}"
         if isinstance(node, dict):
-            child_addrs[name], _, _ = _write_group(buf, node)
+            child_addrs[name], _, _ = _write_group(
+                buf, node, attrs_map, chunks_map, cpath)
         else:
-            child_addrs[name] = _write_dataset(buf, node)
+            child_addrs[name] = _write_dataset(
+                buf, node, attrs_map.get(cpath), chunks_map.get(cpath))
 
     # Local heap data: offset 0 is the empty string (B-tree low key);
     # each name 8-aligned, like libhdf5's heap object alignment.
@@ -165,15 +253,26 @@ def _write_group(buf: _Buf, children: dict) -> tuple[int, int, int]:
     header_addr = buf.alloc(_object_header([
         _message(_MSG_SYMBOL_TABLE,
                  struct.pack("<QQ", btree_addr, heap_addr)),
+        *_attr_messages(attrs_map.get(path)),
     ]))
     return header_addr, btree_addr, heap_addr
 
 
-def write_hdf5(path: str, datasets: Mapping[str, object]) -> None:
+def write_hdf5(path: str, datasets: Mapping[str, object],
+               attrs: Mapping[str, Mapping[str, object]] | None = None,
+               chunks: Mapping[str, tuple[int, ...]] | None = None,
+               ) -> None:
     """Write ``{"/group/dataset": value}`` as a classic-format HDF5
     file. Values: float / int / str / bytes scalars, or (nested) lists
-    / numpy arrays of floats. Deterministic: same input -> identical
-    bytes (the golden-fixture test relies on this)."""
+    / numpy arrays of floats. ``attrs`` maps an object path (dataset,
+    group, or "/" for the root) to its attribute dict, e.g.
+    ``{"/entry/sample/beam/flux": {"units": "1/s"}}`` — the NeXus
+    convention the reference reads (src/utilities.py:55-59).
+    ``chunks`` maps a float-array dataset path to its chunk shape,
+    producing a chunked (unfiltered) layout with a v1 chunk B-tree —
+    the detector-stack shape, for exercising the chunked read path.
+    Deterministic: same input -> identical bytes (the golden-fixture
+    test relies on this)."""
     tree: dict = {}
     for full, value in datasets.items():
         parts = [p for p in full.strip("/").split("/") if p]
@@ -186,8 +285,25 @@ def write_hdf5(path: str, datasets: Mapping[str, object]) -> None:
                 raise ValueError(f"{full!r}: {part!r} is already a dataset")
         node[parts[-1]] = value
 
+    attrs_map = {("/" + k.strip("/")) if k.strip("/") else "/": dict(v)
+                 for k, v in (attrs or {}).items()}
+    known = {"/"}
+    for full in datasets:
+        parts = [p for p in full.strip("/").split("/") if p]
+        for i in range(1, len(parts) + 1):
+            known.add("/" + "/".join(parts[:i]))
+    stray = set(attrs_map) - known
+    if stray:
+        raise ValueError(f"attrs reference unknown object(s): {sorted(stray)}")
+    chunks_map = {"/" + k.strip("/"): tuple(v)
+                  for k, v in (chunks or {}).items()}
+    stray = set(chunks_map) - set("/" + k.strip("/") for k in datasets)
+    if stray:
+        raise ValueError(f"chunks reference unknown dataset(s): {sorted(stray)}")
+
     buf = _Buf()
-    root_addr, btree_addr, heap_addr = _write_group(buf, tree)
+    root_addr, btree_addr, heap_addr = _write_group(
+        buf, tree, attrs_map, chunks_map, "/")
     sb = bytearray()
     sb += _SIG
     sb += struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
@@ -207,11 +323,13 @@ def write_hdf5(path: str, datasets: Mapping[str, object]) -> None:
 # ---------------------------------------------------------------------------
 
 class _Dataset:
-    """h5py.Dataset stand-in: ``.shape`` + ``ds[()]``."""
+    """h5py.Dataset stand-in: ``.shape`` + ``ds[()]`` + ``.attrs``."""
 
-    def __init__(self, shape: tuple[int, ...], value) -> None:
+    def __init__(self, shape: tuple[int, ...], value,
+                 attrs: dict | None = None) -> None:
         self.shape = shape
         self._value = value
+        self.attrs = attrs or {}
 
     def __getitem__(self, key):
         if key == () or key is Ellipsis:
@@ -223,10 +341,12 @@ class _Dataset:
 
 
 class _Group(Mapping):
-    """h5py.Group stand-in: mapping of name -> _Group | _Dataset."""
+    """h5py.Group stand-in: mapping of name -> _Group | _Dataset,
+    plus the ``.attrs`` dict."""
 
-    def __init__(self, children: dict) -> None:
+    def __init__(self, children: dict, attrs: dict | None = None) -> None:
         self._children = children
+        self.attrs = attrs or {}
 
     def __getitem__(self, name: str):
         return self._children[name]
@@ -328,7 +448,81 @@ def _parse_datatype(body: bytes):
         f"datatype class {cls} (vlen/compound/etc. out of scope)")
 
 
-def _parse_layout(body: bytes, data: bytes) -> bytes:
+def _walk_chunk_btree(data: bytes, addr: int, nd1: int
+                      ) -> list[tuple[int, int, tuple[int, ...], int]]:
+    """v1 raw-data-chunk B-tree (node type 1), any depth ->
+    [(chunk nbytes, filter mask, offsets incl. element dim, addr)].
+    Key layout per spec: chunk size (4), filter mask (4), ``nd1``
+    8-byte offsets (dataset rank + 1, last always 0); entries_used
+    children each preceded by their key (the closing key is skipped —
+    it is only an upper bound)."""
+    if data[addr:addr + 4] != b"TREE":
+        raise UnsupportedHDF5Feature(f"bad chunk B-tree node at {addr:#x}")
+    ntype, level, used = struct.unpack_from("<BBH", data, addr + 4)
+    if ntype != 1:
+        raise UnsupportedHDF5Feature(
+            f"B-tree node type {ntype} under a chunked layout")
+    out: list[tuple[int, int, tuple[int, ...], int]] = []
+    pos = addr + 24
+    key_size = 8 + 8 * nd1
+    for _ in range(used):
+        nbytes, mask = struct.unpack_from("<II", data, pos)
+        offsets = struct.unpack_from(f"<{nd1}Q", data, pos + 8)
+        child, = struct.unpack_from("<Q", data, pos + key_size)
+        if level > 0:
+            out.extend(_walk_chunk_btree(data, child, nd1))
+        else:
+            out.append((nbytes, mask, offsets, child))
+        pos += key_size + 8
+    return out
+
+
+def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
+                  dtype, esize: int):
+    """Assemble a chunked dataset (v3 class-2 layout, no filters) into
+    one contiguous numpy array: zero-fill (the default fill value),
+    then copy each allocated chunk into place, clipping edge chunks at
+    the dataset bounds."""
+    nd1 = body[2]  # dataset rank + 1 (trailing element-size dimension)
+    baddr, = struct.unpack_from("<Q", body, 3)
+    cdims1 = struct.unpack_from(f"<{nd1}I", body, 11)
+    cdims = cdims1[:-1]
+    if cdims1[-1] != esize:
+        raise UnsupportedHDF5Feature(
+            f"chunk element size {cdims1[-1]} != datatype size {esize}")
+    if len(dims) != nd1 - 1:
+        raise UnsupportedHDF5Feature(
+            f"chunk rank {nd1 - 1} != dataspace rank {len(dims)}")
+    out = np.zeros(dims, dtype=dtype)
+    if baddr == UNDEF:
+        return out  # never-allocated: all fill
+    full = int(np.prod(cdims)) * esize
+    for nbytes, mask, offsets, addr in _walk_chunk_btree(data, baddr, nd1):
+        if mask != 0:
+            raise UnsupportedHDF5Feature(
+                "filtered chunk (nonzero filter mask) — compressed "
+                "files need h5py (the documented hdf5 extra)")
+        if nbytes != full:
+            raise UnsupportedHDF5Feature(
+                f"chunk size {nbytes} != raw {full} bytes — a filter "
+                "pipeline shrank it; compressed files need h5py")
+        chunk = np.frombuffer(
+            data[addr:addr + nbytes], dtype=dtype).reshape(cdims)
+        sl_out, sl_in = [], []
+        for off, c, d in zip(offsets[:-1], cdims, dims):
+            n = min(c, d - off)
+            if n <= 0:
+                break
+            sl_out.append(slice(off, off + n))
+            sl_in.append(slice(0, n))
+        else:
+            out[tuple(sl_out)] = chunk[tuple(sl_in)]
+    return out
+
+
+def _parse_layout(body: bytes, data: bytes) -> bytes | None:
+    """Contiguous/compact raw bytes, or None for chunked (class 2 —
+    the caller assembles via :func:`_read_chunked`)."""
     ver = body[0]
     if ver != 3:
         raise UnsupportedHDF5Feature(
@@ -342,14 +536,47 @@ def _parse_layout(body: bytes, data: bytes) -> bytes:
         if addr == UNDEF:
             return b""   # never-allocated dataset: fill-value zeros
         return bytes(data[addr:addr + size])
+    if lclass == 2:      # chunked: assembled by the caller
+        return None
     raise UnsupportedHDF5Feature(
-        "chunked/virtual layout not supported (this module reads the "
-        "contiguous metadata files the MOUSE pipeline produces)")
+        "virtual layout not supported (this module reads the "
+        "contiguous/chunked-unfiltered files the MOUSE pipeline "
+        "produces; anything fancier needs h5py)")
+
+
+def _parse_attribute(body: bytes) -> tuple[str, object]:
+    """Version-1 attribute message -> (name, value). Fixed ASCII
+    strings come back as ``bytes`` (h5py's behavior for this datatype,
+    which the reference's ``units.decode('utf-8')`` relies on)."""
+    ver = body[0]
+    if ver != 1:
+        raise UnsupportedHDF5Feature(
+            f"attribute message version {ver} (only v1 supported)")
+    name_sz, dt_sz, sp_sz = struct.unpack_from("<HHH", body, 2)
+    pos = 8
+    name = body[pos:pos + name_sz].split(b"\x00", 1)[0].decode("utf-8")
+    pos += _pad8(name_sz)
+    dt_body = body[pos:pos + dt_sz]
+    pos += _pad8(dt_sz)
+    sp_body = body[pos:pos + sp_sz]
+    pos += _pad8(sp_sz)
+    dims = _parse_dataspace(sp_body)
+    dtype, esize = _parse_datatype(dt_body)
+    n = int(np.prod(dims)) if dims else 1
+    raw = body[pos:pos + n * esize]
+    if dtype == "str":
+        if dims:
+            raise UnsupportedHDF5Feature("string-array attributes")
+        return name, raw[:esize].rstrip(b"\x00")
+    arr = np.frombuffer(raw, dtype=dtype, count=n)
+    return name, (arr.reshape(dims) if dims else arr[0])
 
 
 def _load_object(data: bytes, addr: int):
     msgs = _parse_messages(data, addr)
     types = {t for t, _ in msgs}
+    attrs = dict(_parse_attribute(b) for t, b in msgs
+                 if t == _MSG_ATTRIBUTE)
     if _MSG_SYMBOL_TABLE in types:
         body = next(b for t, b in msgs if t == _MSG_SYMBOL_TABLE)
         btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
@@ -363,7 +590,7 @@ def _load_object(data: bytes, addr: int):
                 name_off, hdr = struct.unpack_from("<QQ", data, off)
                 name = _read_heap_name(data, heap_addr, name_off)
                 children[name] = _load_object(data, hdr)
-        return _Group(children)
+        return _Group(children, attrs)
 
     space = next((b for t, b in msgs if t == _MSG_DATASPACE), None)
     dtype_b = next((b for t, b in msgs if t == _MSG_DATATYPE), None)
@@ -372,9 +599,18 @@ def _load_object(data: bytes, addr: int):
         raise UnsupportedHDF5Feature(
             f"object at {addr:#x} is neither a symbol-table group nor a "
             "plain dataset")
+    if _MSG_FILTER_PIPELINE in types:
+        raise UnsupportedHDF5Feature(
+            "filter pipeline (gzip/shuffle/...) — compressed files "
+            "need h5py (the documented hdf5 extra)")
     dims = _parse_dataspace(space)
     dtype, esize = _parse_datatype(dtype_b)
     raw = _parse_layout(layout_b, data)
+    if raw is None:  # chunked layout: assemble from the chunk B-tree
+        if dtype == "str" or not dims:
+            raise UnsupportedHDF5Feature("chunked non-array dataset")
+        return _Dataset(dims, _read_chunked(layout_b, data, dims,
+                                            dtype, esize), attrs)
     n = int(np.prod(dims)) if dims else 1
     if not raw:
         raw = b"\x00" * (n * esize)
@@ -385,7 +621,7 @@ def _load_object(data: bytes, addr: int):
     else:
         arr = np.frombuffer(raw, dtype=dtype, count=n)
         value = arr.reshape(dims) if dims else arr[0]
-    return _Dataset(dims, value)
+    return _Dataset(dims, value, attrs)
 
 
 class MiniH5File(Mapping):
@@ -410,10 +646,16 @@ class MiniH5File(Mapping):
         self._root = _load_object(data, root_hdr)
         self.filename = path
 
+    @property
+    def attrs(self) -> dict:
+        """Root-group attributes (h5py.File.attrs parity)."""
+        return self._root.attrs
+
     def __getitem__(self, name: str):
         node = self._root
         for part in name.strip("/").split("/"):
-            node = node[part]
+            if part:  # "/" resolves to the root group, like h5py
+                node = node[part]
         return node
 
     def __iter__(self):

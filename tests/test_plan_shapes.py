@@ -735,11 +735,13 @@ def test_vocab_topk_is_distributed_take_ordered(spark):
                  "t37_textrank_keywords"):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, (name, plan)
-        # The one remaining global window runs on the <= top-k rows
-        # downstream of the take-ordered node: in the bottom-up plan
-        # string the Window line must appear ABOVE (i.e. at a smaller
-        # offset than) the TakeOrderedAndProject it consumes.
-        w_at = plan.find("Window ")
+        # EVERY global window must run on the <= top-k rows downstream
+        # of a take-ordered node: in the bottom-up plan string the LAST
+        # Window occurrence must still appear ABOVE (smaller offset
+        # than) the first TakeOrderedAndProject — a compliant window
+        # above the limit plus a second global window below it would
+        # fool a first-occurrence check (ADVICE r07).
+        w_at = plan.rfind("Window ")
         t_at = plan.find("TakeOrderedAndProject")
         if w_at != -1:
             assert w_at < t_at, (name, plan)

@@ -154,6 +154,81 @@ def test_blocked_pairs_max_block_guard(spark):
                            max_block=None).count() == 28
 
 
+def _toy_cells(spark, n=12):
+    """n vectors all nearest to centroid 0, plus a 2-cell codebook."""
+    from pyspark.sql import functions as F
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"))
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "label long, c array<double>")
+    return vecs, cent
+
+
+def test_assign_cells_hot_cell_guard(spark):
+    """The in-plan hot-cell budget: identity under budget, loud
+    execution-time raise naming the cell and its size when a quantizer
+    collapse concentrates more than max_cell vectors in one cell —
+    blocked_pairs' max_block contract, one rung up (VERDICT r07)."""
+    import pytest
+    vecs, cent = _toy_cells(spark, 12)
+    # all 12 vectors argmax into cell 0: under budget -> identity
+    ok = S.assign_cells(vecs, cent, max_cell=12)
+    assert ok.count() == 12
+    assert {r["cell"] for r in ok.collect()} == {0}
+    # over budget: loud raise naming budget + cell + size
+    with pytest.raises(Exception) as ei:
+        S.assign_cells(vecs, cent, max_cell=11).count()
+    msg = str(ei.value)
+    assert "max_cell=11" in msg and "size=12" in msg
+    # opt-out restores the unguarded contract
+    assert S.assign_cells(vecs, cent, max_cell=None).count() == 12
+
+
+def test_cell_ranks_guard_counts_membership_not_probe_rows(spark):
+    """cell_ranks' guard must budget true cell MEMBERSHIP (crn == 1),
+    not probe-list fan-out: 12 vectors x 2 probed cells is 24 ranked
+    rows but only 12 members in the hot cell."""
+    import pytest
+    vecs, cent = _toy_cells(spark, 12)
+    ranked = S.cell_ranks(vecs, cent, max_rank=2, max_cell=12)
+    assert ranked.count() == 24  # probe rows exceed the budget: fine
+    with pytest.raises(Exception) as ei:
+        S.cell_ranks(vecs, cent, max_rank=2, max_cell=11).count()
+    assert "max_cell=11" in str(ei.value)
+
+
+def test_sqrtn_kmeans_centroids_shape_and_determinism(spark):
+    """k ~ sqrt(N) codebook: cell count is bounded by the seed count
+    ceil(N/step), every cell id is a seed vec_id (divisible by the
+    stride), arrays are dim-length, and the result is deterministic
+    (no randomness anywhere in the Lloyd round)."""
+    import math
+    from pyspark.sql import functions as F
+    n = 40
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float")
+                  for i in range(3)]).alias("embedding"),
+        F.lit(0).alias("label"))
+    cent = S.sqrtn_kmeans_centroids(e)
+    rows = cent.collect()
+    k = math.ceil(math.sqrt(n))  # 7
+    step = (n - 1 + 1) // k      # 5
+    seed_ids = set(range(0, n, step))
+    got = {r["label"] for r in rows}
+    assert got <= seed_ids and len(got) >= 1
+    assert all(len(r["c"]) == 3 for r in rows)
+    again = {r["label"]: r["c"] for r in cent.collect()}
+    assert {r["label"]: r["c"] for r in rows} == again
+    # assign_cells consumes the codebook unchanged: total assignment
+    assert S.assign_cells(
+        e.select("vec_id", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("v")),
+        cent).count() == n
+
+
 def test_hashed_shingle_docs_matches_string_path(spark):
     """The hash-at-position scan (one evaluation, no string arrays)
     must equal hashing the string shingle set: same distinct hash
