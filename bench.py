@@ -144,15 +144,15 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    # The committed round-over-round reference is an sf0.1 MIN-OF-3
-    # artifact; neither a local iteration run at another SF nor a
-    # driver/CI single-or-double-shot run may clobber it (it would
-    # also poison the retry guard above for the next real run, and it
-    # left the worktree dirty two rounds running — VERDICT r07 #2).
-    # Non-min-of-3 sf0.1 runs land in the BENCH_FULL_driver.json
-    # sidecar; the committed reference only updates under the explicit
-    # SPARK_GRAFT_BENCH_TRIALS=3 path.
-    ref_name = (ref_basename if sf != 0.1 or trials >= 3
+    # The committed references (BENCH_FULL_local.json for sf0.1 and
+    # the per-SF sidecars like BENCH_FULL_sf0.01.json) are MIN-OF-3
+    # artifacts; a driver/CI single-or-double-shot run must never
+    # clobber one (it would poison the retry guard above for the next
+    # real run, and it left the worktree dirty two rounds running —
+    # VERDICT r07 #2). Non-min-of-3 runs at ANY SF land in the
+    # gitignored BENCH_FULL_driver.json; tracked references only
+    # update under the explicit SPARK_GRAFT_BENCH_TRIALS>=3 path.
+    ref_name = (ref_basename if trials >= 3
                 else "BENCH_FULL_driver.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
