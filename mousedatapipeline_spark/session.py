@@ -44,9 +44,12 @@ def get_spark(app_name: str = "mousedatapipeline_spark",
     pass ``ansi=True``; the two sites where silent BIGINT wrap could
     otherwise corrupt results are guarded in-plan either way
     (packed_occurrence_key's raise_error, operators/text.py; the
-    blocked_pairs max_block raise, operators/similarity.py).  Note the
-    flag only applies to the session this call CREATES — Spark ignores
-    config on getOrCreate reuse.
+    blocked_pairs max_block raise, operators/similarity.py).
+    ``spark.sql.ansi.enabled`` is RUNTIME-SETTABLE: getOrCreate reuse
+    applies it from the builder (Spark 4 behavior) AND this function
+    pins it explicitly after getOrCreate, so a reused session honors
+    the caller's ``ansi`` too (static confs like driver memory remain
+    reuse-inert).
     """
     n = shuffle_partitions or default_parallelism()
     builder = (
@@ -66,5 +69,12 @@ def get_spark(app_name: str = "mousedatapipeline_spark",
         mem_gb = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB", "48")
         builder = builder.config("spark.driver.memory", f"{mem_gb}g")
     spark = builder.getOrCreate()
+    # Belt-and-suspenders for the reuse path: Spark 4's getOrCreate
+    # already applies runtime-settable SQL confs from the builder to a
+    # reused session (only STATIC confs like driver memory are
+    # reuse-inert), but the ansi contract is load-bearing for oracle
+    # parity, so pin it explicitly rather than rely on that behavior
+    # (VERDICT r07 residual #3).
+    spark.conf.set("spark.sql.ansi.enabled", "true" if ansi else "false")
     spark.sparkContext.setLogLevel("WARN")
     return spark

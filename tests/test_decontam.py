@@ -368,9 +368,9 @@ def test_guards_still_raise_loudly_under_ansi(spark):
 
 
 def test_get_spark_ansi_parameter_sets_builder_config():
-    """get_spark(ansi=...) must translate to the session config when a
-    session is CREATED (on reuse Spark ignores builder config — the
-    docstring warns about this); assert against the active session's
+    """get_spark(ansi=...) must land in the session config on CREATE
+    and on REUSE (runtime-settable; since r08 get_spark also pins it
+    explicitly after getOrCreate); assert against the active session's
     conf, which this suite created with the default ansi=False."""
     from mousedatapipeline_spark.session import get_spark
 

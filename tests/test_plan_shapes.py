@@ -747,6 +747,47 @@ def test_vocab_topk_is_distributed_take_ordered(spark):
             assert w_at < t_at, (name, plan)
 
 
+def test_ivf_hot_cell_guard_in_plan_and_wired(spark):
+    """Two-layer regression guard for the hot-cell budget:
+
+    (a) plan layer — assign_cells' optimized plan carries the
+    raise_error inside the broadcast build side's JOIN KEY (the
+    prune-proof placement: a projected guard column was silently
+    dropped by a bare count() — caught by the behavior test — so the
+    key placement is what must survive refactors);
+
+    (b) wiring layer — every IVF consumer still routes its assignment
+    through assign_cells/cell_ranks WITHOUT opting out (consumers
+    eagerly checkpoint the guarded frame, which truncates their final
+    plans to a LogicalRDD — the guard executes at checkpoint
+    materialization, so the plan string can't witness it there)."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from mousedatapipeline_spark.operators import similarity as S
+    vecs = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"))
+    cent = spark.createDataFrame([(0, [1.0, 0.0])],
+                                 "label long, c array<double>")
+    plan = S.assign_cells(vecs, cent)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "raise_error" in plan
+    assert "max_cell=" in plan
+    rplan = S.cell_ranks(vecs, cent, 1)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "raise_error" in rplan
+
+    from mousedatapipeline_spark.plans import similarity_queries as sq
+    for fn in (sq.s08_ann_ivf, sq.s35_hard_negatives,
+               sq.s37_ivf_probe_sweep, sq.s38_knn_graph_stats,
+               sq.s39_ivf_pq_index_build):
+        src = inspect.getsource(fn)
+        assert ("assign_cells(" in src or "cell_ranks(" in src), fn
+        assert "max_cell=None" not in src, fn
+
+
 def test_symmetrize_edges_is_single_pass(spark):
     """Both directions of an undirected edge list must come from ONE
     pass over the pair subtree — a Union above an expensive pair
