@@ -104,9 +104,11 @@ def main() -> None:
     # COMMITTED reference time (the previous BENCH_FULL_local.json),
     # take one extra trial before believing the number — regressions
     # that survive are then attributable to plans, not load.
-    # Read the same file this run would write (sf0.1 uses the committed
-    # round-over-round reference; other SFs their own sidecar), so a
-    # repeat run at e.g. sf0.01 also gets the retry pass (ADVICE r06).
+    # Read the TRACKED min-of-3 reference for this SF (sf0.1 the
+    # committed round-over-round file; other SFs their sidecar) — note
+    # this deliberately differs from what a non-min-of-3 run WRITES
+    # (the gitignored driver sidecar, below): the retry guard must
+    # compare against the clean reference, never a prior noisy run.
     ref_basename = ("BENCH_FULL_local.json" if sf == 0.1
                     else f"BENCH_FULL_sf{sf}.json")
     ref: dict[str, float] = {}

@@ -621,11 +621,13 @@ def sqrtn_kmeans_centroids(e: DataFrame,
       vec_id is divisible by step = max(1, (max_id + 1) // k) — an
       even stride over the id domain, a pure scan-stage filter (no
       global ranking window);
-    - one Lloyd round: argmin-L2 assignment to the seed vectors
-      (per-term decimal-rounded squared distances, exactly the s36/s10
-      fold; ties (rounded dist ASC, cell ASC)), then exact per-(cell,
-      dim) decimal-mean re-estimation. Cells that win no vectors drop
-      out in the re-estimation GROUP BY — identically in both engines;
+    - one Lloyd round: argmin-L2 assignment to the seed vectors (IEEE
+      double fold + stable_round, the s10 _km_assign precedent — the
+      distances only feed the argmin ordering, never a downstream sum,
+      and the per-term decimal fold measured ~2x the whole query; ties
+      (rounded dist ASC, cell ASC)), then exact per-(cell, dim)
+      decimal-mean re-estimation. Cells that win no vectors drop out
+      in the re-estimation GROUP BY — identically in both engines;
     - output shape matches :func:`train_label_centroids` (label, c),
       so :func:`assign_cells` consumes it unchanged (final assignment
       is its argmax-dot with the same tie-break).
@@ -647,6 +649,12 @@ def sqrtn_kmeans_centroids(e: DataFrame,
     import math
     nm = e.agg(F.count(F.lit(1)).alias("n"),
                F.max("vec_id").alias("mx")).first()
+    if not nm["n"]:
+        # Empty corpus -> empty codebook, matching the SQL twin (its
+        # seeds CTE is empty when the NULL max propagates), instead of
+        # an opaque TypeError on the NULL max / k=0 division.
+        return e.sparkSession.createDataFrame(
+            [], "label bigint, c array<double>")
     k = int(math.ceil(math.sqrt(float(nm["n"]))))
     step = max(1, (int(nm["mx"]) + 1) // k)
     seeds = vecs.filter((F.col("vec_id") % step) == 0).select(

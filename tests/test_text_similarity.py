@@ -227,6 +227,11 @@ def test_sqrtn_kmeans_centroids_shape_and_determinism(spark):
         e.select("vec_id", F.transform(
             "embedding", lambda x: x.cast("double")).alias("v")),
         cent).count() == n
+    # empty corpus -> empty codebook (not a NULL-max TypeError), the
+    # SQL twin's behavior when the NULL max empties the seeds CTE
+    empty = S.sqrtn_kmeans_centroids(e.filter(F.col("vec_id") < 0))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["label", "c"]
 
 
 def test_hashed_shingle_docs_matches_string_path(spark):
