@@ -305,9 +305,10 @@ _STALE_PROOF = frozenset({
     # locally at sf0.01 the day of the change.
     "t12_vocab_coverage",
     # Round-8 minihdf5 widening (VERDICT r07 #6/#7): attribute
-    # messages (units read + flatten_tree unit cross-check) and
-    # chunked-unfiltered datasets. m13's fixture behavior is
-    # byte-identical (no attrs, contiguous), but its ingest modules
+    # messages (units read + flatten_tree unit cross-check), chunked
+    # datasets (v1 chunk B-tree), and the two libhdf5 builtin filters
+    # (deflate via stdlib zlib + byte-shuffle). m13's fixture behavior
+    # is byte-identical (no attrs, contiguous), but its ingest modules
     # changed, so its r07 proof re-earns a row (re-verified locally
     # at sf0.01 the day of the change).
     "m13_nexus_ingest_merge",

@@ -17,10 +17,13 @@ small arrays and strings, never chunked/compressed stacks):
 * groups: v1 B-tree (node type 0) + local heap + SNOD symbol tables
 * datasets: contiguous layout (v3 message), datatypes float64 / int64 /
   fixed ASCII string; compact layout is read but never written
-* chunked layout WITHOUT filters (v3 class-2 message + v1 chunk B-tree,
-  node type 1, any depth) — a real uncompressed ``eiger_*_master.h5``
-  detector stack opens without h5py; a filter pipeline (gzip etc.)
-  still raises, that subset genuinely needs ``pip install h5py``
+* chunked layout (v3 class-2 message + v1 chunk B-tree, node type 1,
+  any depth), plain or filtered with libhdf5's two BUILTIN default
+  filters — deflate/gzip (id 1, stdlib zlib) and byte-shuffle (id 2, a
+  numpy transpose) — so a real gzip(+shuffle)-compressed
+  ``eiger_*_master.h5`` detector stack opens without h5py; exotic
+  filters (bitshuffle/LZ4/zstd/fletcher32 plugins) still raise toward
+  the ``pip install h5py`` extra
 * attributes: version-1 attribute messages (type 0x000C) on datasets
   and groups — the ``units`` metadata the reference reads via
   ``h5f[path].attrs.get('units', ...)`` (src/utilities.py:55-59);
@@ -149,6 +152,107 @@ def _attr_messages(attrs: Mapping[str, object] | None) -> list[bytes]:
     return [_attribute_message(n, v) for n, v in sorted((attrs or {}).items())]
 
 
+# Filter ids from the spec's reserved registry (the two libhdf5
+# builtins this module speaks; everything else -> h5py).
+_FILTER_DEFLATE = 1
+_FILTER_SHUFFLE = 2
+
+
+def _byte_shuffle(raw: bytes, esize: int) -> bytes:
+    """HDF5 shuffle filter: regroup element bytes by byte position
+    (all 0th bytes, then all 1st bytes, ...) so same-significance
+    bytes sit together and deflate sees long runs."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    return arr.reshape(-1, esize).T.tobytes()
+
+
+def _byte_unshuffle(raw: bytes, esize: int) -> bytes:
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    return arr.reshape(esize, -1).T.tobytes()
+
+
+def _encode_chunk(raw: bytes, filters, esize: int) -> bytes:
+    """Apply the pipeline in order (write direction)."""
+    import zlib
+    for fid, cvals in filters:
+        if fid == _FILTER_SHUFFLE:
+            raw = _byte_shuffle(raw, esize)
+        elif fid == _FILTER_DEFLATE:
+            raw = zlib.compress(raw, cvals[0] if cvals else 6)
+        else:  # writer only ever emits the two above
+            raise ValueError(f"unsupported write filter id {fid}")
+    return raw
+
+
+def _decode_chunk(raw: bytes, filters, esize: int, mask: int) -> bytes:
+    """Invert the pipeline (read direction: reverse order; a set bit i
+    in the chunk's filter mask means filter i was SKIPPED for it)."""
+    import zlib
+    for i in range(len(filters) - 1, -1, -1):
+        if mask & (1 << i):
+            continue
+        fid, _cvals = filters[i]
+        if fid == _FILTER_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == _FILTER_SHUFFLE:
+            raw = _byte_unshuffle(raw, esize)
+        else:
+            raise UnsupportedHDF5Feature(
+                f"filter id {fid} (only deflate/shuffle, the libhdf5 "
+                "builtins, are supported — bitshuffle/LZ4/zstd/"
+                "fletcher32 need h5py, the documented hdf5 extra)")
+    return raw
+
+
+_FILTER_NAMES = {_FILTER_DEFLATE: b"deflate\x00",
+                 _FILTER_SHUFFLE: b"shuffle\x00"}
+
+
+def _filter_pipeline_message(filters) -> bytes:
+    """Version-1 filter pipeline message, libhdf5-shaped (names stored
+    for every filter, client data padded to 8 with a 4-byte pad when
+    the value count is odd)."""
+    body = struct.pack("<BB6x", 1, len(filters))
+    for fid, cvals in filters:
+        name = _FILTER_NAMES[fid]
+        body += struct.pack("<HHHH", fid, len(name), 0, len(cvals))
+        body += name
+        body += b"".join(struct.pack("<I", v) for v in cvals)
+        if len(cvals) % 2:
+            body += b"\x00\x00\x00\x00"
+    return body
+
+
+def _parse_filter_pipeline(body: bytes):
+    """-> [(filter id, client values)] in pipeline (write) order.
+    Versions 1 (names + padding) and 2 (no names for ids < 256, no
+    padding) per the spec."""
+    ver = body[0]
+    nf = body[1]
+    if ver == 1:
+        pos = 8
+    elif ver == 2:
+        pos = 2
+    else:
+        raise UnsupportedHDF5Feature(f"filter pipeline version {ver}")
+    out = []
+    for _ in range(nf):
+        fid, = struct.unpack_from("<H", body, pos)
+        pos += 2
+        namelen = 0
+        if ver == 1 or fid >= 256:
+            namelen, = struct.unpack_from("<H", body, pos)
+            pos += 2
+        flags, ncv = struct.unpack_from("<HH", body, pos)
+        pos += 4 + namelen
+        cvals = struct.unpack_from(f"<{ncv}I", body, pos) if ncv else ()
+        pos += 4 * ncv
+        if ver == 1 and ncv % 2:
+            pos += 4
+        out.append((fid, tuple(cvals)))
+    return out
+
+
 def _chunk_starts(dims: tuple[int, ...], cdims: tuple[int, ...]):
     """Row-major grid of chunk origin coordinates."""
     import itertools
@@ -156,23 +260,26 @@ def _chunk_starts(dims: tuple[int, ...], cdims: tuple[int, ...]):
     return itertools.product(*axes)
 
 
-def _write_chunked(buf: _Buf, arr, cdims: tuple[int, ...]) -> bytes:
-    """Chunked layout: raw full-size chunks (edge chunks zero-padded,
-    libhdf5's uncompressed allocation) indexed by a LEVEL-0 v1 B-tree
-    (node type 1). Returns the layout message body. Multi-level trees
-    are read-side-only (like group B-trees of depth > 1)."""
+def _write_chunked(buf: _Buf, arr, cdims: tuple[int, ...],
+                   filters=()) -> bytes:
+    """Chunked layout: full-size chunks (edge chunks zero-padded,
+    libhdf5's allocation), each passed through the write-order filter
+    pipeline, indexed by a LEVEL-0 v1 B-tree (node type 1) whose keys
+    carry the STORED (post-filter) byte size. Returns the layout
+    message body. Multi-level trees are read-side-only (like group
+    B-trees of depth > 1)."""
     dims = arr.shape
     nd = len(dims)
     entries: list[tuple[int, tuple[int, ...], int]] = []
-    full = int(np.prod(cdims)) * 8
     for start in _chunk_starts(dims, cdims):
         sl = tuple(slice(s, min(s + c, d))
                    for s, c, d in zip(start, cdims, dims))
         chunk = np.zeros(cdims, dtype="<f8")
         piece = arr[sl]
         chunk[tuple(slice(0, n) for n in piece.shape)] = piece
-        addr = buf.alloc(chunk.tobytes())
-        entries.append((full, start, addr))
+        stored = _encode_chunk(chunk.tobytes(), filters, 8)
+        addr = buf.alloc(stored)
+        entries.append((len(stored), start, addr))
     # Node: sig/type/level/used + left/right, then used x (key, child)
     # and one closing key (the dataset-extent upper bound).
     node = bytearray(b"TREE")
@@ -192,15 +299,23 @@ def _write_chunked(buf: _Buf, arr, cdims: tuple[int, ...]) -> bytes:
 
 def _write_dataset(buf: _Buf, value,
                    attrs: Mapping[str, object] | None = None,
-                   chunk_shape: tuple[int, ...] | None = None) -> int:
+                   chunk_shape: tuple[int, ...] | None = None,
+                   filters=()) -> int:
     dt_body, raw, dims = _dtype_message(value)
+    msgs = []
     if chunk_shape is not None:
         arr = np.asarray(value, dtype="<f8")
         if arr.ndim != len(chunk_shape) or arr.ndim == 0:
             raise ValueError(
                 f"chunk shape {chunk_shape} does not match array rank "
                 f"{arr.ndim} (only float arrays can be chunked)")
-        layout = _write_chunked(buf, arr, tuple(chunk_shape))
+        layout = _write_chunked(buf, arr, tuple(chunk_shape), filters)
+        if filters:
+            msgs.append(_message(_MSG_FILTER_PIPELINE,
+                                 _filter_pipeline_message(filters)))
+    elif filters:
+        raise ValueError("filters require a chunked layout (pass the "
+                         "dataset in chunks= too, the HDF5 rule)")
     else:
         data_addr = buf.alloc(raw)
         layout = struct.pack("<BBQQ", 3, 1, data_addr, len(raw))
@@ -208,12 +323,14 @@ def _write_dataset(buf: _Buf, value,
         _message(_MSG_DATASPACE, _space_message(dims)),
         _message(_MSG_DATATYPE, dt_body),
         _message(_MSG_LAYOUT, layout),
+        *msgs,
         *_attr_messages(attrs),
     ]))
 
 
 def _write_group(buf: _Buf, children: dict, attrs_map: Mapping,
-                 chunks_map: Mapping, path: str) -> tuple[int, int, int]:
+                 chunks_map: Mapping, filters_map: Mapping,
+                 path: str) -> tuple[int, int, int]:
     """-> (object header addr, btree addr, heap addr)."""
     child_addrs: dict[str, int] = {}
     for name in sorted(children):
@@ -221,10 +338,11 @@ def _write_group(buf: _Buf, children: dict, attrs_map: Mapping,
         cpath = f"{path.rstrip('/')}/{name}"
         if isinstance(node, dict):
             child_addrs[name], _, _ = _write_group(
-                buf, node, attrs_map, chunks_map, cpath)
+                buf, node, attrs_map, chunks_map, filters_map, cpath)
         else:
             child_addrs[name] = _write_dataset(
-                buf, node, attrs_map.get(cpath), chunks_map.get(cpath))
+                buf, node, attrs_map.get(cpath), chunks_map.get(cpath),
+                filters_map.get(cpath, ()))
 
     # Local heap data: offset 0 is the empty string (B-tree low key);
     # each name 8-aligned, like libhdf5's heap object alignment.
@@ -261,6 +379,7 @@ def _write_group(buf: _Buf, children: dict, attrs_map: Mapping,
 def write_hdf5(path: str, datasets: Mapping[str, object],
                attrs: Mapping[str, Mapping[str, object]] | None = None,
                chunks: Mapping[str, tuple[int, ...]] | None = None,
+               compress: Mapping[str, str] | None = None,
                ) -> None:
     """Write ``{"/group/dataset": value}`` as a classic-format HDF5
     file. Values: float / int / str / bytes scalars, or (nested) lists
@@ -269,10 +388,14 @@ def write_hdf5(path: str, datasets: Mapping[str, object],
     ``{"/entry/sample/beam/flux": {"units": "1/s"}}`` — the NeXus
     convention the reference reads (src/utilities.py:55-59).
     ``chunks`` maps a float-array dataset path to its chunk shape,
-    producing a chunked (unfiltered) layout with a v1 chunk B-tree —
-    the detector-stack shape, for exercising the chunked read path.
+    producing a chunked layout with a v1 chunk B-tree — the
+    detector-stack shape. ``compress`` additionally names a filter
+    pipeline for a chunked path: ``"gzip"`` or ``"shuffle+gzip"``
+    (libhdf5's builtin pair, applied shuffle-then-deflate like
+    h5py's ``shuffle=True, compression='gzip'``).
     Deterministic: same input -> identical bytes (the golden-fixture
-    test relies on this)."""
+    test relies on this; note zlib output is only pinned within one
+    zlib build, so byte-pinned fixtures stay uncompressed)."""
     tree: dict = {}
     for full, value in datasets.items():
         parts = [p for p in full.strip("/").split("/") if p]
@@ -297,13 +420,31 @@ def write_hdf5(path: str, datasets: Mapping[str, object],
         raise ValueError(f"attrs reference unknown object(s): {sorted(stray)}")
     chunks_map = {"/" + k.strip("/"): tuple(v)
                   for k, v in (chunks or {}).items()}
-    stray = set(chunks_map) - set("/" + k.strip("/") for k in datasets)
+    ds_paths = set("/" + k.strip("/") for k in datasets)
+    stray = set(chunks_map) - ds_paths
     if stray:
         raise ValueError(f"chunks reference unknown dataset(s): {sorted(stray)}")
+    _PIPES = {"gzip": ((_FILTER_DEFLATE, (6,)),),
+              "shuffle+gzip": ((_FILTER_SHUFFLE, (8,)),
+                               (_FILTER_DEFLATE, (6,))),
+              "shuffle": ((_FILTER_SHUFFLE, (8,)),)}
+    filters_map = {}
+    for k, v in (compress or {}).items():
+        kk = "/" + k.strip("/")
+        if kk not in ds_paths:
+            raise ValueError(f"compress references unknown dataset {k!r}")
+        if kk not in chunks_map:
+            raise ValueError(
+                f"compress={v!r} on {k!r} requires chunks= for it too "
+                "(HDF5 filters apply to chunked layouts only)")
+        if v not in _PIPES:
+            raise ValueError(f"unknown compress spec {v!r} "
+                             f"(one of {sorted(_PIPES)})")
+        filters_map[kk] = _PIPES[v]
 
     buf = _Buf()
     root_addr, btree_addr, heap_addr = _write_group(
-        buf, tree, attrs_map, chunks_map, "/")
+        buf, tree, attrs_map, chunks_map, filters_map, "/")
     sb = bytearray()
     sb += _SIG
     sb += struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
@@ -478,11 +619,12 @@ def _walk_chunk_btree(data: bytes, addr: int, nd1: int
 
 
 def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
-                  dtype, esize: int):
-    """Assemble a chunked dataset (v3 class-2 layout, no filters) into
-    one contiguous numpy array: zero-fill (the default fill value),
-    then copy each allocated chunk into place, clipping edge chunks at
-    the dataset bounds."""
+                  dtype, esize: int, filters=()):
+    """Assemble a chunked dataset (v3 class-2 layout) into one
+    contiguous numpy array: zero-fill (the default fill value), then
+    decode each allocated chunk through the inverse filter pipeline
+    and copy it into place, clipping edge chunks at the dataset
+    bounds."""
     nd1 = body[2]  # dataset rank + 1 (trailing element-size dimension)
     baddr, = struct.unpack_from("<Q", body, 3)
     cdims1 = struct.unpack_from(f"<{nd1}I", body, 11)
@@ -498,16 +640,17 @@ def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
         return out  # never-allocated: all fill
     full = int(np.prod(cdims)) * esize
     for nbytes, mask, offsets, addr in _walk_chunk_btree(data, baddr, nd1):
-        if mask != 0:
+        if mask != 0 and not filters:
             raise UnsupportedHDF5Feature(
-                "filtered chunk (nonzero filter mask) — compressed "
-                "files need h5py (the documented hdf5 extra)")
-        if nbytes != full:
+                "nonzero filter mask on an unfiltered dataset")
+        raw = _decode_chunk(bytes(data[addr:addr + nbytes]),
+                            filters, esize, mask)
+        if len(raw) != full:
             raise UnsupportedHDF5Feature(
-                f"chunk size {nbytes} != raw {full} bytes — a filter "
-                "pipeline shrank it; compressed files need h5py")
-        chunk = np.frombuffer(
-            data[addr:addr + nbytes], dtype=dtype).reshape(cdims)
+                f"decoded chunk is {len(raw)} bytes, expected {full} "
+                "— an unrecognized filter shrank it; such files need "
+                "h5py (the documented hdf5 extra)")
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(cdims)
         sl_out, sl_in = [], []
         for off, c, d in zip(offsets[:-1], cdims, dims):
             n = min(c, d - off)
@@ -599,10 +742,17 @@ def _load_object(data: bytes, addr: int):
         raise UnsupportedHDF5Feature(
             f"object at {addr:#x} is neither a symbol-table group nor a "
             "plain dataset")
-    if _MSG_FILTER_PIPELINE in types:
-        raise UnsupportedHDF5Feature(
-            "filter pipeline (gzip/shuffle/...) — compressed files "
-            "need h5py (the documented hdf5 extra)")
+    filters = ()
+    pipe = next((b for t, b in msgs if t == _MSG_FILTER_PIPELINE), None)
+    if pipe is not None:
+        filters = _parse_filter_pipeline(pipe)
+        known = {_FILTER_DEFLATE, _FILTER_SHUFFLE}
+        bad = [fid for fid, _ in filters if fid not in known]
+        if bad:
+            raise UnsupportedHDF5Feature(
+                f"filter id(s) {bad} (only deflate/shuffle, the "
+                "libhdf5 builtins, are supported — bitshuffle/LZ4/"
+                "zstd/fletcher32 need h5py, the documented hdf5 extra)")
     dims = _parse_dataspace(space)
     dtype, esize = _parse_datatype(dtype_b)
     raw = _parse_layout(layout_b, data)
@@ -610,7 +760,11 @@ def _load_object(data: bytes, addr: int):
         if dtype == "str" or not dims:
             raise UnsupportedHDF5Feature("chunked non-array dataset")
         return _Dataset(dims, _read_chunked(layout_b, data, dims,
-                                            dtype, esize), attrs)
+                                            dtype, esize, filters),
+                        attrs)
+    if filters:
+        raise UnsupportedHDF5Feature(
+            "filter pipeline on a non-chunked layout (malformed file)")
     n = int(np.prod(dims)) if dims else 1
     if not raw:
         raw = b"\x00" * (n * esize)
