@@ -286,35 +286,147 @@ def ahash_band(hash_col: F.Column, b: int) -> F.Column:
     return F.shiftrightunsigned(hash_col, 16 * b).bitwiseAND(F.lit(0xFFFF))
 
 
-def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _distinct_hash_pairs(dh: DataFrame, max_hamming: int,
+                         max_bucket: int | None) -> DataFrame:
+    """(h1, h2, hamming): near-dup pairs among DISTINCT 64-bit hash
+    values (column ``ahash``) via banded LSH.
+
+    Two hashes within hamming d < AHASH_BANDS agree on >= one 16-bit
+    band (pigeonhole), so the self-join runs per band bucket — over
+    distinct hash VALUES only, never media rows: duplicate media mass
+    has already collapsed in the caller's exact stage, exactly like
+    c06's exact-dedup-before-LSH funnel. The (band, value) bucket
+    carries a ``hot_cell_guard`` budget (the text side's precedent,
+    operators/similarity.py) so a hash collapse becomes a loud raise,
+    not a runaway quadratic stage; identity when under budget, so the
+    mm oracles need no SQL mirror (the raise never fires on
+    oracle-compared rows — the same contract as the IVF guard, pinned
+    by tests instead). The guarded band table is eager-checkpointed:
+    both self-join sides read ONE materialization (a lazy checkpoint
+    cannot serve the second side inside the one materializing job).
+    """
+    from mousedatapipeline_spark.operators.similarity import (
+        hot_cell_guard,
+    )
+    bands = dh.select(
+        "ahash",
+        F.explode(F.array(*[
+            (F.lit(b * 65536) + ahash_band(F.col("ahash"), b))
+            for b in range(AHASH_BANDS)])).alias("cell"))
+    bands = (hot_cell_guard(bands, max_bucket, what="phash_band_bucket")
+             .localCheckpoint(eager=True))
+    a = bands.select(F.col("ahash").alias("h1"), "cell")
+    b = bands.select(F.col("ahash").alias("h2"), "cell")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (a.join(b, "cell")
+            .filter(F.col("h1") < F.col("h2"))
+            .select("h1", "h2")
+            .distinct()
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                        max_bucket: int | None = None,
+                        max_group: int | None = None) -> DataFrame:
     """(d1, d2, hamming): media pairs whose aHashes differ in at most
     ``max_hamming`` bits.
 
-    Banded LSH exactly like the MinHash path: two hashes within hamming
-    d < AHASH_BANDS must agree on >= one 16-bit band (pigeonhole), so
-    the self-join runs per (band, value) bucket — never all-pairs — and
-    an exact bit_count(xor) verify restores exactness. All stages after
-    the hash kernel are JVM bit arithmetic.
+    The c06 dedup-funnel shape applied to media (VERDICT r08 item 1):
+
+    1. **Decode once** — the hash-kernel output is eager-checkpointed,
+       so payloads are decoded exactly once no matter how many stages
+       read the hashes (a lazy checkpoint re-runs the kernel for every
+       consumer inside the one materializing job — measured on the
+       text side, s35/s37).
+    2. **Exact stage first** — identical hashes (re-posted images,
+       black frames) collapse to distinct hash VALUES in one hash
+       shuffle before any banding; duplicate media mass never reaches
+       the band join.
+    3. **Banded LSH over distinct hashes** with an exact
+       bit_count(xor) verify (:func:`_distinct_hash_pairs`), hot-bucket
+       budget on the (band, value) bucket.
+    4. **Pair expansion** — hash-pair hits expand back to media pairs;
+       same-hash groups expand to their hamming-0 pairs. Both
+       expansions are inherent OUTPUT mass for a pair-list surface and
+       are guarded by ``max_group`` (default ``similarity.MAX_CELL``):
+       a duplicate group bigger than the budget raises loudly — at
+       that scale the pair list is enumeration-bound by its own size
+       and the production surface is :func:`phash_neardup_edges` /
+       mm06's cluster rollup (the s02 -> c06 relationship).
+
+    All stages after the hash kernel are JVM bit arithmetic.
     """
-    h = hashes.localCheckpoint(eager=False)  # both join sides + the
-    # band explode read the kernel output; don't run the decode twice
-    bands = h.select(
-        "media_id", "ahash",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("b"),
-                     ahash_band(F.col("ahash"), b).alias("v"))
-            for b in range(AHASH_BANDS)])).alias("band"))
-    a = bands.select(F.col("media_id").alias("d1"),
-                     F.col("ahash").alias("h1"), "band")
-    b = bands.select(F.col("media_id").alias("d2"),
-                     F.col("ahash").alias("h2"), "band")
-    cand = (a.join(b, "band")
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2", "h1", "h2")
-            .distinct())
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (cand.select("d1", "d2", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    from mousedatapipeline_spark.operators.similarity import (
+        MAX_CELL,
+        hot_cell_guard,
+    )
+    if max_bucket is None:
+        max_bucket = MAX_CELL
+    if max_group is None:
+        max_group = MAX_CELL
+    h = hashes.localCheckpoint(eager=True)  # decode runs exactly once
+    mem = (hot_cell_guard(
+               h.select("media_id", F.col("ahash").alias("cell")),
+               max_group, what="phash_hash_group")
+           .select("media_id", F.col("cell").alias("ahash")))
+    hp = _distinct_hash_pairs(h.select("ahash").distinct(),
+                              max_hamming, max_bucket)
+    m1 = mem.select(F.col("media_id").alias("i1"),
+                    F.col("ahash").alias("h1"))
+    m2 = mem.select(F.col("media_id").alias("i2"),
+                    F.col("ahash").alias("h2"))
+    # Cross-hash pairs: every member pair of a near-dup hash pair, at
+    # that hash pair's hamming. Same-hash pairs: hamming 0 by
+    # definition. The two branches re-read only the cheap guard join
+    # over the EAGER checkpoint — never the decode kernel.
+    cross = (hp.join(m1, "h1").join(m2, "h2")
+             .select(F.least("i1", "i2").alias("d1"),
+                     F.greatest("i1", "i2").alias("d2"), "hamming"))
+    same = (m1.join(m2, F.col("h1") == F.col("h2"))
+            .filter(F.col("i1") < F.col("i2"))
+            .select(F.col("i1").alias("d1"), F.col("i2").alias("d2"),
+                    F.lit(0).cast("int").alias("hamming")))
+    return cross.union(same)
+
+
+def phash_neardup_edges(hashes: DataFrame, max_hamming: int = 3,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(d1, d2): a LINEAR-mass edge list whose connected components
+    equal those of :func:`phash_neardup_pairs`' full pair set — the
+    production near-dup surface for cluster consumers (mm06).
+
+    Exact-hash groups contribute a STAR (min-id representative to each
+    other member: |group| - 1 edges, never |group|^2 / 2) and each
+    near-dup DISTINCT-hash pair contributes ONE rep-rep edge. Hamming
+    depends only on the hash values, so any member pair across two
+    groups is near-dup iff the reps are — components are provably
+    identical while edge mass stays <= |media| + |hash pairs| under
+    ANY duplicate skew. This is the same exact-dedup-first funnel as
+    c06 (plans/curation_queries.py): duplicate mass collapses in one
+    hash shuffle; only distinct hashes reach the banded stage.
+    """
+    from mousedatapipeline_spark.operators.similarity import MAX_CELL
+    if max_bucket is None:
+        max_bucket = MAX_CELL
+    h = hashes.localCheckpoint(eager=True)  # decode runs exactly once
+    groups = (h.groupBy("ahash").agg(F.min("media_id").alias("rep"))
+              .localCheckpoint(eager=True))  # star + bands + two rep
+    # lookups below: four consumers, one materialization
+    star = (h.join(groups, "ahash")
+            .filter(F.col("media_id") != F.col("rep"))
+            .select(F.col("rep").alias("d1"),
+                    F.col("media_id").alias("d2")))
+    hp = _distinct_hash_pairs(groups.select("ahash"),
+                              max_hamming, max_bucket)
+    r1 = groups.select(F.col("ahash").alias("h1"),
+                       F.col("rep").alias("r1"))
+    r2 = groups.select(F.col("ahash").alias("h2"),
+                       F.col("rep").alias("r2"))
+    cross = (hp.join(r1, "h1").join(r2, "h2")
+             .select(F.least("r1", "r2").alias("d1"),
+                     F.greatest("r1", "r2").alias("d2")))
+    return star.union(cross)
 
 
 AUDIO_FRAME_SCHEMA = T.StructType([
@@ -488,3 +600,41 @@ def video_frame_hashes(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "fhash"])
 
     return media.mapInPandas(run, FRAME_HASH_SCHEMA)
+
+
+def video_neardup_pairs(media: DataFrame, every_k: int = 2,
+                        min_shared: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(d1, d2): video clips sharing >= ``min_shared`` distinct
+    sampled-frame aHashes — re-encodes/re-posts of the same footage.
+
+    Inverted-index join on the frame hash, hardened like the image
+    path: the per-clip distinct frame-hash table (the decode-kernel
+    output) is eager-checkpointed so payloads are decoded exactly once
+    for both join sides, and the per-fhash bucket carries a
+    ``hot_cell_guard`` budget — a hot frame hash (black frames, intro
+    cards, duplicate-clip mass) raises loudly instead of going
+    quadratic. Identity when under budget, so the mm09 oracle needs no
+    SQL mirror (the IVF-guard contract, pinned by tests). Payloads
+    never shuffle; only 8-byte frame hashes reach the join.
+    """
+    from mousedatapipeline_spark.operators.similarity import (
+        MAX_CELL,
+        hot_cell_guard,
+    )
+    if max_bucket is None:
+        max_bucket = MAX_CELL
+    fh = (video_frame_hashes(media, every_k=every_k).distinct()
+          .localCheckpoint(eager=True))  # decode runs exactly once
+    g = (hot_cell_guard(
+             fh.select("media_id", F.col("fhash").alias("cell")),
+             max_bucket, what="video_frame_bucket")
+         .select("media_id", F.col("cell").alias("fhash")))
+    a = g.select(F.col("media_id").alias("d1"), "fhash")
+    b = g.select(F.col("media_id").alias("d2"), "fhash")
+    return (a.join(b, "fhash")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select("d1", "d2"))

@@ -617,13 +617,15 @@ def u03_mask_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m.doc_id = g.comp AS INT) AS is_canonical
     FROM m JOIN g ON m.k = g.k
     """,
-    doc="Media dedup END TO END: aHash kernel -> banded-LSH candidate "
-        "pairs -> exact hamming verify (mm03's pipeline) -> "
-        "connected components -> one canonical asset per cluster "
+    doc="Media dedup END TO END: aHash kernel -> exact-hash dedup "
+        "(duplicate mass collapses in one shuffle, the c06 funnel) -> "
+        "banded LSH over DISTINCT hashes -> linear star/rep-rep edges "
+        "-> connected components -> one canonical asset per cluster "
         "(s14's rollup applied to media). The full LAION-style image "
         "dedup pass: what survives is the min-id representative of "
         "each perceptual-duplicate cluster. Payloads never leave the "
-        "hash kernel; the component loop iterates 8-byte hash pairs.",
+        "hash kernel; the component loop iterates 8-byte hash edges "
+        "whose mass is <= |media| + |hash pairs| under any skew.",
 )
 def mm06_media_dedup_clusters(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -632,15 +634,20 @@ def mm06_media_dedup_clusters(spark: SparkSession,
     )
     from mousedatapipeline_spark.operators.multimodal import (
         ahash_media,
-        phash_neardup_pairs,
+        phash_neardup_edges,
     )
     docs = (load(spark, sf_dir, "documents").select("doc_id")
             .filter(F.col("doc_id") < 300)
             .withColumn("payload_key", F.col("doc_id") % 150))
     media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
-    pairs = phash_neardup_pairs(ahash_media(media), max_hamming=3)
+    # Linear-mass edges (star within exact-hash groups + one rep-rep
+    # edge per near-dup hash pair) — provably the same components as
+    # the full pair set, without ever enumerating |group|^2 pairs: the
+    # cluster consumer is exactly where duplicate mass explodes, so it
+    # gets the c06 funnel shape, not the pair-list surface.
+    edges = phash_neardup_edges(ahash_media(media), max_hamming=3)
     nodes = docs.select(F.col("doc_id").alias("media_id"))
-    cc = connected_components(nodes, pairs.select("d1", "d2"),
+    cc = connected_components(nodes, edges,
                               "media_id", "d1", "d2")
     sizes = cc.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -751,28 +758,21 @@ def mm08_audio_framing_census(spark: SparkSession,
         "mm03, audio mm07): every 2nd frame aHashed in one narrow "
         "kernel pass, clips joined on shared frame hashes (inverted "
         "index, bounded by shared mass — the shot-level analogue of "
-        "the t21 chunk join), pairs kept at >= 2 distinct shared "
+        "the t21 chunk join, with a hot_cell_guard budget on the "
+        "per-hash bucket and the kernel output eager-checkpointed so "
+        "payloads decode once), pairs kept at >= 2 distinct shared "
         "frames. Payloads never shuffle; only 8-byte frame hashes "
         "reach the join.",
 )
 def mm09_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.multimodal import (
-        video_frame_hashes,
+        video_neardup_pairs,
     )
     docs = (load(spark, sf_dir, "documents").select("doc_id")
             .filter(F.col("doc_id") < 300)
             .withColumn("payload_key", F.col("doc_id") % 150))
     media = attach_synthetic_media(docs, "doc_id", key_col="payload_key")
-    fh = video_frame_hashes(media).distinct() \
-        .localCheckpoint(eager=False)  # both sides of the hash join
-    a = fh.select(F.col("media_id").alias("d1"), "fhash")
-    b = fh.select(F.col("media_id").alias("d2"), "fhash")
-    return (a.join(b, "fhash")
-            .filter(F.col("d1") < F.col("d2"))
-            .groupBy("d1", "d2")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= 2)
-            .select("d1", "d2"))
+    return video_neardup_pairs(media, every_k=2, min_shared=2)
 
 
 @register(

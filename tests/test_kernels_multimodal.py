@@ -369,6 +369,101 @@ def test_phash_banding_is_pigeonhole_complete(spark):
     assert got == {(1, 2): 3}  # (1,3) invisible: no shared band
 
 
+def test_phash_pairs_match_bruteforce_with_dup_mass(spark):
+    """The exact-dedup-first rewrite must emit EXACTLY the pair set of
+    the naive all-rows band join: every hamming <= 3 pair (pigeonhole:
+    3 flipped bits leave >= 1 of 4 bands untouched), including the
+    hamming-0 pairs inside duplicate-hash groups — the media-skew case
+    the exact stage exists for."""
+    rng = np.random.RandomState(7)
+    vals = [int(rng.randint(-2 ** 62, 2 ** 62)) for _ in range(12)]
+    rows, mid = [], 0
+    for j, v in enumerate(vals):            # dup mass: 4x, 3x, 1x...
+        for _ in range(4 if j == 0 else 3 if j == 1 else 1):
+            rows.append((mid, v))
+            mid += 1
+    rows.append((mid, vals[0] ^ 0b11))      # hamming-2 neighbor group
+    df = spark.createDataFrame(rows, ["media_id", "ahash"])
+    got = {(r.d1, r.d2, r.hamming)
+           for r in M.phash_neardup_pairs(df, max_hamming=3).collect()}
+    exp = set()
+    for i1, h1 in rows:
+        for i2, h2 in rows:
+            if i1 >= i2:
+                continue
+            ham = bin((h1 ^ h2) & (2 ** 64 - 1)).count("1")
+            if ham <= 3:
+                exp.add((i1, i2, ham))
+    assert got == exp and len(exp) >= 6 + 3 + 4  # groups + cross
+
+
+def test_phash_edges_components_equal_pairs(spark):
+    """phash_neardup_edges' star + rep-rep edge list must induce the
+    SAME connected components as the full pair set, with linear edge
+    mass: |edges| <= |media| + |hash pairs| even when one hash carries
+    a big duplicate group."""
+    rows, mid = [], 0
+    base = 0x0123456789ABCDEF
+    for v, k in ((base, 6), (base ^ 0b1, 3), (1 << 40, 2), (-17, 1)):
+        for _ in range(k):
+            rows.append((mid, v))
+            mid += 1
+    df = spark.createDataFrame(rows, ["media_id", "ahash"])
+    pairs = [(r.d1, r.d2)
+             for r in M.phash_neardup_pairs(df, max_hamming=3).collect()]
+    edges = [(r.d1, r.d2)
+             for r in M.phash_neardup_edges(df, max_hamming=3).collect()]
+    assert len(edges) <= len(rows) + 1  # star mass + one rep-rep edge
+
+    def comps(es):
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in es:
+            parent[find(a)] = find(b)
+        out = {}
+        for n in parent:
+            out.setdefault(find(n), set()).add(n)
+        return {frozenset(s) for s in out.values()}
+
+    assert comps(edges) == comps(pairs)
+    # the 6-group and its hamming-1 neighbor group merge: 2 components
+    assert len(comps(edges)) == 3
+
+
+def test_multimodal_hot_bucket_guards_raise(spark):
+    """The media analogues of the IVF hot-cell budget: exact-hash
+    group size, (band, value) bucket, and per-frame-hash bucket each
+    raise loudly past their budget and stay identity under it."""
+    # (a) exact-group budget: 12 media share one hash
+    df = spark.createDataFrame([(i, 42) for i in range(12)],
+                               ["media_id", "ahash"])
+    assert M.phash_neardup_pairs(df, max_group=12).count() == 66
+    with pytest.raises(Exception) as ea:
+        M.phash_neardup_pairs(df, max_group=11).collect()
+    assert "phash_hash_group" in str(ea.value)
+    # (b) band-bucket budget: 12 DISTINCT hashes sharing band-0 value
+    df2 = spark.createDataFrame([(i, i << 16) for i in range(12)],
+                                ["media_id", "ahash"])
+    with pytest.raises(Exception) as eb:
+        M.phash_neardup_pairs(df2, max_bucket=11).collect()
+    assert "phash_band_bucket" in str(eb.value)
+    # (c) video frame-hash bucket: 24 identical clips -> bucket of 24
+    docs = spark.range(24).select(
+        F.col("id").alias("doc_id"), F.lit(2).alias("payload_key"))
+    media = M.attach_synthetic_media(docs, "doc_id",
+                                     key_col="payload_key")
+    assert (M.video_neardup_pairs(media, max_bucket=24).count()
+            == 24 * 23 // 2)
+    with pytest.raises(Exception) as ec:
+        M.video_neardup_pairs(media, max_bucket=23).collect()
+    assert "video_frame_bucket" in str(ec.value)
+
+
 def test_mm03_finds_exactly_the_minted_duplicates(spark):
     import os
     import pytest as _pytest

@@ -788,6 +788,37 @@ def test_ivf_hot_cell_guard_in_plan_and_wired(spark):
         assert "max_cell=None" not in src, fn
 
 
+def test_multimodal_neardup_guard_wiring():
+    """The mm near-dup family must route through the hardened helpers
+    (exact-dedup-first + hot-bucket budgets + eager-checkpointed
+    kernel output) WITHOUT opting out — the media analogue of the IVF
+    wiring test above. Plans can't witness the guard (the eager
+    checkpoint truncates them to a LogicalRDD; the raise executes at
+    checkpoint materialization), so the behavior tests in
+    test_kernels_multimodal.py carry the raise contract and this test
+    pins the routing."""
+    import inspect
+
+    from mousedatapipeline_spark.operators import multimodal as M
+    from mousedatapipeline_spark.plans import image_queries as iq
+    for fn, helper in (
+            (iq.mm03_phash_neardup, "phash_neardup_pairs("),
+            (iq.mm06_media_dedup_clusters, "phash_neardup_edges("),
+            (iq.mm07_audio_neardup, "phash_neardup_pairs("),
+            (iq.mm09_video_neardup, "video_neardup_pairs(")):
+        src = inspect.getsource(fn)
+        assert helper in src, fn
+        assert "max_bucket=None" not in src, fn
+        assert "max_group=None" not in src, fn
+    assert "hot_cell_guard" in inspect.getsource(M._distinct_hash_pairs)
+    for f in (M.phash_neardup_pairs, M.phash_neardup_edges,
+              M.video_neardup_pairs):
+        src = inspect.getsource(f)
+        assert "localCheckpoint(eager=True)" in src, f
+        assert ("hot_cell_guard" in src
+                or "_distinct_hash_pairs" in src), f
+
+
 def test_symmetrize_edges_is_single_pass(spark):
     """Both directions of an undirected edge list must come from ONE
     pass over the pair subtree — a Union above an expensive pair
