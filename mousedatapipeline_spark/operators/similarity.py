@@ -618,9 +618,15 @@ def sqrtn_kmeans_centroids(e: DataFrame,
     randomness:
 
     - k = ceil(sqrt(count(*))); seed cells are the vectors whose
-      vec_id is divisible by step = max(1, (max_id + 1) // k) — an
-      even stride over the id domain, a pure scan-stage filter (no
-      global ranking window);
+      (vec_id - min_id) is divisible by
+      step = max(1, (max_id - min_id + 1) // k) — an even stride over
+      the OBSERVED id domain, a pure scan-stage filter (no global
+      ranking window). Anchoring at min_id makes the seed set
+      provably non-empty (min_id always qualifies) on sparse or
+      offset id domains, where a raw ``vec_id % step`` stride could
+      select nothing and silently empty every downstream cell join
+      (driver ADVICE r09); dense 0-based domains (the shipped
+      corpora) select the identical seed set;
     - one Lloyd round: argmin-L2 assignment to the seed vectors (IEEE
       double fold + stable_round, the s10 _km_assign precedent — the
       distances only feed the argmin ordering, never a downstream sum,
@@ -648,6 +654,7 @@ def sqrtn_kmeans_centroids(e: DataFrame,
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     import math
     nm = e.agg(F.count(F.lit(1)).alias("n"),
+               F.min("vec_id").alias("mn"),
                F.max("vec_id").alias("mx")).first()
     if not nm["n"]:
         # Empty corpus -> empty codebook, matching the SQL twin (its
@@ -656,8 +663,9 @@ def sqrtn_kmeans_centroids(e: DataFrame,
         return e.sparkSession.createDataFrame(
             [], "label bigint, c array<double>")
     k = int(math.ceil(math.sqrt(float(nm["n"]))))
-    step = max(1, (int(nm["mx"]) + 1) // k)
-    seeds = vecs.filter((F.col("vec_id") % step) == 0).select(
+    mn = int(nm["mn"])
+    step = max(1, (int(nm["mx"]) - mn + 1) // k)
+    seeds = vecs.filter(((F.col("vec_id") - mn) % step) == 0).select(
         F.col("vec_id").alias("__sc"), F.col("v").alias("c"))
     # Double fold + stable_round, the s10 _km_assign precedent: the
     # oracle's decimal sum drifts <= ~1e-13 relative from this IEEE

@@ -279,43 +279,79 @@ _R07_GREEN = frozenset({
     "t37_textrank_keywords",
 })
 
+# Green rows earned in CORRECTNESS_r08.json (48 hash-green of 50
+# sampled; u01/m15 are the declared rows-only kernels). This rotation
+# covered all 9 round-8 stales, draining the pre-r09 pool to zero
+# before the round-9 edits below re-opened it.
+_R08_GREEN = frozenset({
+    "m13_nexus_ingest_merge", "q01_pricing_summary", "q02_order_census",
+    "q03_region_revenue", "q04_asof_view_before_purchase",
+    "q05_window_propagation", "q06_latest_order_per_customer",
+    "q07_customers_without_orders", "q08_active_customers_semi",
+    "q09_thickness_physics", "q10_energy_tcf", "q11_stack_stats",
+    "q12_identifiers", "q13_repetition_stack", "q14_first_file",
+    "q15_date_arith", "q16_column_profile", "q17_rollup_revenue",
+    "q18_snapshot_diff", "q19_incremental_agg", "q20_cube_revenue",
+    "q21_pivot_status_counts", "q22_customer_set_ops",
+    "q23_exists_slow_orders", "q24_window_analytics",
+    "q25_group_percentiles", "q26_above_avg_orders",
+    "q27_topk_open_orders", "q28_sole_late_supplier",
+    "q30_fk_orphan_audit", "q31_scalable_percentiles",
+    "q32_grouping_sets", "q33_approx_percentiles",
+    "q34_bucketed_join_roundtrip", "q35_scd2_intervals",
+    "q36_unpivot_metrics", "q37_distribution_ranks",
+    "q38_constraint_audit", "q39_partition_backfill",
+    "q40_point_in_time_lookup",
+    "s08_ann_ivf", "s14_neardup_components", "s34_quality_canonical",
+    "s35_hard_negatives", "s37_ivf_probe_sweep", "s38_knn_graph_stats",
+    "s39_ivf_pq_index_build", "t12_vocab_coverage",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
 _STALE_PROOF = frozenset({
-    # Round-8 IVF hardening (VERDICT r07 #1): assign_cells/cell_ranks
-    # now carry the in-plan hot-cell budget (hot_cell_guard raise,
-    # identity under budget) — stales every consumer's plan: s08, s35
-    # (also eager-checkpointed), s37 (eager), s39.  s38 additionally
-    # switched its quantizer from the fixed label vocabulary to the
-    # scale-aware sqrt(N) k-means codebook (sqrtn_kmeans_centroids,
-    # mirrored via the shared sqrtn_quantizer_sql() CTE chain), so its
-    # oracle AND values changed.  All re-verified locally at
+    # Round-9 multimodal hardening (VERDICT r08 #1): exact-hash dedup
+    # before the band join, hot_cell_guard budgets on the (band,
+    # value) / exact-group / frame-hash buckets, eager-checkpointed
+    # decode kernels; mm06 switched to the linear star/rep-rep edge
+    # list (components provably identical). Re-verified locally at
     # sf0.001/0.01/0.1 the day of the change.
-    "s08_ann_ivf", "s35_hard_negatives", "s37_ivf_probe_sweep",
-    "s38_knn_graph_stats", "s39_ivf_pq_index_build",
-    # Round-8 cap routing (VERDICT r07 #5): s14's CC now iterates on
-    # the degree-capped s02 edge list (degree_cap_edges, mirrored into
-    # the recursive-CTE oracle via the shared degree_cap_sql()); s34
-    # composes s14's Spark plan and registered oracle. Re-verified
-    # locally at sf0.001/0.01/0.1 the day of the change.
-    "s14_neardup_components", "s34_quality_canonical",
-    # Round-8: t12's 1-row corpus-total attach became an explicit
-    # crossJoin(broadcast) instead of a synthetic __k=1 equi-join
-    # (ADVICE r07) — value-identical, plan changed. Re-verified
-    # locally at sf0.01 the day of the change.
-    "t12_vocab_coverage",
-    # Round-8 minihdf5 widening (VERDICT r07 #6/#7): attribute
-    # messages (units read + flatten_tree unit cross-check), chunked
-    # datasets (v1 chunk B-tree), and the two libhdf5 builtin filters
-    # (deflate via stdlib zlib + byte-shuffle). m13's fixture behavior
-    # is byte-identical (no attrs, contiguous), but its ingest modules
-    # changed, so its r07 proof re-earns a row (re-verified locally
-    # at sf0.01 the day of the change).
+    "mm03_phash_neardup", "mm06_media_dedup_clusters",
+    "mm07_audio_neardup", "mm09_video_neardup",
+    # Round-9 lazy->eager checkpoint sweep (VERDICT r08 #1/#2),
+    # settled per site by an interleaved A/B (SCALING.md round-9
+    # table): these plans flipped multi-consumer checkpoints to eager
+    # (or, for s19, additionally dropped the dead `verified`
+    # checkpoint). s40/s43/s33/c06 compose s19's changed stage.
+    # Value-identical, plan changed. Re-verified locally at
+    # sf0.001/0.01/0.1 the day of the change.
+    "s19_lsh_verified_neardup", "s40_neardup_pagerank",
+    "s43_label_propagation", "s33_cross_source_dup_matrix",
+    "c06_production_dedup_e2e", "s22_incremental_neardup",
+    "s27_triangle_count", "s30_cluster_quality", "s10_kmeans_ivf",
+    "t18_novelty_scan", "t30_split_contamination",
+    "e16_rolling_active_users", "e21_sequence_anomaly",
+    "q28_sole_late_supplier", "k01_cms_heavy_hitters",
+    # Round-9 quantizer seeding (ADVICE r09): the sqrt(N) k-means
+    # seed stride is now anchored at MIN(vec_id) — provably non-empty
+    # on sparse/offset id domains, identical seed set on the shipped
+    # dense 0-based ids — and the twin's kdist/qdots decimals widened
+    # to (38,18). Values unchanged on shipped data; plan + oracle
+    # text changed. Re-verified locally at sf0.001/0.01/0.1.
+    "s38_knn_graph_stats",
+    # Round-9 ingest-fidelity items (VERDICT r08 #4/#5 + ADVICE r09):
+    # flatten_tree's unit check now normalizes equivalent NeXus
+    # spellings before comparing; minihdf5 gained fletcher32,
+    # vlen-string attrs/datasets, attr message v2/v3, and lazy
+    # per-attribute tolerance. m13's fixture values are identical,
+    # but its ingest modules changed. Re-verified locally at
+    # sf0.01/0.1 the day of the change.
     "m13_nexus_ingest_merge",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-           | _R05_GREEN | _R06_GREEN | _R07_GREEN) - _STALE_PROOF
+           | _R05_GREEN | _R06_GREEN | _R07_GREEN
+           | _R08_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -247,6 +247,11 @@ def s18_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select("doc_id", F.explode(grams).alias("gram"))
     # The eval gram set is consumed twice (bloom build + exact confirm
     # broadcast); checkpoint it so the eval docs are tokenized once.
+    # Lazy is CORRECT here: the first consumer (the bloom-literal
+    # collect below) is its own job and materializes the checkpoint
+    # before the exact-confirm broadcast ever runs — sequential, not
+    # concurrent, consumers (r09 A/B: forcing eager cost 3.03 ->
+    # 3.35 s, one extra materialization pass).
     ev = (ex.filter(F.col("doc_id") % EVAL_MOD == 0)
           .select("gram").distinct().localCheckpoint(eager=False))
 
@@ -298,7 +303,9 @@ def t18_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = (d.select("doc_id", F.explode(grams).alias("gram"))
-          .localCheckpoint(eager=False))  # feeds first-arrival AND probe
+          .localCheckpoint(eager=True))  # feeds first-arrival AND probe
+    # — concurrent sides of one join job; eager bounds the tokenize/
+    # explode pass to one run (r09 A/B 1.02 -> 0.95 s)
     first = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per = (ex.join(first, "gram")
            .groupBy("doc_id")
@@ -372,7 +379,9 @@ def t21_shared_span_localization(spark: SparkSession,
         F.posexplode(T.chunk_hashes(T.tokens(F.col("text")), SPAN_CHUNK))
         .alias("idx", "h"))
         .select("doc_id", F.col("idx").cast("bigint").alias("idx"), "h")
-        .localCheckpoint(eager=False))  # three consumers below
+        .localCheckpoint(eager=False))  # three consumers below — kept
+    # lazy: the pair agg materializes it before the span stages read
+    # it (r09 A/B: eager cost 0.89 -> 0.96 s)
     a = ch.select(F.col("doc_id").alias("d1"), "idx", "h")
     b = ch.select(F.col("doc_id").alias("d2"), F.col("h").alias("hb"))
     pairs = (a.join(b, (F.col("h") == F.col("hb"))
@@ -563,7 +572,9 @@ def t30_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         T.ngrams_from_tokens(T.tokens(F.col("text")), NGRAM))
     ex = (d.select("doc_id", "split", F.explode(grams).alias("g"))
-          .localCheckpoint(eager=False))  # train set AND eval probe
+          .localCheckpoint(eager=True))  # train set AND eval probe
+    # — concurrent sides of one join job (r09 A/B 1.57 -> 1.22 s
+    # eager: the tokenize/explode pass runs once, not per side)
     tr = (ex.filter(F.col("split") == "train")
           .select("g").distinct().withColumn("hit", F.lit(1)))
     per = (ex.filter(F.col("split") != "train")

@@ -627,7 +627,9 @@ def e13_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the top-k, so materialize it once.
     per_key = (ev.groupBy("user_id")
                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-               .localCheckpoint(eager=False))
+               .localCheckpoint(eager=False))  # lazy: the top-10
+    # broadcast build is its own job and materializes this before the
+    # stats pass (r09 A/B tie, 0.273/0.274 s)
     top10 = (per_key.orderBy(F.col("cnt").desc(), "user_id").limit(10)
              .agg(F.sum("cnt").cast("bigint").alias("top10_cnt")))
     n_keys = F.count(F.lit(1))
@@ -745,7 +747,9 @@ def e15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without materialization the events scan + median join reruns.
     dev = (ev.join(F.broadcast(med), "event_type")
            .withColumn("adev", F.abs(F.col("value") - F.col("med")))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=False))  # lazy: the MAD broadcast
+    # build materializes this before the final agg reads it —
+    # sequential consumers (r09 A/B: eager cost 0.55 -> 0.59 s)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad"))
     j = dev.join(F.broadcast(mad), "event_type")
@@ -791,7 +795,8 @@ def e16_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"),
                     "user_id")
           .distinct()
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))  # spine (broadcast build) +
+    # range-join probe run in one job (r09 A/B 0.70 -> 0.66 s eager)
     days = du.select("d").distinct() \
         .select(F.col("d").alias("anchor"))
     j = du.join(F.broadcast(days),
@@ -961,7 +966,9 @@ def e19_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = (ev.select(F.to_date(F.date_trunc("week", "ts")).alias("wk"),
                     "user_id")
           .distinct()
-          .localCheckpoint(eager=False))  # three consumers below
+          .localCheckpoint(eager=False))  # three consumers below —
+    # kept lazy: the act agg's shuffle materializes the roster before
+    # the churn branch reads it (r09 A/B: eager cost 0.47 -> 0.52 s)
     cur = wu.select("wk", "user_id")
     prev = wu.select(F.date_add("wk", 7).alias("wk"),
                      F.col("user_id"), F.lit(1).alias("was_prev"))
@@ -1085,7 +1092,8 @@ def e21_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = (ev.select("user_id", F.col("event_type").alias("next_type"),
                     F.lag("event_type").over(w).alias("prev_type"))
           .filter(F.col("prev_type").isNotNull())
-          .localCheckpoint(eager=False))  # matrix AND scoring stream
+          .localCheckpoint(eager=True))  # matrix AND scoring stream
+    # consume the lag window concurrently (r09 A/B 0.72 -> 0.68 s)
     m = tr.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pair"))
     tot = m.groupBy("prev_type").agg(

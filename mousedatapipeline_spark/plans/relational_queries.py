@@ -1141,7 +1141,8 @@ def q28_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree for each consumer (4 fact scans instead of 2 — caught by
     # the plan test). One (order, supplier)-sized checkpoint buys the
     # reuse; on a cluster persist(MEMORY_AND_DISK) plays this role.
-    per_supp = per_supp.localCheckpoint(eager=False)
+    per_supp = per_supp.localCheckpoint(eager=True)  # rollup +
+    # final join race in one job (r09 A/B 1.92 -> 1.72 s eager)
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_supp"),
         F.sum("has_late").cast("bigint").alias("n_late_supp"))
@@ -1935,6 +1936,9 @@ def q44_logistic_regression_steps(spark: SparkSession,
         *[F.col("embedding").getItem(j - 1).cast("double")
           .alias(f"x{j}") for j in range(1, _Q44_D + 1)]
     ).localCheckpoint(eager=False)  # three passes (g1, g2, scoring)
+    # — SEQUENTIAL agg jobs, so lazy piggybacks materialization on g1
+    # instead of paying a separate pass (r09 A/B: eager cost 0.92 ->
+    # 1.12 s, the sweep's clearest keep-lazy case)
 
     def grads(df, resid):
         n = F.count(F.lit(1))
@@ -2013,6 +2017,8 @@ def q45_delta_join_maintenance(spark: SparkSession,
     # Base materialization (90% of orders)...
     base = joined(orders.filter(F.col("o_orderkey") % 10 != 0)) \
         .localCheckpoint(eager=False)  # "materialized view" stand-in
+    # (SINGLE consumer — the union reads it once; the checkpoint marks
+    # the maintenance boundary, not a reuse point; r09 A/B tie)
     # ...then the delta arrives: ONLY the delta joins the dims.
     delta = joined(orders.filter(F.col("o_orderkey") % 10 == 0))
     maintained = base.union(delta)

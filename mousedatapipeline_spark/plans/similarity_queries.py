@@ -223,7 +223,10 @@ def s03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join read it, and Spark does not reliably reuse the subtree
     # (different pushed-down projections defeat exchange reuse) — the
     # whole per-row signature pipeline would run twice. On a cluster
-    # persist(MEMORY_AND_DISK) serves the same role.
+    # persist(MEMORY_AND_DISK) serves the same role. Kept lazy: r09's
+    # interleaved A/B read a tie (3.24/3.28 s) — s03's cost is its
+    # pair OUTPUT, and the hashed checkpoint under sig already bounds
+    # the corpus scan to one run.
     bands = bands.localCheckpoint(eager=False)
     # Bucket pairing via self-join, NOT blocked_pairs: LSH buckets are
     # skewed (one 925-doc bucket at sf0.1 => 427k pairs), and the
@@ -798,27 +801,38 @@ def sqrtn_quantizer_sql() -> str:
     return f"""
     nk AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(vec_id) AS BIGINT) AS mn,
              CAST(MAX(vec_id) AS BIGINT) AS mx
       FROM embeddings
     ),
     st AS (
-      SELECT GREATEST(CAST(1 AS BIGINT),
-                      (mx + 1) // CAST(CEIL(SQRT(CAST(n AS DOUBLE)))
-                                       AS BIGINT)) AS step
+      -- stride anchored at MIN(vec_id): provably non-empty seeds on
+      -- sparse/offset id domains (min always qualifies); identical to
+      -- the old vec_id % step on dense 0-based ids (ADVICE r09)
+      SELECT mn,
+             GREATEST(CAST(1 AS BIGINT),
+                      (mx - mn + 1) // CAST(CEIL(SQRT(CAST(n AS DOUBLE)))
+                                            AS BIGINT)) AS step
       FROM nk
     ),
     seeds AS (
       SELECT e.vec_id AS cell FROM embeddings e, st
-      WHERE e.vec_id % st.step = 0
+      WHERE (e.vec_id - st.mn) % st.step = 0
     ),
     c0 AS (
       SELECT s.cell, d.dim, d.v AS cv
       FROM seeds s JOIN dims d ON d.vec_id = s.cell
     ),
     kdist AS (
+      -- DECIMAL(38,18): the Spark side folds these distances in IEEE
+      -- double (they only feed the argmin ordering); per-term
+      -- quantization at 1e-18 x dims sits ~7 orders below
+      -- stable_round's nudge width, so a near-tied argmin can never
+      -- flip between engines on scale alone (ADVICE r09; at (30,10)
+      -- the worst case was ~5e-11 x dims, uncomfortably close)
       SELECT d.vec_id, c.cell,
              CAST(CAST(SUM(CAST((d.v - c.cv) * (d.v - c.cv)
-                                AS DECIMAL(30,10))) AS VARCHAR)
+                                AS DECIMAL(38,18))) AS VARCHAR)
                   AS DOUBLE) AS dist
       FROM dims d JOIN c0 c ON d.dim = c.dim
       GROUP BY 1, 2
@@ -839,8 +853,9 @@ def sqrtn_quantizer_sql() -> str:
       GROUP BY 1, 2
     ),
     qdots AS (
+      -- DECIMAL(38,18): same rationale as kdist (argmin-only values)
       SELECT d.vec_id, c.cell,
-             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(30,10)))
+             CAST(CAST(SUM(CAST(d.v * c.cv AS DECIMAL(38,18)))
                        AS VARCHAR) AS DOUBLE) AS dot
       FROM dims d JOIN c1 c ON d.dim = c.dim
       GROUP BY 1, 2
@@ -889,8 +904,11 @@ def s10_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):
         # Checkpoint the k x dim centroid table each round: without it
         # round N's plan embeds rounds 1..N-1 (lineage doubles per
-        # iteration — the classic iterative-Spark trap).
-        arrays = _km_to_arrays(cent).localCheckpoint(eager=False)
+        # iteration — the classic iterative-Spark trap). Eager: the
+        # table is tiny and materializing per round keeps every
+        # round's corpus pass reading a finished codebook (r09 A/B
+        # 1.82 -> 1.66 s).
+        arrays = _km_to_arrays(cent).localCheckpoint(eager=True)
         assigned = _km_assign(vecs, arrays)
         full = _km_centroids(assigned)
         cent = full.drop("n")
@@ -1121,8 +1139,13 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
     hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
-             .localCheckpoint(eager=False))  # self-joined below: the 16
-    # array_min projections must not run once per join side
+             .localCheckpoint(eager=True))  # self-joined below: the 16
+    # array_min projections must not run once per join side — and the
+    # two sides race CONCURRENTLY inside the one materializing job,
+    # where a lazy checkpoint cannot serve the second side (r08
+    # verdict measured the lazy form at 3.78 vs 3.14 s eager; the r09
+    # interleaved A/B read a tie at 2.90/2.92 s — eager kept because
+    # it is the only form that BOUNDS the band pass to one run)
     ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
                       "band_sig")
     bb = bands.select(F.col("doc_id").alias("d2"), "lang", "band",
@@ -1133,8 +1156,9 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("shared_bands"))
              .filter(F.col("shared_bands") >= MIN_SHARED_BANDS)
              .select("d1", "d2")
-             .localCheckpoint(eager=False))  # feeds the verify join AND
-    # the pruning id set below
+             .localCheckpoint(eager=True))  # feeds the verify join AND
+    # the pruning id set below (broadcast build + probe run in the
+    # same job)
     cand_ids = (cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
                 .distinct())
     # Verify on HASHED shingle arrays: the byte-positional base-256
@@ -1158,8 +1182,10 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
         (n_common.cast("double")
          / (F.col("n1") + F.col("n2") - n_common).cast("double"))
         .alias("jaccard_raw"))
-    verified = (scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
-                .localCheckpoint(eager=False))  # exploded twice by the cap
+    # No checkpoint on `verified`: degree_cap_edges consumes it exactly
+    # once (single two-struct explode since r07) — the former lazy
+    # checkpoint here was dead weight (r08 verdict #3).
+    verified = scored.filter(F.col("jaccard_raw") >= VERIFY_JACCARD)
     # Edge-mass guard: symmetric union top-m degree cap (rationale at
     # MAX_NEARDUP_DEGREE above; SQL twin = degree_cap_sql()). Bounds
     # the edge list to m*|V| so the iterative consumers stay linear in
@@ -1360,7 +1386,8 @@ def s22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = S.hashed_shingle_docs(d)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))  # new + corpus sides split
+    # this table inside ONE join job (r09 A/B 1.42 -> 1.29 s eager).
     # In production the corpus side is the PERSISTED index; here both
     # derive from one checkpoint, split by the arrival predicate.
     new = (bands.filter(F.col("doc_id") % 4 == 0)
@@ -1669,7 +1696,9 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
     hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
-           .localCheckpoint(eager=False))  # joined twice below
+           .localCheckpoint(eager=False))  # joined twice below — the
+    # s26 chain kept lazy as a family: band/cand shuffles serialize
+    # the consumers in practice (r09 A/B: eager cost 2.31 -> 2.60 s)
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
              .localCheckpoint(eager=False))
     ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
@@ -1781,7 +1810,9 @@ def s26_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s27_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (s02_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-             .localCheckpoint(eager=False))  # three joins + degrees
+             .localCheckpoint(eager=True))  # three joins + degrees
+    # race in one job; eager bounds the s02 pair pass to one run
+    # (r09 A/B 1.94 -> 1.79 s)
     deg = (edges.select(F.explode(F.array("d1", "d2")).alias("v"))
            .groupBy("v")
            .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
@@ -1947,7 +1978,8 @@ def s29_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
     hashed = S.hashed_shingle_docs(d)
     sig = (hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
-           .localCheckpoint(eager=False))  # bands + two probe sides
+           .localCheckpoint(eager=False))  # bands + two probe sides —
+    # kept lazy like s26's chain (r09 A/B: eager cost 1.86 -> 1.91 s)
     bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
              .localCheckpoint(eager=False))
     ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
@@ -2059,11 +2091,13 @@ def s30_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     dims = S.vector_dims(e, "vec_id", "embedding")
     labeled = (dims.join(e.select("vec_id", "label"), "vec_id")
-               .localCheckpoint(eager=False))  # centroid + distance pass
+               .localCheckpoint(eager=True))  # centroid + distance pass
+    # run concurrently in the final job (r09 A/B 1.14 -> 0.98 s eager)
     cent = (labeled.groupBy("label", "dim")
             .agg((F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("c"))
-            .localCheckpoint(eager=False))  # reused three times
+            .localCheckpoint(eager=True))  # reused three times
+    # (inertia + both sides of the k x k separation pass, one job)
     sq = (labeled.join(cent, ["label", "dim"])
           .select("label", "vec_id",
                   ((F.col("v") - F.col("c"))

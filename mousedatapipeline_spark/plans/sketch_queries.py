@@ -85,9 +85,10 @@ def k01_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt")))
     hashed = cnt.select(
         "term", "exact_cnt", K.string_hash(F.col("term")).alias("th"))
-    hashed = hashed.localCheckpoint(eager=False)  # grid + candidates +
-    # total all read this subtree; Spark does not reliably reuse it
-    # under differing pushed projections (same rationale as s03).
+    hashed = hashed.localCheckpoint(eager=True)  # grid + candidates +
+    # total all read this subtree IN ONE JOB; Spark does not reliably
+    # reuse it under differing pushed projections (same rationale as
+    # s03; r09 A/B 0.78 -> 0.71 s eager).
     grid = K.cms_build(hashed, "th", "exact_cnt")
     total = hashed.agg(F.sum("exact_cnt").alias("tot"))
     cand = (

@@ -150,26 +150,69 @@ def read_h5_units(tree, path: str) -> str | None:
         return None
 
 
+# Equivalent spellings of the NeXus units the MOUSE files carry
+# (ADVICE r08): pint accepts all of these as the SAME unit
+# (src/utilities.py get_pint_quantity_from_h5 never hard-fails on
+# spelling), so neither may the exact-string check below. Keys are
+# lower-cased, space-stripped spellings; values are the canonical
+# token compared. Deliberately NOT a converter: "mm" vs "m" stays a
+# loud mismatch — only magnitude-IDENTICAL spellings alias.
+_UNIT_ALIASES = {
+    "angstrom": "angstrom", "angstroms": "angstrom", "å": "angstrom",
+    "ångström": "angstrom", "aa": "angstrom",
+    "nm": "nm", "nanometer": "nm", "nanometers": "nm",
+    "nanometre": "nm", "nanometres": "nm",
+    "um": "um", "µm": "um", "μm": "um", "micron": "um", "microns": "um",
+    "micrometer": "um", "micrometre": "um",
+    "mm": "mm", "millimeter": "mm", "millimeters": "mm",
+    "millimetre": "mm", "millimetres": "mm",
+    "cm": "cm", "centimeter": "cm", "centimetre": "cm",
+    "m": "m", "meter": "m", "meters": "m", "metre": "m", "metres": "m",
+    "1/s": "1/s", "s**-1": "1/s", "s^-1": "1/s", "s⁻¹": "1/s",
+    "hz": "1/s", "hertz": "1/s", "counts/s": "1/s", "cps": "1/s",
+    "s": "s", "sec": "s", "second": "s", "seconds": "s",
+    "ms": "ms", "millisecond": "ms", "milliseconds": "ms",
+    "ev": "ev", "electronvolt": "ev", "electron_volt": "ev",
+    "kev": "kev", "kiloelectronvolt": "kev",
+    "deg": "deg", "degree": "deg", "degrees": "deg", "°": "deg",
+    "rad": "rad", "radian": "rad", "radians": "rad",
+    "": "", "dimensionless": "", "unitless": "", "1": "",
+    "nx_dimensionless": "",
+}
+
+
+def normalize_unit(u: str) -> str:
+    """Canonical token for a NeXus unit spelling: lower-cased,
+    space-stripped, aliased through :data:`_UNIT_ALIASES`; unknown
+    spellings canonicalize to themselves (so two files agreeing on an
+    exotic unit still pass, and a genuine contradiction still
+    raises)."""
+    key = u.strip().lower().replace(" ", "")
+    return _UNIT_ALIASES.get(key, key)
+
+
 def flatten_tree(tree, schema: IngestSchema,
                  keys: Mapping[str, object]) -> dict:
     """One HDF5 tree (or dict fake) → one flat row dict.
 
     Unit contract: when BOTH the mapping config declares a unit and
     the file carries a ``units`` attribute on that dataset, they must
-    agree — a mismatch raises loudly (naming path and both spellings)
-    instead of silently trusting either side, because downstream
-    physics (functions/physics.py) assumes the config units. The
-    reference instead converts via pint (src/utilities.py:55-59);
-    without pint in this environment, agreement is exact-string — a
-    loud false positive on an equivalent spelling ("1/s" vs "s**-1")
-    beats a silent wrong magnitude (SURVEY.md §1.2 sentinel ethos).
-    Files or fakes without attrs skip the check.
+    agree UP TO SPELLING (:func:`normalize_unit` — "1/s" vs "s**-1"
+    vs "Hz" all pass, mirroring how the reference's pint conversion
+    accepts them, src/utilities.py:55-59) — a genuinely contradictory
+    pair ("angstrom" vs "nm") still raises loudly, naming path and
+    both spellings, instead of silently trusting either side, because
+    downstream physics (functions/physics.py) assumes the config
+    units (SURVEY.md §1.2 sentinel ethos). Files or fakes without
+    attrs skip the check.
     """
     row = dict(keys)
     for m in schema.mappings:
         if m.unit is not None:
             file_units = read_h5_units(tree, m.source_path)
-            if file_units is not None and file_units != m.unit:
+            if (file_units is not None
+                    and normalize_unit(file_units)
+                    != normalize_unit(m.unit)):
                 raise ValueError(
                     f"unit mismatch at {m.source_path}: file says "
                     f"{file_units!r}, mapping config says {m.unit!r} "

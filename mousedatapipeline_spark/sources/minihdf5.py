@@ -18,19 +18,28 @@ small arrays and strings, never chunked/compressed stacks):
 * datasets: contiguous layout (v3 message), datatypes float64 / int64 /
   fixed ASCII string; compact layout is read but never written
 * chunked layout (v3 class-2 message + v1 chunk B-tree, node type 1,
-  any depth), plain or filtered with libhdf5's two BUILTIN default
-  filters — deflate/gzip (id 1, stdlib zlib) and byte-shuffle (id 2, a
-  numpy transpose) — so a real gzip(+shuffle)-compressed
-  ``eiger_*_master.h5`` detector stack opens without h5py; exotic
-  filters (bitshuffle/LZ4/zstd/fletcher32 plugins) still raise toward
-  the ``pip install h5py`` extra
-* attributes: version-1 attribute messages (type 0x000C) on datasets
-  and groups — the ``units`` metadata the reference reads via
+  any depth), plain or filtered with libhdf5's three BUILTIN filters —
+  deflate/gzip (id 1, stdlib zlib), byte-shuffle (id 2, a numpy
+  transpose) and fletcher32 (id 3, verify-and-strip checksum) — so a
+  real gzip(+shuffle)-compressed, checksummed ``eiger_*_master.h5``
+  detector stack opens without h5py; plugin filters
+  (bitshuffle/LZ4/zstd) still raise toward the ``pip install h5py``
+  extra
+* attributes: message versions 1-3 (type 0x000C) on datasets and
+  groups — the ``units`` metadata the reference reads via
   ``h5f[path].attrs.get('units', ...)`` (src/utilities.py:55-59);
   exposed as the h5py-shaped ``.attrs`` mapping (fixed ASCII strings
-  come back as ``bytes``, exactly like h5py)
-* NO chunking, filters, vlen types, or links — a reader hitting one of
-  those raises ``UnsupportedHDF5Feature`` loudly instead of guessing
+  come back as ``bytes``, vlen strings as ``str``, exactly like h5py);
+  an attribute OUTSIDE the subset never fails the object load — it
+  becomes a lazy sentinel that raises only when that attribute is
+  touched (ADVICE r08)
+* variable-length UTF-8 strings (datatype class 9 over global heap
+  collections) for attributes and contiguous datasets — the
+  ``h5py.special_dtype(vlen=str)`` form the reference writes
+  (src/processstep_add_background_files.py:66)
+* NO links, compound/enum/reference datatypes, or v2+ superblocks — a
+  reader hitting one of those raises ``UnsupportedHDF5Feature`` loudly
+  instead of guessing
 
 The reader is written against the spec, not against this writer: it
 walks B-trees of any depth, follows object-header continuation blocks,
@@ -93,6 +102,59 @@ class _Buf:
         return addr
 
 
+class VlenStr(str):
+    """Marker: write this string as an HDF5 VARIABLE-LENGTH UTF-8
+    string (datatype class 9 + global-heap storage — what h5py writes
+    for plain ``str`` attributes and for
+    ``special_dtype(vlen=str)`` datasets, the reference's convention
+    at src/processstep_add_background_files.py:66), instead of the
+    module's fixed-ASCII default."""
+
+
+def _gheap_collection(buf: "_Buf", blobs: list[bytes]) -> int:
+    """Write one global heap collection holding ``blobs`` (object
+    indices 1..n) -> collection address. 4096-byte minimum collection
+    with a trailing free-space object, like libhdf5's allocator."""
+    body = bytearray()
+    for i, b in enumerate(blobs, start=1):
+        body += struct.pack("<HH4xQ", i, 1, len(b))
+        body += b.ljust(_pad8(len(b)), b"\x00")
+    size = max(4096, _pad8(16 + len(body) + 16))
+    col = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, size))
+    col += body
+    free = size - len(col)
+    if free >= 16:
+        # free-space object (index 0): size includes its own header
+        col += struct.pack("<HH4xQ", 0, 0, free)
+    col = col.ljust(size, b"\x00")
+    addr = buf.alloc(bytes(col))
+    return addr
+
+
+# class 9 v1, type=string (bits0), UTF-8 charset (bits1), 16-byte
+# elements; property = the base type (8-bit string, libhdf5's choice)
+_VLEN_STR_DT = (struct.pack("<B3BI", 0x19, 0x01, 0x01, 0, 16)
+                + struct.pack("<B3BI", 0x13, 0x00, 0, 0, 1))
+
+
+def _vlen_payload(value, buf: "_Buf") -> tuple[bytes, bytes, tuple[int, ...]]:
+    """Datatype body + raw ref bytes + dims for a VlenStr scalar or a
+    1-D sequence of VlenStr."""
+    scalar = isinstance(value, str)
+    strs = [value] if scalar else list(value)
+    blobs = [s.encode("utf-8") for s in strs]
+    gaddr = _gheap_collection(buf, blobs)
+    raw = b"".join(struct.pack("<IQI", len(b), gaddr, i + 1)
+                   for i, b in enumerate(blobs))
+    return _VLEN_STR_DT, raw, (() if scalar else (len(strs),))
+
+
+def _is_vlen(value) -> bool:
+    return isinstance(value, VlenStr) or (
+        isinstance(value, (list, tuple)) and bool(value)
+        and all(isinstance(x, VlenStr) for x in value))
+
+
 def _dtype_message(value) -> tuple[bytes, bytes, tuple[int, ...]]:
     """-> (datatype message body, raw data bytes, dims)."""
     if isinstance(value, str):
@@ -133,11 +195,16 @@ def _space_message(dims: tuple[int, ...]) -> bytes:
     return space + b"".join(struct.pack("<Q", d) for d in dims)
 
 
-def _attribute_message(name: str, value) -> bytes:
+def _attribute_message(name: str, value, buf: "_Buf | None" = None
+                       ) -> bytes:
     """Version-1 attribute message (spec IV.A.2.m): 8-byte header with
     the UNPADDED name/datatype/dataspace sizes, each field then padded
-    to 8 bytes, raw data last (not padded)."""
-    dt_body, raw, dims = _dtype_message(value)
+    to 8 bytes, raw data last (not padded). ``VlenStr`` values write
+    global-heap-backed class-9 vlen strings (needs ``buf``)."""
+    if _is_vlen(value):
+        dt_body, raw, dims = _vlen_payload(value, buf)
+    else:
+        dt_body, raw, dims = _dtype_message(value)
     space = _space_message(dims)
     nb = name.encode("utf-8") + b"\x00"
     body = struct.pack("<BxHHH", 1, len(nb), len(dt_body), len(space))
@@ -148,14 +215,56 @@ def _attribute_message(name: str, value) -> bytes:
     return _message(_MSG_ATTRIBUTE, body)
 
 
-def _attr_messages(attrs: Mapping[str, object] | None) -> list[bytes]:
-    return [_attribute_message(n, v) for n, v in sorted((attrs or {}).items())]
+def _attr_messages(attrs: Mapping[str, object] | None,
+                   buf: "_Buf | None" = None) -> list[bytes]:
+    return [_attribute_message(n, v, buf)
+            for n, v in sorted((attrs or {}).items())]
 
 
-# Filter ids from the spec's reserved registry (the two libhdf5
+# Filter ids from the spec's reserved registry (the three libhdf5
 # builtins this module speaks; everything else -> h5py).
 _FILTER_DEFLATE = 1
 _FILTER_SHUFFLE = 2
+_FILTER_FLETCHER32 = 3
+
+
+def _fletcher32(data: bytes) -> int:
+    """libhdf5's H5_checksum_fletcher32: fletcher-32 over big-endian
+    16-bit words, 360-word inner blocks, fold-to-16-bits between
+    blocks, odd trailing byte as the high byte of a final word.
+
+    Vectorized per block with an exactness check: within a block the
+    C accumulators only grow, so if the unbounded block total stays
+    below 2^32 no uint32 wrap occurred and the numpy sum equals the
+    word-by-word C result; the (data-dependent, near-saturated-input)
+    overflow case falls back to exact masked emulation."""
+    n2 = len(data) // 2
+    w = np.frombuffer(data, dtype=">u2", count=n2).astype(np.int64)
+    sum1, sum2 = 0, 0
+    for start in range(0, n2, 360):
+        blk = w[start:start + 360]
+        t = len(blk)
+        s = int(blk.sum())
+        # sum2 gains t*sum1 + sum_i (t - i) * w_i  (i 0-based)
+        iw = int((blk * np.arange(t, dtype=np.int64)).sum())
+        s2u = sum2 + t * sum1 + t * s - iw
+        s1u = sum1 + s
+        if s2u < 2 ** 32:
+            sum1, sum2 = s1u, s2u
+        else:  # pragma: no cover - needs ~360 consecutive 0xFFFF words
+            for v in blk.tolist():
+                sum1 = (sum1 + int(v)) & 0xFFFFFFFF
+                sum2 = (sum2 + sum1) & 0xFFFFFFFF
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
 
 
 def _byte_shuffle(raw: bytes, esize: int) -> bytes:
@@ -179,7 +288,9 @@ def _encode_chunk(raw: bytes, filters, esize: int) -> bytes:
             raw = _byte_shuffle(raw, esize)
         elif fid == _FILTER_DEFLATE:
             raw = zlib.compress(raw, cvals[0] if cvals else 6)
-        else:  # writer only ever emits the two above
+        elif fid == _FILTER_FLETCHER32:
+            raw = raw + struct.pack("<I", _fletcher32(raw))
+        else:  # writer only ever emits the three above
             raise ValueError(f"unsupported write filter id {fid}")
     return raw
 
@@ -196,16 +307,27 @@ def _decode_chunk(raw: bytes, filters, esize: int, mask: int) -> bytes:
             raw = zlib.decompress(raw)
         elif fid == _FILTER_SHUFFLE:
             raw = _byte_unshuffle(raw, esize)
+        elif fid == _FILTER_FLETCHER32:
+            if len(raw) < 4:
+                raise UnsupportedHDF5Feature(
+                    "fletcher32 chunk shorter than its checksum")
+            stored, = struct.unpack_from("<I", raw, len(raw) - 4)
+            raw = raw[:-4]
+            if _fletcher32(raw) != stored:
+                raise ValueError(
+                    f"fletcher32 checksum mismatch: stored {stored:#x}, "
+                    f"computed {_fletcher32(raw):#x} — corrupt chunk")
         else:
             raise UnsupportedHDF5Feature(
-                f"filter id {fid} (only deflate/shuffle, the libhdf5 "
-                "builtins, are supported — bitshuffle/LZ4/zstd/"
-                "fletcher32 need h5py, the documented hdf5 extra)")
+                f"filter id {fid} (only deflate/shuffle/fletcher32, "
+                "the libhdf5 builtins, are supported — bitshuffle/LZ4/"
+                "zstd need h5py, the documented hdf5 extra)")
     return raw
 
 
 _FILTER_NAMES = {_FILTER_DEFLATE: b"deflate\x00",
-                 _FILTER_SHUFFLE: b"shuffle\x00"}
+                 _FILTER_SHUFFLE: b"shuffle\x00",
+                 _FILTER_FLETCHER32: b"fletcher32\x00"}
 
 
 def _filter_pipeline_message(filters) -> bytes:
@@ -301,6 +423,18 @@ def _write_dataset(buf: _Buf, value,
                    attrs: Mapping[str, object] | None = None,
                    chunk_shape: tuple[int, ...] | None = None,
                    filters=()) -> int:
+    if _is_vlen(value):
+        if chunk_shape is not None or filters:
+            raise ValueError("vlen-string datasets are contiguous only")
+        dt_body, raw, dims = _vlen_payload(value, buf)
+        data_addr = buf.alloc(raw)
+        return buf.alloc(_object_header([
+            _message(_MSG_DATASPACE, _space_message(dims)),
+            _message(_MSG_DATATYPE, dt_body),
+            _message(_MSG_LAYOUT,
+                     struct.pack("<BBQQ", 3, 1, data_addr, len(raw))),
+            *_attr_messages(attrs, buf),
+        ]))
     dt_body, raw, dims = _dtype_message(value)
     msgs = []
     if chunk_shape is not None:
@@ -324,7 +458,7 @@ def _write_dataset(buf: _Buf, value,
         _message(_MSG_DATATYPE, dt_body),
         _message(_MSG_LAYOUT, layout),
         *msgs,
-        *_attr_messages(attrs),
+        *_attr_messages(attrs, buf),
     ]))
 
 
@@ -371,7 +505,7 @@ def _write_group(buf: _Buf, children: dict, attrs_map: Mapping,
     header_addr = buf.alloc(_object_header([
         _message(_MSG_SYMBOL_TABLE,
                  struct.pack("<QQ", btree_addr, heap_addr)),
-        *_attr_messages(attrs_map.get(path)),
+        *_attr_messages(attrs_map.get(path), buf),
     ]))
     return header_addr, btree_addr, heap_addr
 
@@ -427,7 +561,11 @@ def write_hdf5(path: str, datasets: Mapping[str, object],
     _PIPES = {"gzip": ((_FILTER_DEFLATE, (6,)),),
               "shuffle+gzip": ((_FILTER_SHUFFLE, (8,)),
                                (_FILTER_DEFLATE, (6,))),
-              "shuffle": ((_FILTER_SHUFFLE, (8,)),)}
+              "shuffle": ((_FILTER_SHUFFLE, (8,)),),
+              "fletcher32": ((_FILTER_FLETCHER32, ()),),
+              "shuffle+gzip+fletcher32": ((_FILTER_SHUFFLE, (8,)),
+                                          (_FILTER_DEFLATE, (6,)),
+                                          (_FILTER_FLETCHER32, ()))}
     filters_map = {}
     for k, v in (compress or {}).items():
         kk = "/" + k.strip("/")
@@ -585,8 +723,56 @@ def _parse_datatype(body: bytes):
         return np.dtype(f"<f{size}"), size
     if cls == 3:
         return "str", size
+    if cls == 9:
+        # Variable-length: bit-field low nibble 1 = string (the form
+        # h5py writes for plain str attrs/datasets via
+        # special_dtype(vlen=str) — reference:
+        # src/processstep_add_background_files.py:66). Elements are
+        # 16-byte global-heap references resolved by _read_vlen_strs.
+        if (bits[0] & 0x0F) != 1:
+            raise UnsupportedHDF5Feature(
+                "variable-length SEQUENCE datatypes (only vlen "
+                "strings are supported)")
+        return "vlen_str", size
     raise UnsupportedHDF5Feature(
-        f"datatype class {cls} (vlen/compound/etc. out of scope)")
+        f"datatype class {cls} (compound/enum/etc. out of scope)")
+
+
+def _read_gheap_object(data: bytes, addr: int, index: int) -> bytes:
+    """One object from a global heap collection (spec III.E): GCOL
+    signature, 8-byte collection size at +8, then objects of
+    (index u2, refcount u2, reserved 4, size u8, data padded to 8);
+    object index 0 is the free-space terminator."""
+    if data[addr:addr + 4] != b"GCOL":
+        raise UnsupportedHDF5Feature(
+            f"bad global heap collection at {addr:#x}")
+    size, = struct.unpack_from("<Q", data, addr + 8)
+    pos, end = addr + 16, addr + size
+    while pos + 16 <= end:
+        idx, = struct.unpack_from("<H", data, pos)
+        osize, = struct.unpack_from("<Q", data, pos + 8)
+        if idx == 0:    # free space: nothing past here
+            break
+        if idx == index:
+            return bytes(data[pos + 16:pos + 16 + osize])
+        pos += 16 + _pad8(osize)
+    raise UnsupportedHDF5Feature(
+        f"global heap object {index} not found in collection "
+        f"at {addr:#x}")
+
+
+def _read_vlen_strs(data: bytes, raw: bytes, n: int) -> list[str]:
+    """Decode ``n`` vlen-string elements (16-byte refs: length u4,
+    collection address u8, object index u4) from ``raw``."""
+    out = []
+    for i in range(n):
+        ln, gaddr, gidx = struct.unpack_from("<IQI", raw, 16 * i)
+        if ln == 0 or gaddr in (0, UNDEF):
+            out.append("")
+            continue
+        blob = _read_gheap_object(data, gaddr, gidx)
+        out.append(blob[:ln].decode("utf-8"))
+    return out
 
 
 def _walk_chunk_btree(data: bytes, addr: int, nd1: int
@@ -687,30 +873,92 @@ def _parse_layout(body: bytes, data: bytes) -> bytes | None:
         "produces; anything fancier needs h5py)")
 
 
-def _parse_attribute(body: bytes) -> tuple[str, object]:
-    """Version-1 attribute message -> (name, value). Fixed ASCII
-    strings come back as ``bytes`` (h5py's behavior for this datatype,
-    which the reference's ``units.decode('utf-8')`` relies on)."""
-    ver = body[0]
-    if ver != 1:
+def _attr_name_best_effort(body: bytes) -> str:
+    """The attribute's name from any message version (the name size
+    always sits at offset 2; v3 inserts an encoding byte before the
+    name) — used to key an :class:`_UnreadableAttr` sentinel when the
+    full message can't be parsed."""
+    name_sz, = struct.unpack_from("<H", body, 2)
+    at = 9 if body[0] == 3 else 8
+    return (body[at:at + name_sz].split(b"\x00", 1)[0]
+            .decode("utf-8", "replace"))
+
+
+class _UnreadableAttr:
+    """Lazy sentinel for an attribute message outside this reader's
+    subset: the OBJECT still loads (files must not become unopenable
+    because one exotic attribute exists — ADVICE r08), and only
+    touching this specific attribute raises, with the original
+    reason."""
+
+    __slots__ = ("_name", "_why")
+
+    def __init__(self, name: str, why: str) -> None:
+        self._name, self._why = name, why
+
+    def _raise(self):
         raise UnsupportedHDF5Feature(
-            f"attribute message version {ver} (only v1 supported)")
+            f"attribute {self._name!r}: {self._why} (readable via "
+            "h5py, the documented hdf5 extra)")
+
+    def decode(self, *a, **k):  # the units consumer's first touch
+        self._raise()
+
+    def __str__(self):
+        self._raise()
+
+    def __bytes__(self):
+        self._raise()
+
+    def __eq__(self, other):
+        self._raise()
+
+    def __hash__(self):  # pragma: no cover - keep dict-safe
+        return id(self)
+
+    def __repr__(self) -> str:
+        return f"<unreadable attribute {self._name!r}: {self._why}>"
+
+
+def _parse_attribute(body: bytes, data: bytes) -> tuple[str, object]:
+    """Attribute message versions 1-3 -> (name, value). Fixed ASCII
+    strings come back as ``bytes`` (h5py's behavior for this datatype,
+    which the reference's ``units.decode('utf-8')`` relies on);
+    vlen strings come back as ``str`` (h5py parity for its default
+    str-attribute encoding), arrays of either as object ndarrays.
+    ``data`` is the whole file (vlen values live in global heap
+    collections)."""
+    ver = body[0]
+    if ver not in (1, 2, 3):
+        raise UnsupportedHDF5Feature(
+            f"attribute message version {ver} (only v1-v3 supported)")
     name_sz, dt_sz, sp_sz = struct.unpack_from("<HHH", body, 2)
-    pos = 8
+    if ver >= 2 and body[1] & 0x03:
+        raise UnsupportedHDF5Feature(
+            "attribute with shared datatype/dataspace")
+    pos = 9 if ver == 3 else 8
     name = body[pos:pos + name_sz].split(b"\x00", 1)[0].decode("utf-8")
-    pos += _pad8(name_sz)
+    pad = _pad8 if ver == 1 else (lambda n: n)  # v2/v3: no field padding
+    pos += pad(name_sz)
     dt_body = body[pos:pos + dt_sz]
-    pos += _pad8(dt_sz)
+    pos += pad(dt_sz)
     sp_body = body[pos:pos + sp_sz]
-    pos += _pad8(sp_sz)
+    pos += pad(sp_sz)
     dims = _parse_dataspace(sp_body)
     dtype, esize = _parse_datatype(dt_body)
     n = int(np.prod(dims)) if dims else 1
     raw = body[pos:pos + n * esize]
-    if dtype == "str":
+    if dtype == "vlen_str":
+        vals = _read_vlen_strs(data, raw, n)
         if dims:
-            raise UnsupportedHDF5Feature("string-array attributes")
-        return name, raw[:esize].rstrip(b"\x00")
+            return name, np.array(vals, dtype=object).reshape(dims)
+        return name, vals[0]
+    if dtype == "str":
+        vals = [raw[i * esize:(i + 1) * esize].rstrip(b"\x00")
+                for i in range(n)]
+        if dims:
+            return name, np.array(vals, dtype=object).reshape(dims)
+        return name, vals[0]
     arr = np.frombuffer(raw, dtype=dtype, count=n)
     return name, (arr.reshape(dims) if dims else arr[0])
 
@@ -718,8 +966,23 @@ def _parse_attribute(body: bytes) -> tuple[str, object]:
 def _load_object(data: bytes, addr: int):
     msgs = _parse_messages(data, addr)
     types = {t for t, _ in msgs}
-    attrs = dict(_parse_attribute(b) for t, b in msgs
-                 if t == _MSG_ATTRIBUTE)
+    attrs: dict = {}
+    for t, b in msgs:
+        if t != _MSG_ATTRIBUTE:
+            continue
+        try:
+            name, val = _parse_attribute(b, data)
+        except UnsupportedHDF5Feature as exc:
+            # Tolerate attributes outside the subset: the object load
+            # must not fail because one exotic attribute exists
+            # (ADVICE r08) — store a sentinel that raises only when
+            # THAT attribute is touched.
+            try:
+                name = _attr_name_best_effort(b)
+            except Exception:
+                continue  # not even a name: drop the message
+            val = _UnreadableAttr(name, str(exc))
+        attrs[name] = val
     if _MSG_SYMBOL_TABLE in types:
         body = next(b for t, b in msgs if t == _MSG_SYMBOL_TABLE)
         btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
@@ -746,18 +1009,19 @@ def _load_object(data: bytes, addr: int):
     pipe = next((b for t, b in msgs if t == _MSG_FILTER_PIPELINE), None)
     if pipe is not None:
         filters = _parse_filter_pipeline(pipe)
-        known = {_FILTER_DEFLATE, _FILTER_SHUFFLE}
+        known = {_FILTER_DEFLATE, _FILTER_SHUFFLE, _FILTER_FLETCHER32}
         bad = [fid for fid, _ in filters if fid not in known]
         if bad:
             raise UnsupportedHDF5Feature(
-                f"filter id(s) {bad} (only deflate/shuffle, the "
-                "libhdf5 builtins, are supported — bitshuffle/LZ4/"
-                "zstd/fletcher32 need h5py, the documented hdf5 extra)")
+                f"filter id(s) {bad} (only deflate/shuffle/"
+                "fletcher32, the libhdf5 builtins, are supported — "
+                "bitshuffle/LZ4/zstd need h5py, the documented hdf5 "
+                "extra)")
     dims = _parse_dataspace(space)
     dtype, esize = _parse_datatype(dtype_b)
     raw = _parse_layout(layout_b, data)
     if raw is None:  # chunked layout: assemble from the chunk B-tree
-        if dtype == "str" or not dims:
+        if dtype in ("str", "vlen_str") or not dims:
             raise UnsupportedHDF5Feature("chunked non-array dataset")
         return _Dataset(dims, _read_chunked(layout_b, data, dims,
                                             dtype, esize, filters),
@@ -768,10 +1032,15 @@ def _load_object(data: bytes, addr: int):
     n = int(np.prod(dims)) if dims else 1
     if not raw:
         raw = b"\x00" * (n * esize)
-    if dtype == "str":
-        value: object = raw[:esize].rstrip(b"\x00")
-        if dims:
-            raise UnsupportedHDF5Feature("string arrays out of scope")
+    if dtype == "vlen_str":
+        vals = _read_vlen_strs(data, raw, n)
+        value: object = (np.array(vals, dtype=object).reshape(dims)
+                         if dims else vals[0])
+    elif dtype == "str":
+        svals = [raw[i * esize:(i + 1) * esize].rstrip(b"\x00")
+                 for i in range(n)]
+        value = (np.array(svals, dtype=object).reshape(dims)
+                 if dims else svals[0])
     else:
         arr = np.frombuffer(raw, dtype=dtype, count=n)
         value = arr.reshape(dims) if dims else arr[0]

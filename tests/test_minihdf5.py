@@ -589,3 +589,229 @@ def test_round_trip_property(tmp_path, spec):
             else:
                 assert node.shape == (len(value),)
                 assert [float(x) for x in got] == value
+
+
+# ---------------------------------------------------------------------------
+# Round 9: fletcher32 (libhdf5 builtin #3), vlen strings over the
+# global heap, attr message v2/v3, and per-attribute load tolerance.
+# ---------------------------------------------------------------------------
+
+def test_fletcher32_round_trip(tmp_path):
+    """Checksummed chunks (alone and at the end of the full
+    shuffle+gzip pipeline) verify-and-strip on read."""
+    arr = np.arange(60, dtype="<f8").reshape(6, 10) * 1.5
+    for spec in ("fletcher32", "shuffle+gzip+fletcher32"):
+        p = tmp_path / (spec.replace("+", "_") + ".h5")
+        write_hdf5(str(p), {"/d": arr}, chunks={"/d": (4, 4)},
+                   compress={"/d": spec})
+        with MiniH5File(str(p)) as f:
+            assert np.array_equal(f["/d"][()], arr)
+
+
+def test_fletcher32_detects_corruption(tmp_path):
+    """A flipped payload byte must fail the checksum LOUDLY — the
+    entire point of carrying fletcher32 on detector stacks."""
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = tmp_path / "f.h5"
+    write_hdf5(str(p), {"/d": arr}, chunks={"/d": (4, 6)},
+               compress={"/d": "fletcher32"})
+    data = bytearray(p.read_bytes())
+    at = bytes(data).find(np.float64(7.0).tobytes())
+    assert at != -1
+    data[at] ^= 0xFF
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError) as ei:
+        MiniH5File(str(p))
+    assert "fletcher32 checksum mismatch" in str(ei.value)
+
+
+def test_fletcher32_matches_word_by_word_reference():
+    """The vectorized checksum must equal exact uint32-wrapping C
+    emulation — including the all-0xFFFF near-overflow block shape and
+    odd-length tails."""
+    import random
+
+    from mousedatapipeline_spark.sources.minihdf5 import _fletcher32
+
+    def ref(data: bytes) -> int:
+        s1 = s2 = 0
+        nwords = len(data) // 2
+        pos = 0
+        while nwords:
+            tlen = min(nwords, 360)
+            nwords -= tlen
+            for _ in range(tlen):
+                s1 = (s1 + ((data[pos] << 8) | data[pos + 1])) & 0xFFFFFFFF
+                s2 = (s2 + s1) & 0xFFFFFFFF
+                pos += 2
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        if len(data) % 2:
+            s1 = (s1 + (data[-1] << 8)) & 0xFFFFFFFF
+            s2 = (s2 + s1) & 0xFFFFFFFF
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        return (s2 << 16) | s1
+
+    rng = random.Random(3)
+    cases = [b"", b"\x01", b"ab", bytes(range(256)),
+             b"\xff" * 1441, b"\xff" * 7202,
+             bytes(rng.randrange(256) for _ in range(5001))]
+    for c in cases:
+        assert _fletcher32(c) == ref(c), len(c)
+
+
+def test_vlen_str_attr_round_trip(tmp_path):
+    """VlenStr attributes (scalar + 1-D array) come back as str —
+    h5py's behavior for its DEFAULT str-attribute encoding."""
+    from mousedatapipeline_spark.sources.minihdf5 import VlenStr
+    p = tmp_path / "v.h5"
+    write_hdf5(str(p), {"/entry/d": 1.5},
+               attrs={"/entry/d": {"units": VlenStr("1/s"),
+                                   "names": [VlenStr("a"),
+                                             VlenStr("bb")]},
+                      "/entry": {"NX_class": VlenStr("NXentry")}})
+    with MiniH5File(str(p)) as f:
+        ds = f["entry"]["d"]
+        assert ds.attrs["units"] == "1/s"
+        assert isinstance(ds.attrs["units"], str)
+        assert list(ds.attrs["names"]) == ["a", "bb"]
+        assert f["entry"].attrs["NX_class"] == "NXentry"
+        assert ds[()] == 1.5
+
+
+def test_vlen_str_dataset_round_trip(tmp_path):
+    """Vlen-string datasets — the reference's background-file lists
+    (h5py.special_dtype(vlen=str),
+    src/processstep_add_background_files.py:66) — round-trip as
+    scalar str / object arrays of str."""
+    from mousedatapipeline_spark.sources.minihdf5 import VlenStr
+    p = tmp_path / "vd.h5"
+    write_hdf5(str(p), {"/bg/files": [VlenStr("x.nxs"), VlenStr("y.nxs"),
+                                      VlenStr("")],
+                        "/bg/one": VlenStr("solo")})
+    with MiniH5File(str(p)) as f:
+        assert list(f["bg"]["files"][()]) == ["x.nxs", "y.nxs", ""]
+        assert f["bg"]["one"][()] == "solo"
+
+
+def test_attr_message_v2_v3_parse():
+    """Versions 2/3 (unpadded fields; v3 adds an encoding byte before
+    the name) — the shapes newer libhdf5 headers carry."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    dt = struct.pack("<B3BI", 0x13, 0x01, 0, 0, 2)
+    sp = m._space_message(())
+    name = b"u\x00"
+    v2 = (struct.pack("<BBHHH", 2, 0, len(name), len(dt), len(sp))
+          + name + dt + sp + b"nm")
+    assert m._parse_attribute(v2, b"") == ("u", b"nm")
+    v3 = (struct.pack("<BBHHHB", 3, 0, len(name), len(dt), len(sp), 0)
+          + name + dt + sp + b"nm")
+    assert m._parse_attribute(v3, b"") == ("u", b"nm")
+
+
+def test_unreadable_attr_tolerated_lazily():
+    """An attribute OUTSIDE the subset (compound datatype here) must
+    not fail the object load (ADVICE r08): siblings stay readable, the
+    dataset stays readable, and only touching THAT attribute raises —
+    naming the attribute and the h5py extra."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    good = m._attribute_message("units", b"nm")
+    bad_name = b"weird\x00"
+    bad_dt = struct.pack("<B3BI", 0x16, 0, 0, 0, 8)   # class 6 compound
+    sp = m._space_message(())
+    bad_body = struct.pack("<BxHHH", 1, len(bad_name), len(bad_dt),
+                           len(sp))
+    bad_body += bad_name.ljust(m._pad8(len(bad_name)), b"\x00")
+    bad_body += bad_dt.ljust(m._pad8(len(bad_dt)), b"\x00")
+    bad_body += sp.ljust(m._pad8(len(sp)), b"\x00")
+    bad_body += b"\x00" * 8
+    bad = m._message(m._MSG_ATTRIBUTE, bad_body)
+    data_addr = buf.alloc(np.float64(2.5).tobytes())
+    fdt = struct.pack("<B3BIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                      0, 64, 52, 11, 0, 52, 1023)
+    hdr = buf.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        m._message(m._MSG_DATATYPE, fdt),
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        good, bad,
+    ]))
+    ds = m._load_object(bytes(buf.data), hdr)      # must NOT raise
+    assert ds.attrs["units"] == b"nm"
+    assert ds[()] == 2.5
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        str(ds.attrs["weird"])
+    assert "weird" in str(ei.value) and "h5py" in str(ei.value)
+    with pytest.raises(UnsupportedHDF5Feature):
+        ds.attrs["weird"].decode("utf-8")
+
+
+def test_h5py_fletcher32_cross_check(tmp_path):
+    """Wherever h5py IS installed: both directions of the checksummed
+    pipeline (ours -> libhdf5, h5py's fletcher32=True -> MiniH5File)."""
+    h5py = pytest.importorskip("h5py")
+    arr = np.arange(60, dtype="<f8").reshape(6, 10)
+    ours = tmp_path / "ours.h5"
+    write_hdf5(str(ours), {"/d": arr}, chunks={"/d": (4, 4)},
+               compress={"/d": "shuffle+gzip+fletcher32"})
+    with h5py.File(str(ours), "r") as f:
+        assert np.array_equal(f["/d"][()], arr)
+    theirs = tmp_path / "theirs.h5"
+    with h5py.File(str(theirs), "w") as f:
+        f.create_dataset("d", data=arr, chunks=(4, 4), shuffle=True,
+                         compression="gzip", fletcher32=True)
+    with MiniH5File(str(theirs)) as f:
+        assert np.array_equal(f["/d"][()], arr)
+
+
+def test_h5py_vlen_cross_check(tmp_path):
+    """Wherever h5py IS installed: h5py's DEFAULT str attribute (vlen
+    utf-8) and vlen datasets read back through MiniH5File, and our
+    VlenStr output reads back through libhdf5."""
+    h5py = pytest.importorskip("h5py")
+    from mousedatapipeline_spark.sources.minihdf5 import VlenStr
+    theirs = tmp_path / "theirs.h5"
+    with h5py.File(str(theirs), "w") as f:
+        d = f.create_dataset("d", data=1.0)
+        d.attrs["units"] = "1/s"
+        f.create_dataset("names", data=["a", "bb"],
+                         dtype=h5py.special_dtype(vlen=str))
+    with MiniH5File(str(theirs)) as f:
+        assert f["d"].attrs["units"] == "1/s"
+        assert list(f["names"][()]) == ["a", "bb"]
+    ours = tmp_path / "ours.h5"
+    write_hdf5(str(ours), {"/d": 1.0},
+               attrs={"/d": {"units": VlenStr("1/s")}})
+    with h5py.File(str(ours), "r") as f:
+        got = f["d"].attrs["units"]
+        got = got.decode() if isinstance(got, bytes) else got
+        assert got == "1/s"
+
+
+def test_equivalent_unit_spellings_pass(tmp_path):
+    """Spelling-equivalent units ("1/s" vs "s**-1" vs "Hz") must NOT
+    fail ingest (ADVICE r08: the reference pint-converts and accepts
+    these files); a contradictory pair still raises (the test above)."""
+    from mousedatapipeline_spark.sources.hdf5 import normalize_unit
+    assert normalize_unit("s**-1") == normalize_unit("1/s")
+    assert normalize_unit("Hz") == normalize_unit("1/s")
+    assert normalize_unit("Angstrom") == normalize_unit("Å")
+    assert normalize_unit("nanometres") == normalize_unit("nm")
+    assert normalize_unit("dimensionless") == normalize_unit("")
+    assert normalize_unit("mm") != normalize_unit("m")  # convertible
+    # but magnitude-different: must STILL raise downstream
+    p = tmp_path / "alias_units.nxs"
+    aliased = {k: dict(v) for k, v in GOLDEN_ATTRS.items()}
+    wl = "/entry/instrument/monochromator/wavelength"
+    assert aliased[wl]["units"] == "nm"
+    aliased[wl]["units"] = "nanometres"           # equivalent spelling
+    write_hdf5(str(p), GOLDEN_SPEC, attrs=aliased)
+    with MiniH5File(str(p)) as f:
+        row = flatten_tree(f, MOUSE_SCHEMA, KEYS)  # must not raise
+    assert row["wavelength"] == pytest.approx(
+        flatten_tree(MiniH5File(str(FIXTURE)), MOUSE_SCHEMA,
+                     KEYS)["wavelength"])

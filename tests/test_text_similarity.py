@@ -1053,3 +1053,28 @@ def test_degree_cap_binding_at_sf0001_matches_python(monkeypatch):
     got = {(r["d1"], r["d2"]) for r in SQ.lsh_verified_edges(d).collect()}
     assert got == _capped_edges_python(uncapped, 3)
     assert len(got) <= 3 * len({x for e in uncapped for x in e})
+
+
+def test_sqrtn_kmeans_nonempty_on_offset_sparse_ids(spark):
+    """Seed stride anchored at MIN(vec_id): an offset, sparse id
+    domain (where no id is divisible by the raw step — the ADVICE r09
+    failure) must still yield a non-empty codebook covering every
+    vector, identically to the SQL twin's (vec_id - mn) % step."""
+    from pyspark.sql import functions as F
+    ids = [1000 + 7 * i + (i % 3) for i in range(25)]  # sparse+offset
+    e = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7)], 0) for i in ids],
+        "vec_id long, embedding array<double>, label long")
+    cent = S.sqrtn_kmeans_centroids(e)
+    rows = cent.collect()
+    assert rows, "offset id domain must not empty the codebook"
+    assert all(len(r["c"]) == 2 for r in rows)
+    # every seed label is a real vec_id on the anchored stride
+    mn = min(ids)
+    import math
+    step = max(1, (max(ids) - mn + 1) // math.ceil(math.sqrt(len(ids))))
+    assert all((r["label"] - mn) % step == 0 for r in rows)
+    assigned = S.assign_cells(
+        e.select("vec_id",
+                 F.col("embedding").alias("v")), cent)
+    assert assigned.count() == len(ids)  # no vector silently dropped
