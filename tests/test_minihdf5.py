@@ -499,12 +499,17 @@ _name = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
                            max_codepoint=0x2FF),
     min_size=1, max_size=24)
+from mousedatapipeline_spark.sources.minihdf5 import VlenStr as _VS
+
 _scalar = st.one_of(
     st.floats(allow_nan=False, allow_infinity=False, width=64),
     st.integers(min_value=-2**62, max_value=2**62),
     # trailing NULs are unrepresentable under HDF5 null-pad string
     # semantics (stripped on read, like h5py) — not a round-trip bug
     st.text(max_size=40).map(lambda s: s.rstrip("\x00")),
+    # vlen utf-8 strings (global-heap storage; NULs fine — vlen is
+    # length-prefixed, not null-padded)
+    st.text(max_size=40).map(_VS),
 )
 _array = st.lists(
     st.floats(allow_nan=False, allow_infinity=False, width=64),
@@ -522,7 +527,8 @@ def test_chunked_round_trip_property(data):
     dims = tuple(data.draw(st.integers(1, 7)) for _ in range(rank))
     cdims = tuple(data.draw(st.integers(1, 9)) for _ in range(rank))
     spec = data.draw(st.sampled_from(
-        [None, "gzip", "shuffle", "shuffle+gzip"]))
+        [None, "gzip", "shuffle", "shuffle+gzip", "fletcher32",
+         "shuffle+gzip+fletcher32"]))
     arr = np.arange(int(np.prod(dims)), dtype="<f8").reshape(dims)
     with tempfile.TemporaryDirectory() as td:
         p = f"{td}/c.h5"
@@ -548,7 +554,10 @@ def test_attribute_round_trip_property(tmp_path, attrs):
             got = node.attrs
             assert set(got) == set(attrs)
             for k, v in attrs.items():
-                if isinstance(v, str):
+                if isinstance(v, _VS):      # before str: VlenStr IS str
+                    assert got[k] == str(v)
+                    assert isinstance(got[k], str)
+                elif isinstance(v, str):
                     assert got[k] == v.encode("utf-8")
                 elif isinstance(v, int):
                     assert int(got[k]) == v
@@ -580,7 +589,9 @@ def test_round_trip_property(tmp_path, spec):
             for part in full.split("/"):
                 node = node[part]
             got = node[()]
-            if isinstance(value, str):
+            if isinstance(value, _VS):  # before str: VlenStr IS str
+                assert got == str(value) and isinstance(got, str)
+            elif isinstance(value, str):
                 assert got == value.encode("utf-8")
             elif isinstance(value, int):
                 assert int(got) == value

@@ -66,6 +66,13 @@ PROBE = [
     "w01_stream_tumbling_counts",
     "w08_stream_session_window",
     "w16_stream_sliding_hll",
+    # round-9 multimodal hardening: the dedup-first band join's eager
+    # decode checkpoint and the star/rep-rep edge list now put kernel
+    # output blocks on EXECUTOR block managers; row parity here proves
+    # the guard joins + checkpoint reuse survive real process
+    # boundaries, not just the single-JVM shared-memory crutch
+    "mm03_phash_neardup",       # exact-first banded LSH + pair expand
+    "mm06_media_dedup_clusters",  # linear edges -> components
 ]
 
 # streaming fixtures are sized for sf0.01/sf0.1; the w-family reads
