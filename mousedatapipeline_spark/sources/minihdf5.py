@@ -13,8 +13,14 @@ metadata-style files, which is exactly what the reference's per
 -repetition MOUSE files are — ``src/utilities.py:11-63`` reads scalars,
 small arrays and strings, never chunked/compressed stacks):
 
-* superblock version 0, 8-byte offsets/lengths, little-endian only
-* groups: v1 B-tree (node type 0) + local heap + SNOD symbol tables
+* superblock versions 0, 2 and 3 (v2/v3 are what libhdf5 writes under
+  libver='latest' and SWMR — real Eiger acquisition files), 8-byte
+  offsets/lengths, little-endian only
+* groups: v1 B-tree (node type 0) + local heap + SNOD symbol tables,
+  AND new-style v2 ("OHDR") object headers with COMPACT link storage
+  (hard-link messages; libhdf5 keeps up to 8 links compact) — dense
+  (fractal-heap) link storage and soft/external links raise toward
+  h5py
 * datasets: contiguous layout (v3 message), datatypes float64 / int64 /
   fixed ASCII string; compact layout is read but never written
 * chunked layout (v3 class-2 message + v1 chunk B-tree, node type 1,
@@ -37,9 +43,10 @@ small arrays and strings, never chunked/compressed stacks):
   collections) for attributes and contiguous datasets — the
   ``h5py.special_dtype(vlen=str)`` form the reference writes
   (src/processstep_add_background_files.py:66)
-* NO links, compound/enum/reference datatypes, or v2+ superblocks — a
-  reader hitting one of those raises ``UnsupportedHDF5Feature`` loudly
-  instead of guessing
+* NO soft/external links, dense (fractal-heap) link storage,
+  compound/enum/reference datatypes, v4 chunked-layout indexes, or v1
+  superblocks — a reader hitting one of those raises
+  ``UnsupportedHDF5Feature`` loudly instead of guessing
 
 The reader is written against the spec, not against this writer: it
 walks B-trees of any depth, follows object-header continuation blocks,
@@ -66,8 +73,11 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 # Object header message types (spec IV.A.2)
 _MSG_NIL = 0x0000
 _MSG_DATASPACE = 0x0001
+_MSG_LINK_INFO = 0x0002
 _MSG_DATATYPE = 0x0003
+_MSG_LINK = 0x0006
 _MSG_LAYOUT = 0x0008
+_MSG_GROUP_INFO = 0x000A
 _MSG_FILTER_PIPELINE = 0x000B
 _MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
@@ -665,6 +675,81 @@ def _parse_messages(data: bytes, addr: int) -> list[tuple[int, bytes]]:
     return out
 
 
+def _parse_messages_v2(data: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Parse a version-2 ("OHDR") object header, following OCHK
+    continuation blocks — the header format libhdf5 writes under
+    libver='latest' and SWMR (how real Eiger/NeXus acquisition files
+    are written). Trailing Jenkins-lookup3 checksums are skipped, not
+    verified (this reader trusts the filesystem; fletcher32 covers the
+    data path)."""
+    if data[addr:addr + 4] != b"OHDR":
+        raise UnsupportedHDF5Feature(f"bad v2 object header at {addr:#x}")
+    ver = data[addr + 4]
+    if ver != 2:
+        raise UnsupportedHDF5Feature(f"object header v2 version {ver}")
+    flags = data[addr + 5]
+    pos = addr + 6
+    if flags & 0x20:          # access/mod/change/birth times
+        pos += 16
+    if flags & 0x10:          # non-default attr storage phase change
+        pos += 4
+    csize_bytes = 1 << (flags & 0x03)
+    chunk0, = struct.unpack_from(
+        {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[csize_bytes], data, pos)
+    pos += csize_bytes
+    tracked = bool(flags & 0x04)   # per-message 2-byte creation order
+    out: list[tuple[int, bytes]] = []
+    blocks = [(pos, pos + chunk0)]
+    while blocks:
+        p, end = blocks.pop(0)
+        while p + 4 <= end:
+            mtype = data[p]
+            msize, = struct.unpack_from("<H", data, p + 1)
+            p += 4
+            if tracked:
+                p += 2
+            body = bytes(data[p:p + msize])
+            p += msize
+            if mtype == _MSG_CONTINUATION:
+                caddr, clen = struct.unpack_from("<QQ", body, 0)
+                if data[caddr:caddr + 4] != b"OCHK":
+                    raise UnsupportedHDF5Feature(
+                        f"bad OCHK continuation at {caddr:#x}")
+                # OCHK: 4-byte signature + messages + 4-byte checksum
+                blocks.append((caddr + 4, caddr + clen - 4))
+            out.append((mtype, body))
+    return out
+
+
+def _parse_link(body: bytes) -> tuple[str, int]:
+    """Version-1 link message -> (name, object header address) for
+    HARD links; soft/external links raise toward h5py."""
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise UnsupportedHDF5Feature(f"link message version {ver}")
+    pos = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[pos]
+        pos += 1
+    if flags & 0x04:          # creation order
+        pos += 8
+    if flags & 0x10:          # charset
+        pos += 1
+    nsz = 1 << (flags & 0x03)
+    nlen, = struct.unpack_from(
+        {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[nsz], body, pos)
+    pos += nsz
+    name = body[pos:pos + nlen].decode("utf-8")
+    pos += nlen
+    if ltype != 0:
+        raise UnsupportedHDF5Feature(
+            f"link {name!r}: soft/external links not supported "
+            "(hard links only; use h5py, the documented hdf5 extra)")
+    hdr, = struct.unpack_from("<Q", body, pos)
+    return name, hdr
+
+
 def _read_heap_name(data: bytes, heap_addr: int, name_off: int) -> str:
     if data[heap_addr:heap_addr + 4] != b"HEAP":
         raise UnsupportedHDF5Feature(f"bad local heap at {heap_addr:#x}")
@@ -964,7 +1049,9 @@ def _parse_attribute(body: bytes, data: bytes) -> tuple[str, object]:
 
 
 def _load_object(data: bytes, addr: int):
-    msgs = _parse_messages(data, addr)
+    msgs = (_parse_messages_v2(data, addr)
+            if data[addr:addr + 4] == b"OHDR"
+            else _parse_messages(data, addr))
     types = {t for t, _ in msgs}
     attrs: dict = {}
     for t, b in msgs:
@@ -997,6 +1084,27 @@ def _load_object(data: bytes, addr: int):
                 name = _read_heap_name(data, heap_addr, name_off)
                 children[name] = _load_object(data, hdr)
         return _Group(children, attrs)
+
+    if _MSG_LINK in types or _MSG_LINK_INFO in types:
+        # "New-style" group (libver='latest'/SWMR): links live in the
+        # header as link messages (COMPACT storage — libhdf5's default
+        # up to 8 links). Dense storage spills links into a fractal
+        # heap + v2 B-tree, which is out of scope -> h5py.
+        li = next((b for t, b in msgs if t == _MSG_LINK_INFO), None)
+        if li is not None:
+            lflags = li[1]
+            at = 2 + (8 if lflags & 0x01 else 0)
+            fheap, = struct.unpack_from("<Q", li, at)
+            if fheap != UNDEF:
+                raise UnsupportedHDF5Feature(
+                    "dense link storage (fractal heap) — groups this "
+                    "large need h5py, the documented hdf5 extra")
+        children2: dict = {}
+        for t, b in msgs:
+            if t == _MSG_LINK:
+                name, hdr = _parse_link(b)
+                children2[name] = _load_object(data, hdr)
+        return _Group(children2, attrs)
 
     space = next((b for t, b in msgs if t == _MSG_DATASPACE), None)
     dtype_b = next((b for t, b in msgs if t == _MSG_DATATYPE), None)
@@ -1059,13 +1167,25 @@ class MiniH5File(Mapping):
             data = f.read()
         if data[:8] != _SIG:
             raise UnsupportedHDF5Feature(f"{path}: not an HDF5 file")
-        if data[8] != 0:
+        sb_ver = data[8]
+        if sb_ver == 0:
+            if data[13] != 8 or data[14] != 8:
+                raise UnsupportedHDF5Feature(
+                    f"{path}: non-8-byte offsets/lengths")
+            root_hdr, = struct.unpack_from("<Q", data, 64)
+        elif sb_ver in (2, 3):
+            # v2/v3 superblock (libver='latest' / SWMR — the format
+            # real Eiger acquisition writes): sig(8) version(1)
+            # offsets(1) lengths(1) flags(1) base(8) extension(8)
+            # eof(8) root object header address(8) checksum(4).
+            if data[9] != 8 or data[10] != 8:
+                raise UnsupportedHDF5Feature(
+                    f"{path}: non-8-byte offsets/lengths")
+            root_hdr, = struct.unpack_from("<Q", data, 36)
+        else:
             raise UnsupportedHDF5Feature(
-                f"{path}: superblock version {data[8]} (only v0 supported)")
-        if data[13] != 8 or data[14] != 8:
-            raise UnsupportedHDF5Feature(
-                f"{path}: non-8-byte offsets/lengths")
-        root_hdr, = struct.unpack_from("<Q", data, 64)
+                f"{path}: superblock version {sb_ver} "
+                "(v0/v2/v3 supported)")
         self._root = _load_object(data, root_hdr)
         self.filename = path
 

@@ -157,11 +157,18 @@ def test_reader_rejects_non_hdf5(tmp_path):
 
 def test_reader_rejects_unknown_superblock(tmp_path):
     data = bytearray(FIXTURE.read_bytes())
-    data[8] = 2  # pretend superblock v2
-    p = tmp_path / "v2.h5"
+    data[8] = 1  # superblock v1: genuinely out of scope (v0/v2/v3 in)
+    p = tmp_path / "v1lab.h5"
     p.write_bytes(bytes(data))
     with pytest.raises(UnsupportedHDF5Feature):
         MiniH5File(str(p))
+    # a v0 file MISLABELED v2 must also fail loudly (its superblock
+    # bytes don't parse as v2), never silently misread
+    data[8] = 2
+    p2 = tmp_path / "mislabel.h5"
+    p2.write_bytes(bytes(data))
+    with pytest.raises(UnsupportedHDF5Feature):
+        MiniH5File(str(p2))
 
 
 def test_many_names_force_multi_entry_snod(tmp_path):
@@ -826,3 +833,135 @@ def test_equivalent_unit_spellings_pass(tmp_path):
     assert row["wavelength"] == pytest.approx(
         flatten_tree(MiniH5File(str(FIXTURE)), MOUSE_SCHEMA,
                      KEYS)["wavelength"])
+
+
+# ---------------------------------------------------------------------------
+# Round 9b: superblock v2/v3 + version-2 ("OHDR") object headers with
+# compact link storage — the libver='latest' / SWMR shapes real Eiger
+# acquisition files carry. The writer stays v0; fixtures are crafted
+# byte-by-byte against the spec.
+# ---------------------------------------------------------------------------
+
+def _v2_msg(mtype: int, body: bytes, order: bytes = b"") -> bytes:
+    return struct.pack("<BHB", mtype, len(body), 0) + order + body
+
+
+def _v2_ohdr(msgs: bytes, flags: int = 0) -> bytes:
+    # flags & 0x3 == 0: 1-byte chunk-0 size; trailing 4-byte checksum
+    # is unverified by the reader (crafted as zeros)
+    return (b"OHDR" + bytes([2, flags]) + struct.pack("<B", len(msgs))
+            + msgs + b"\x00" * 4)
+
+
+def _craft_v3_file(tmp_path, name, link_info=None, link_flags=0x00,
+                   msg_order_tracked=False):
+    """Minimal v3-superblock file: root group (v2 header, compact
+    links) -> dataset 'd' (float64 scalar 3.25, v3 'units' attr)."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = bytearray(48)          # superblock v3 placeholder
+
+    def alloc(blob: bytes) -> int:
+        addr = len(buf)
+        buf.extend(blob)
+        return addr
+
+    fdt = struct.pack("<B3BIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                      0, 64, 52, 11, 0, 52, 1023)
+    data_addr = alloc(np.float64(3.25).tobytes())
+    sdt = struct.pack("<B3BI", 0x13, 0x01, 0, 0, 2)
+    sp0 = m._space_message(())
+    attr_v3 = (struct.pack("<BBHHHB", 3, 0, 6, len(sdt), len(sp0), 0)
+               + b"units\x00" + sdt + sp0 + b"nm")
+    order = b"\x00\x00" if msg_order_tracked else b""
+    hdr_flags = 0x04 if msg_order_tracked else 0x00
+    ds_msgs = (_v2_msg(m._MSG_DATASPACE, sp0, order)
+               + _v2_msg(m._MSG_DATATYPE, fdt, order)
+               + _v2_msg(m._MSG_LAYOUT,
+                         struct.pack("<BBQQ", 3, 1, data_addr, 8), order)
+               + _v2_msg(m._MSG_ATTRIBUTE, attr_v3, order))
+    ds_addr = alloc(_v2_ohdr(ds_msgs, hdr_flags))
+
+    if link_info is None:
+        link_info = bytes([0, 0]) + struct.pack("<QQ", m.UNDEF, m.UNDEF)
+    link = bytes([1, link_flags])
+    if link_flags & 0x08:
+        link += bytes([1])       # soft link type
+    link += bytes([1]) + b"d" + struct.pack("<Q", ds_addr)
+    root_msgs = (_v2_msg(m._MSG_LINK_INFO, link_info, order)
+                 + _v2_msg(m._MSG_LINK, link, order))
+    root_addr = alloc(_v2_ohdr(root_msgs, hdr_flags))
+
+    sb = (m._SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, m.UNDEF, len(buf), root_addr)
+          + b"\x00" * 4)
+    assert len(sb) == 48
+    buf[:48] = sb
+    p = tmp_path / name
+    p.write_bytes(bytes(buf))
+    return p
+
+
+def test_v3_superblock_v2_header_round_trip(tmp_path):
+    """v3 superblock -> v2 root header -> compact hard link -> v2
+    dataset header with a v3 attribute: the libver='latest' skeleton."""
+    p = _craft_v3_file(tmp_path, "v3.h5")
+    with MiniH5File(str(p)) as f:
+        assert list(f.keys()) == ["d"]
+        ds = f["d"]
+        assert ds[()] == 3.25
+        assert ds.attrs["units"] == b"nm"
+
+
+def test_v2_header_with_tracked_creation_order(tmp_path):
+    """Header flag bit 2 inserts a 2-byte creation order before every
+    message body — the layout libhdf5 emits when order tracking is on."""
+    p = _craft_v3_file(tmp_path, "v3o.h5", msg_order_tracked=True)
+    with MiniH5File(str(p)) as f:
+        assert f["d"][()] == 3.25
+
+
+def test_dense_link_storage_raises_toward_h5py(tmp_path):
+    """A link-info message pointing at a real fractal heap (dense
+    storage — groups past the compact threshold) must raise the
+    documented boundary error, not misread."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    li = bytes([0, 0]) + struct.pack("<QQ", 0x1000, m.UNDEF)
+    p = _craft_v3_file(tmp_path, "dense.h5", link_info=li)
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        MiniH5File(str(p))
+    assert "dense link storage" in str(ei.value)
+    assert "h5py" in str(ei.value)
+
+
+def test_soft_link_raises_toward_h5py(tmp_path):
+    p = _craft_v3_file(tmp_path, "soft.h5", link_flags=0x08)
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        MiniH5File(str(p))
+    assert "soft/external" in str(ei.value)
+
+
+def test_v1_superblock_still_rejected(tmp_path):
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    p = tmp_path / "v1.h5"
+    p.write_bytes(m._SIG + bytes([1]) + b"\x00" * 100)
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        MiniH5File(str(p))
+    assert "superblock version 1" in str(ei.value)
+
+
+def test_h5py_libver_latest_cross_check(tmp_path):
+    """Wherever h5py IS installed: a libver='latest' file (v3
+    superblock, v2 object headers, compact links, v3 attributes) must
+    read back identically through MiniH5File."""
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "latest.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        g = f.create_group("entry")
+        d = g.create_dataset("wavelength", data=0.154)
+        d.attrs["units"] = "nm"
+        g.create_dataset("counts", data=np.arange(12.0).reshape(3, 4))
+    with MiniH5File(str(p)) as f:
+        assert f["entry"]["wavelength"][()] == 0.154
+        assert f["entry"]["wavelength"].attrs["units"] == "nm"
+        assert np.array_equal(f["entry"]["counts"][()],
+                              np.arange(12.0).reshape(3, 4))
