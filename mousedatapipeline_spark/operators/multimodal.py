@@ -308,12 +308,22 @@ def _distinct_hash_pairs(dh: DataFrame, max_hamming: int,
     from mousedatapipeline_spark.operators.similarity import (
         hot_cell_guard,
     )
+    if not 0 <= max_hamming < AHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside the {AHASH_BANDS}-band "
+            f"scheme's completeness bound (hamming < {AHASH_BANDS}: "
+            "pigeonhole needs one untouched band) — a larger radius "
+            "silently loses recall; add bands instead")
     bands = dh.select(
         "ahash",
         F.explode(F.array(*[
             (F.lit(b * 65536) + ahash_band(F.col("ahash"), b))
             for b in range(AHASH_BANDS)])).alias("cell"))
-    bands = (hot_cell_guard(bands, max_bucket, what="phash_band_bucket")
+    bands = (hot_cell_guard(
+                 bands, max_bucket, what="phash_band_bucket",
+                 hint="a degenerate hash (black frames, blank images) "
+                      "is flooding one band bucket; drop it upstream "
+                      "or raise the budget")
              .localCheckpoint(eager=True))
     a = bands.select(F.col("ahash").alias("h1"), "cell")
     b = bands.select(F.col("ahash").alias("h2"), "cell")
@@ -368,7 +378,11 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
     h = hashes.localCheckpoint(eager=True)  # decode runs exactly once
     mem = (hot_cell_guard(
                h.select("media_id", F.col("ahash").alias("cell")),
-               max_group, what="phash_hash_group")
+               max_group, what="phash_hash_group",
+               hint="the pair-list surface is enumeration-bound past "
+                    "this group size; use phash_neardup_edges / the "
+                    "mm06 cluster funnel (the s02 -> c06 relationship) "
+                    "or raise the budget")
            .select("media_id", F.col("cell").alias("ahash")))
     hp = _distinct_hash_pairs(h.select("ahash").distinct(),
                               max_hamming, max_bucket)
@@ -628,7 +642,10 @@ def video_neardup_pairs(media: DataFrame, every_k: int = 2,
           .localCheckpoint(eager=True))  # decode runs exactly once
     g = (hot_cell_guard(
              fh.select("media_id", F.col("fhash").alias("cell")),
-             max_bucket, what="video_frame_bucket")
+             max_bucket, what="video_frame_bucket",
+             hint="a hot frame hash (black/intro frames, duplicate "
+                  "clip mass) is flooding one bucket; exact-dedup "
+                  "clips first or raise the budget")
          .select("media_id", F.col("cell").alias("fhash")))
     a = g.select(F.col("media_id").alias("d1"), "fhash")
     b = g.select(F.col("media_id").alias("d2"), "fhash")

@@ -490,7 +490,8 @@ MAX_CELL = 10_000
 
 def hot_cell_guard(assign: DataFrame, max_cell: int | None,
                    count_expr: Column | None = None,
-                   what: str = "assign_cells") -> DataFrame:
+                   what: str = "assign_cells",
+                   hint: str | None = None) -> DataFrame:
     """In-plan hot-cell budget: raise at execution time if any cell
     holds more than ``max_cell`` vectors, identity otherwise.
 
@@ -524,11 +525,13 @@ def hot_cell_guard(assign: DataFrame, max_cell: int | None,
     cnt = assign.groupBy("cell").agg(
         (count_expr if count_expr is not None
          else F.count(F.lit(1))).alias("__cn"))
+    if hint is None:
+        hint = ("retrain the quantizer with more cells"
+                " (k ~ sqrt(N): sqrtn_kmeans_centroids) or raise"
+                " the budget")
     err = F.concat_ws(
-        " ", F.lit(f"{what}: cell exceeds max_cell={max_cell} vectors"
-                   " — retrain the quantizer with more cells"
-                   " (k ~ sqrt(N): sqrtn_kmeans_centroids) or raise"
-                   " the budget; cell:"),
+        " ", F.lit(f"{what}: cell exceeds max_cell={max_cell} rows"
+                   f" — {hint}; cell:"),
         F.col("cell").cast("string"),
         F.concat(F.lit("size="), F.col("__cn").cast("string")))
     checked = cnt.select(

@@ -439,6 +439,12 @@ def test_multimodal_hot_bucket_guards_raise(spark):
     """The media analogues of the IVF hot-cell budget: exact-hash
     group size, (band, value) bucket, and per-frame-hash bucket each
     raise loudly past their budget and stay identity under it."""
+    # (0) radius outside the 4-band completeness bound: loud, at
+    # build time (a silent recall loss is the alternative)
+    df0 = spark.createDataFrame([(1, 2)], ["media_id", "ahash"])
+    with pytest.raises(ValueError) as e0:
+        M.phash_neardup_pairs(df0, max_hamming=4)
+    assert "completeness" in str(e0.value)
     # (a) exact-group budget: 12 media share one hash
     df = spark.createDataFrame([(i, 42) for i in range(12)],
                                ["media_id", "ahash"])
