@@ -43,10 +43,15 @@ small arrays and strings, never chunked/compressed stacks):
   collections) for attributes and contiguous datasets — the
   ``h5py.special_dtype(vlen=str)`` form the reference writes
   (src/processstep_add_background_files.py:66)
+* v4 chunked layouts (libver='latest'): Single Chunk, Implicit, and
+  non-paged Fixed Array chunk indexes — enough to read h5py's default
+  latest-format chunked/compressed datasets; Extensible Array / v2
+  B-tree indexes (unlimited dimensions) and paged Fixed Arrays raise
+  toward h5py
 * NO soft/external links, dense (fractal-heap) link storage,
-  compound/enum/reference datatypes, v4 chunked-layout indexes, or v1
-  superblocks — a reader hitting one of those raises
-  ``UnsupportedHDF5Feature`` loudly instead of guessing
+  compound/enum/reference datatypes, or v1 superblocks — a reader
+  hitting one of those raises ``UnsupportedHDF5Feature`` loudly
+  instead of guessing
 
 The reader is written against the spec, not against this writer: it
 walks B-trees of any depth, follows object-header continuation blocks,
@@ -889,28 +894,19 @@ def _walk_chunk_btree(data: bytes, addr: int, nd1: int
     return out
 
 
-def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
-                  dtype, esize: int, filters=()):
-    """Assemble a chunked dataset (v3 class-2 layout) into one
-    contiguous numpy array: zero-fill (the default fill value), then
-    decode each allocated chunk through the inverse filter pipeline
-    and copy it into place, clipping edge chunks at the dataset
+def _assemble_chunks(data: bytes, entries, cdims: tuple[int, ...],
+                     dims: tuple[int, ...], dtype, esize: int,
+                     filters=()):
+    """Assemble chunk ``entries`` [(nbytes, filter mask, grid offsets,
+    address)] into one contiguous array: zero-fill (the default fill
+    value), decode each allocated chunk through the inverse filter
+    pipeline, copy into place clipping edge chunks at the dataset
     bounds."""
-    nd1 = body[2]  # dataset rank + 1 (trailing element-size dimension)
-    baddr, = struct.unpack_from("<Q", body, 3)
-    cdims1 = struct.unpack_from(f"<{nd1}I", body, 11)
-    cdims = cdims1[:-1]
-    if cdims1[-1] != esize:
-        raise UnsupportedHDF5Feature(
-            f"chunk element size {cdims1[-1]} != datatype size {esize}")
-    if len(dims) != nd1 - 1:
-        raise UnsupportedHDF5Feature(
-            f"chunk rank {nd1 - 1} != dataspace rank {len(dims)}")
     out = np.zeros(dims, dtype=dtype)
-    if baddr == UNDEF:
-        return out  # never-allocated: all fill
     full = int(np.prod(cdims)) * esize
-    for nbytes, mask, offsets, addr in _walk_chunk_btree(data, baddr, nd1):
+    for nbytes, mask, offsets, addr in entries:
+        if addr == UNDEF:
+            continue  # unallocated chunk: fill
         if mask != 0 and not filters:
             raise UnsupportedHDF5Feature(
                 "nonzero filter mask on an unfiltered dataset")
@@ -923,7 +919,7 @@ def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
                 "h5py (the documented hdf5 extra)")
         chunk = np.frombuffer(raw, dtype=dtype).reshape(cdims)
         sl_out, sl_in = [], []
-        for off, c, d in zip(offsets[:-1], cdims, dims):
+        for off, c, d in zip(offsets, cdims, dims):
             n = min(c, d - off)
             if n <= 0:
                 break
@@ -934,13 +930,144 @@ def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
     return out
 
 
+def _read_chunked(body: bytes, data: bytes, dims: tuple[int, ...],
+                  dtype, esize: int, filters=()):
+    """Chunked dataset, v3 class-2 layout (v1 chunk B-tree index)."""
+    nd1 = body[2]  # dataset rank + 1 (trailing element-size dimension)
+    baddr, = struct.unpack_from("<Q", body, 3)
+    cdims1 = struct.unpack_from(f"<{nd1}I", body, 11)
+    cdims = cdims1[:-1]
+    if cdims1[-1] != esize:
+        raise UnsupportedHDF5Feature(
+            f"chunk element size {cdims1[-1]} != datatype size {esize}")
+    if len(dims) != nd1 - 1:
+        raise UnsupportedHDF5Feature(
+            f"chunk rank {nd1 - 1} != dataspace rank {len(dims)}")
+    if baddr == UNDEF:
+        return np.zeros(dims, dtype=dtype)  # never-allocated: all fill
+    entries = [(nbytes, mask, offsets[:-1], addr)
+               for nbytes, mask, offsets, addr
+               in _walk_chunk_btree(data, baddr, nd1)]
+    return _assemble_chunks(data, entries, cdims, dims, dtype, esize,
+                            filters)
+
+
+def _read_fixed_array(data: bytes, addr: int, filters
+                      ) -> list[tuple[int, int, int]]:
+    """Fixed Array chunk index (layout v4 type 3) -> [(address,
+    nbytes, filter mask)] in linear chunk order. Non-paged data blocks
+    only (paged arrays — past 2^page_bits entries — raise toward
+    h5py); trailing checksums skipped, not verified."""
+    if data[addr:addr + 4] != b"FAHD":
+        raise UnsupportedHDF5Feature(f"bad Fixed Array header at {addr:#x}")
+    client = data[addr + 5]
+    entry_size = data[addr + 6]
+    page_bits = data[addr + 7]
+    nelmts, = struct.unpack_from("<Q", data, addr + 8)
+    dblock, = struct.unpack_from("<Q", data, addr + 16)
+    if nelmts > (1 << page_bits):
+        raise UnsupportedHDF5Feature(
+            "paged Fixed Array chunk index — needs h5py, the "
+            "documented hdf5 extra")
+    if data[dblock:dblock + 4] != b"FADB":
+        raise UnsupportedHDF5Feature(
+            f"bad Fixed Array data block at {dblock:#x}")
+    pos = dblock + 4 + 1 + 1 + 8   # sig, version, client id, hdr addr
+    out = []
+    for _ in range(nelmts):
+        caddr, = struct.unpack_from("<Q", data, pos)
+        if client == 0:            # non-filtered: address only
+            out.append((caddr, 0, 0))
+        else:                      # filtered: address, size, mask
+            szw = entry_size - 8 - 4
+            raw = data[pos + 8:pos + 8 + szw] + b"\x00" * (8 - szw)
+            nbytes, = struct.unpack("<Q", raw)
+            mask, = struct.unpack_from("<I", data, pos + 8 + szw)
+            out.append((caddr, nbytes, mask))
+        pos += entry_size
+    return out
+
+
+def _read_chunked_v4(body: bytes, data: bytes, dims: tuple[int, ...],
+                     dtype, esize: int, filters=()):
+    """Chunked dataset, v4 class-2 layout (libver='latest'/SWMR):
+    Single Chunk, Implicit, and non-paged Fixed Array indexes;
+    Extensible Array / v2 B-tree (unlimited dims) raise toward h5py."""
+    flags = body[2]
+    nd = body[3]
+    enc = body[4]
+    pos = 5
+    sizes = []
+    for _ in range(nd):
+        raw = body[pos:pos + enc] + b"\x00" * (8 - enc)
+        sizes.append(struct.unpack("<Q", raw)[0])
+        pos += enc
+    # libhdf5 encodes rank+1 dims (trailing element size), mirroring
+    # v3; tolerate a bare-rank encoding too.
+    if nd == len(dims) + 1 and sizes[-1] == esize:
+        cdims = tuple(sizes[:-1])
+    elif nd == len(dims):
+        cdims = tuple(sizes)
+    else:
+        raise UnsupportedHDF5Feature(
+            f"v4 chunk rank {nd} does not match dataspace rank "
+            f"{len(dims)} (+1)")
+    itype = body[pos]
+    pos += 1
+    full = int(np.prod(cdims)) * esize
+    grid = list(_chunk_starts(dims, cdims))
+    if flags & 0x01 and filters:
+        raise UnsupportedHDF5Feature(
+            "DONT_FILTER_PARTIAL_BOUND_CHUNKS with a filter pipeline "
+            "— needs h5py, the documented hdf5 extra")
+    if itype == 1:        # Single Chunk
+        nbytes, mask = full, 0
+        if flags & 0x02:  # filtered single chunk: size + mask inline
+            nbytes, = struct.unpack_from("<Q", body, pos)
+            pos += 8
+            mask, = struct.unpack_from("<I", body, pos)
+            pos += 4
+        caddr, = struct.unpack_from("<Q", body, pos)
+        entries = [(nbytes, mask, (0,) * len(dims), caddr)]
+    elif itype == 2:      # Implicit: dense unfiltered chunk array
+        if filters:
+            raise UnsupportedHDF5Feature(
+                "implicit chunk index cannot carry filters "
+                "(malformed file)")
+        base, = struct.unpack_from("<Q", body, pos)
+        entries = [(full, 0, off, base + i * full)
+                   for i, off in enumerate(grid)]
+        if base == UNDEF:
+            entries = []
+    elif itype == 3:      # Fixed Array
+        pos += 1          # page bits (re-read from the FAHD header)
+        haddr, = struct.unpack_from("<Q", body, pos)
+        if haddr == UNDEF:
+            entries = []
+        else:
+            fa = _read_fixed_array(data, haddr, filters)
+            if len(fa) != len(grid):
+                raise UnsupportedHDF5Feature(
+                    f"Fixed Array holds {len(fa)} chunks, grid needs "
+                    f"{len(grid)}")
+            entries = [(nb if nb else full, mask, off, caddr)
+                       for (caddr, nb, mask), off in zip(fa, grid)]
+    else:
+        raise UnsupportedHDF5Feature(
+            f"v4 chunk indexing type {itype} (extensible array / v2 "
+            "B-tree — unlimited-dimension datasets need h5py, the "
+            "documented hdf5 extra)")
+    return _assemble_chunks(data, entries, cdims, dims, dtype, esize,
+                            filters)
+
+
 def _parse_layout(body: bytes, data: bytes) -> bytes | None:
     """Contiguous/compact raw bytes, or None for chunked (class 2 —
     the caller assembles via :func:`_read_chunked`)."""
     ver = body[0]
-    if ver != 3:
+    if ver not in (3, 4):
         raise UnsupportedHDF5Feature(
-            f"data layout message version {ver} (only v3 supported)")
+            f"data layout message version {ver} (v3/v4 supported)")
     lclass = body[1]
     if lclass == 0:      # compact: size(2) + inline data
         size, = struct.unpack_from("<H", body, 2)
@@ -1128,11 +1255,12 @@ def _load_object(data: bytes, addr: int):
     dims = _parse_dataspace(space)
     dtype, esize = _parse_datatype(dtype_b)
     raw = _parse_layout(layout_b, data)
-    if raw is None:  # chunked layout: assemble from the chunk B-tree
+    if raw is None:  # chunked layout: assemble via the chunk index
         if dtype in ("str", "vlen_str") or not dims:
             raise UnsupportedHDF5Feature("chunked non-array dataset")
-        return _Dataset(dims, _read_chunked(layout_b, data, dims,
-                                            dtype, esize, filters),
+        reader = _read_chunked_v4 if layout_b[0] == 4 else _read_chunked
+        return _Dataset(dims, reader(layout_b, data, dims,
+                                     dtype, esize, filters),
                         attrs)
     if filters:
         raise UnsupportedHDF5Feature(

@@ -965,3 +965,153 @@ def test_h5py_libver_latest_cross_check(tmp_path):
         assert f["entry"]["wavelength"].attrs["units"] == "nm"
         assert np.array_equal(f["entry"]["counts"][()],
                               np.arange(12.0).reshape(3, 4))
+
+
+# ---------------------------------------------------------------------------
+# Round 9c: v4 chunked layouts (libver='latest') — Single Chunk,
+# Implicit, and non-paged Fixed Array chunk indexes.
+# ---------------------------------------------------------------------------
+
+_F8DT = struct.pack("<B3BIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                    0, 64, 52, 11, 0, 52, 1023)
+
+
+def _v4_layout(flags, cdims, esize, itype, tail):
+    sizes = list(cdims) + [esize]
+    body = struct.pack("<BBBBB", 4, 2, flags, len(sizes), 4)
+    body += b"".join(struct.pack("<I", s) for s in sizes)
+    return body + bytes([itype]) + tail
+
+
+def _v4_dataset(buf, dims, layout_body, pipeline=None):
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    msgs = [m._message(m._MSG_DATASPACE, m._space_message(dims)),
+            m._message(m._MSG_DATATYPE, _F8DT),
+            m._message(m._MSG_LAYOUT, layout_body)]
+    if pipeline is not None:
+        msgs.append(m._message(m._MSG_FILTER_PIPELINE, pipeline))
+    return buf.alloc(m._object_header(msgs))
+
+
+def test_v4_single_chunk_plain_and_filtered():
+    import zlib
+
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    arr = np.arange(12.0).reshape(3, 4)
+    # plain: whole dataset in one chunk, address directly in the msg
+    addr = buf.alloc(arr.tobytes())
+    hdr1 = _v4_dataset(buf, (3, 4), _v4_layout(
+        0, (3, 4), 8, 1, struct.pack("<Q", addr)))
+    # filtered: flags bit1 adds (size, mask) before the address; v2
+    # filter pipeline message (no names, no padding)
+    comp = zlib.compress(arr.tobytes(), 6)
+    caddr = buf.alloc(comp)
+    pipe = struct.pack("<BB", 2, 1) + struct.pack("<HHHI", 1, 0, 1, 6)
+    hdr2 = _v4_dataset(buf, (3, 4), _v4_layout(
+        0x02, (3, 4), 8, 1,
+        struct.pack("<QIQ", len(comp), 0, caddr)), pipeline=pipe)
+    data = bytes(buf.data)
+    assert np.array_equal(m._load_object(data, hdr1)[()], arr)
+    assert np.array_equal(m._load_object(data, hdr2)[()], arr)
+
+
+def test_v4_implicit_index_with_edge_chunks():
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    arr = np.arange(20.0).reshape(4, 5)
+    cdims = (2, 3)
+    blobs = b""
+    for i0 in range(0, 4, 2):
+        for j0 in range(0, 5, 3):
+            full = np.zeros(cdims)
+            blk = arr[i0:i0 + 2, j0:j0 + 3]
+            full[:blk.shape[0], :blk.shape[1]] = blk
+            blobs += full.tobytes()
+    base = buf.alloc(blobs)
+    hdr = _v4_dataset(buf, (4, 5), _v4_layout(
+        0, cdims, 8, 2, struct.pack("<Q", base)))
+    assert np.array_equal(m._load_object(bytes(buf.data), hdr)[()], arr)
+
+
+def _fixed_array(buf, entries, entry_size, client, page_bits=10):
+    """Craft FAHD + FADB (non-paged). entries: list of packed bytes."""
+    fadb = (b"FADB" + bytes([0, client]) + struct.pack("<Q", 0)
+            + b"".join(entries) + b"\x00" * 4)
+    dblock = buf.alloc(fadb)
+    fahd = (b"FAHD" + bytes([0, client, entry_size, page_bits])
+            + struct.pack("<QQ", len(entries), dblock) + b"\x00" * 4)
+    return buf.alloc(fahd)
+
+
+def test_v4_fixed_array_plain_and_filtered():
+    import zlib
+
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    arr = np.arange(24.0).reshape(4, 6)
+    cdims = (2, 3)
+    # plain: client 0, 8-byte address entries, row-major grid order
+    plain_entries = []
+    for i0 in range(0, 4, 2):
+        for j0 in range(0, 6, 3):
+            plain_entries.append(struct.pack(
+                "<Q", buf.alloc(np.ascontiguousarray(
+                    arr[i0:i0 + 2, j0:j0 + 3]).tobytes())))
+    fa1 = _fixed_array(buf, plain_entries, 8, 0)
+    hdr1 = _v4_dataset(buf, (4, 6), _v4_layout(
+        0, cdims, 8, 3, bytes([10]) + struct.pack("<Q", fa1)))
+    # filtered: client 1, entries (addr 8, size 4, mask 4), gzip chunks
+    pipe = struct.pack("<BB", 2, 1) + struct.pack("<HHHI", 1, 0, 1, 6)
+    filt_entries = []
+    for i0 in range(0, 4, 2):
+        for j0 in range(0, 6, 3):
+            comp = zlib.compress(np.ascontiguousarray(
+                arr[i0:i0 + 2, j0:j0 + 3]).tobytes(), 6)
+            a = buf.alloc(comp)
+            filt_entries.append(struct.pack("<QI", a, len(comp))
+                                + struct.pack("<I", 0))
+    fa2 = _fixed_array(buf, filt_entries, 16, 1)
+    hdr2 = _v4_dataset(buf, (4, 6), _v4_layout(
+        0, cdims, 8, 3, bytes([10]) + struct.pack("<Q", fa2)),
+        pipeline=pipe)
+    data = bytes(buf.data)
+    assert np.array_equal(m._load_object(data, hdr1)[()], arr)
+    assert np.array_equal(m._load_object(data, hdr2)[()], arr)
+
+
+def test_v4_paged_fixed_array_and_btree_raise():
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    # paged: nelmts (4) > 2^page_bits (2) -> boundary raise
+    fadb = buf.alloc(b"FADB" + bytes([0, 0]) + struct.pack("<Q", 0))
+    fahd = buf.alloc(b"FAHD" + bytes([0, 0, 8, 1])
+                     + struct.pack("<QQ", 4, fadb) + b"\x00" * 4)
+    hdr = _v4_dataset(buf, (4, 6), _v4_layout(
+        0, (2, 3), 8, 3, bytes([1]) + struct.pack("<Q", fahd)))
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        m._load_object(bytes(buf.data), hdr)
+    assert "paged Fixed Array" in str(ei.value)
+    # v2 B-tree index (type 5): unlimited dims -> boundary raise
+    hdr2 = _v4_dataset(buf, (4, 6), _v4_layout(
+        0, (2, 3), 8, 5, struct.pack("<Q", 0)))
+    with pytest.raises(UnsupportedHDF5Feature) as e2:
+        m._load_object(bytes(buf.data), hdr2)
+    assert "indexing type 5" in str(e2.value)
+
+
+def test_h5py_latest_chunked_cross_check(tmp_path):
+    """Wherever h5py IS installed: libver='latest' chunked datasets
+    (single-chunk, multi-chunk fixed array, gzip'd) must read back
+    through MiniH5File's v4 layout path."""
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "latest_chunked.h5"
+    a1 = np.arange(12.0).reshape(3, 4)
+    a2 = np.arange(60.0).reshape(6, 10)
+    with h5py.File(str(p), "w", libver="latest") as f:
+        f.create_dataset("single", data=a1, chunks=(3, 4))
+        f.create_dataset("multi", data=a2, chunks=(4, 4),
+                         shuffle=True, compression="gzip")
+    with MiniH5File(str(p)) as f:
+        assert np.array_equal(f["single"][()], a1)
+        assert np.array_equal(f["multi"][()], a2)
