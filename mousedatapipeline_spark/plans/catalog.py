@@ -339,6 +339,15 @@ _STALE_PROOF = frozenset({
     # to (38,18). Values unchanged on shipped data; plan + oracle
     # text changed. Re-verified locally at sf0.001/0.01/0.1.
     "s38_knn_graph_stats",
+    # Round-9 guard-message parameterization: hot_cell_guard's raise
+    # literal changed ("vectors" -> "rows" + per-site hints), and that
+    # literal lives in the broadcast JOIN KEY of every IVF consumer's
+    # plan — value-identical, plan changed, so the r08 proofs are
+    # stale by the rotation rule (self-review finding; the same rule
+    # this file applies to s19/q28 above). Re-verified locally at
+    # sf0.01/0.1 the day of the change.
+    "s08_ann_ivf", "s35_hard_negatives", "s37_ivf_probe_sweep",
+    "s39_ivf_pq_index_build",
     # Round-9 ingest-fidelity items (VERDICT r08 #4/#5 + ADVICE r09):
     # flatten_tree's unit check now normalizes equivalent NeXus
     # spellings before comparing; minihdf5 gained fletcher32,

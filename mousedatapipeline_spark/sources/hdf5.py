@@ -164,16 +164,19 @@ _UNIT_ALIASES = {
     "nanometre": "nm", "nanometres": "nm",
     "um": "um", "µm": "um", "μm": "um", "micron": "um", "microns": "um",
     "micrometer": "um", "micrometre": "um",
+    "micrometers": "um", "micrometres": "um",
     "mm": "mm", "millimeter": "mm", "millimeters": "mm",
     "millimetre": "mm", "millimetres": "mm",
     "cm": "cm", "centimeter": "cm", "centimetre": "cm",
+    "centimeters": "cm", "centimetres": "cm",
     "m": "m", "meter": "m", "meters": "m", "metre": "m", "metres": "m",
     "1/s": "1/s", "s**-1": "1/s", "s^-1": "1/s", "s⁻¹": "1/s",
     "hz": "1/s", "hertz": "1/s", "counts/s": "1/s", "cps": "1/s",
     "s": "s", "sec": "s", "second": "s", "seconds": "s",
     "ms": "ms", "millisecond": "ms", "milliseconds": "ms",
     "ev": "ev", "electronvolt": "ev", "electron_volt": "ev",
-    "kev": "kev", "kiloelectronvolt": "kev",
+    "electronvolts": "ev",
+    "kev": "kev", "kiloelectronvolt": "kev", "kiloelectronvolts": "kev",
     "deg": "deg", "degree": "deg", "degrees": "deg", "°": "deg",
     "rad": "rad", "radian": "rad", "radians": "rad",
     "": "", "dimensionless": "", "unitless": "", "1": "",

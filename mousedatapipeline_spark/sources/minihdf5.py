@@ -87,6 +87,7 @@ _MSG_FILTER_PIPELINE = 0x000B
 _MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
+_MSG_ATTR_INFO = 0x0015
 
 
 class UnsupportedHDF5Feature(ValueError):
@@ -705,11 +706,22 @@ def _parse_messages_v2(data: bytes, addr: int) -> list[tuple[int, bytes]]:
     tracked = bool(flags & 0x04)   # per-message 2-byte creation order
     out: list[tuple[int, bytes]] = []
     blocks = [(pos, pos + chunk0)]
+    hdr_len = 6 if tracked else 4   # a trailing gap SMALLER than one
+    # full message header is spec-legal slack, not a message — with
+    # tracked creation order the header is 6 bytes, so testing for 4
+    # would decode a 4-5 byte gap as a bogus (type, size) pair
     while blocks:
         p, end = blocks.pop(0)
-        while p + 4 <= end:
+        while p + hdr_len <= end:
             mtype = data[p]
             msize, = struct.unpack_from("<H", data, p + 1)
+            mflags = data[p + 3]
+            if mflags & 0x02:
+                raise UnsupportedHDF5Feature(
+                    f"shared object header message (type {mtype}) — "
+                    "the body is a heap reference this reader would "
+                    "misparse as inline data; needs h5py, the "
+                    "documented hdf5 extra")
             p += 4
             if tracked:
                 p += 2
@@ -1180,6 +1192,21 @@ def _load_object(data: bytes, addr: int):
             if data[addr:addr + 4] == b"OHDR"
             else _parse_messages(data, addr))
     types = {t for t, _ in msgs}
+    ai = next((b for t, b in msgs if t == _MSG_ATTR_INFO), None)
+    if ai is not None:
+        # Attribute Info: past libhdf5's compact threshold (default 8)
+        # ALL attributes move to dense fractal-heap storage and the
+        # 0x000C messages disappear — silently returning attrs == {}
+        # would skip the units cross-check on exactly the files this
+        # module claims to read, so raise like the dense-LINK case.
+        aflags = ai[1]
+        at = 2 + (2 if aflags & 0x01 else 0)
+        fheap, = struct.unpack_from("<Q", ai, at)
+        if fheap != UNDEF:
+            raise UnsupportedHDF5Feature(
+                "dense attribute storage (fractal heap) — objects "
+                "with this many attributes need h5py, the documented "
+                "hdf5 extra")
     attrs: dict = {}
     for t, b in msgs:
         if t != _MSG_ATTRIBUTE:

@@ -854,7 +854,7 @@ def _v2_ohdr(msgs: bytes, flags: int = 0) -> bytes:
 
 
 def _craft_v3_file(tmp_path, name, link_info=None, link_flags=0x00,
-                   msg_order_tracked=False):
+                   msg_order_tracked=False, trailing_gap=0):
     """Minimal v3-superblock file: root group (v2 header, compact
     links) -> dataset 'd' (float64 scalar 3.25, v3 'units' attr)."""
     from mousedatapipeline_spark.sources import minihdf5 as m
@@ -888,7 +888,8 @@ def _craft_v3_file(tmp_path, name, link_info=None, link_flags=0x00,
         link += bytes([1])       # soft link type
     link += bytes([1]) + b"d" + struct.pack("<Q", ds_addr)
     root_msgs = (_v2_msg(m._MSG_LINK_INFO, link_info, order)
-                 + _v2_msg(m._MSG_LINK, link, order))
+                 + _v2_msg(m._MSG_LINK, link, order)
+                 + b"\x00" * trailing_gap)
     root_addr = alloc(_v2_ohdr(root_msgs, hdr_flags))
 
     sb = (m._SIG + bytes([3, 8, 8, 0])
@@ -1115,3 +1116,60 @@ def test_h5py_latest_chunked_cross_check(tmp_path):
     with MiniH5File(str(p)) as f:
         assert np.array_equal(f["single"][()], a1)
         assert np.array_equal(f["multi"][()], a2)
+
+
+def test_dense_attr_storage_raises_toward_h5py():
+    """An Attribute Info message with a REAL fractal heap (libhdf5
+    moves ALL attributes to dense storage past the compact threshold,
+    removing the 0x000C messages) must raise — silently returning
+    attrs == {} would skip the units cross-check (review finding)."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    data_addr = buf.alloc(np.float64(1.0).tobytes())
+    ai = bytes([0, 0]) + struct.pack("<QQ", 0x2000, m.UNDEF)
+    hdr = buf.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        m._message(m._MSG_DATATYPE, _F8DT),
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        m._message(m._MSG_ATTR_INFO, ai),
+    ]))
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        m._load_object(bytes(buf.data), hdr)
+    assert "dense attribute storage" in str(ei.value)
+    # UNDEF heap address (info message but attrs still compact): fine
+    ai2 = bytes([0, 0]) + struct.pack("<QQ", m.UNDEF, m.UNDEF)
+    hdr2 = buf.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        m._message(m._MSG_DATATYPE, _F8DT),
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        m._message(m._MSG_ATTR_INFO, ai2),
+    ]))
+    assert m._load_object(bytes(buf.data), hdr2)[()] == 1.0
+
+
+def test_v2_header_shared_message_raises(tmp_path):
+    """A v2 message with the SHARED flag stores a heap reference, not
+    an inline body — parsing it inline would misread (review finding)."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    body = m._space_message(())
+    shared = (struct.pack("<BHB", m._MSG_DATASPACE, len(body), 0x02)
+              + body)
+    hdr = buf.alloc(b"OHDR" + bytes([2, 0])
+                    + struct.pack("<B", len(shared)) + shared
+                    + b"\x00" * 4)
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        m._load_object(bytes(buf.data), hdr)
+    assert "shared object header message" in str(ei.value)
+
+
+def test_v2_header_tracked_gap_not_misparsed(tmp_path):
+    """With creation-order tracking the message header is 6 bytes; a
+    spec-legal 4-5 byte trailing gap must be treated as slack, not
+    decoded as a bogus message (review finding)."""
+    p = _craft_v3_file(tmp_path, "gap.h5", msg_order_tracked=True,
+                       trailing_gap=5)
+    with MiniH5File(str(p)) as f:
+        assert f["d"][()] == 3.25
