@@ -1191,8 +1191,20 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
     # the edge list to m*|V| so the iterative consumers stay linear in
     # the corpus even under pathological duplicate mass.
     capped = S.degree_cap_edges(verified, MAX_NEARDUP_DEGREE)
-    return capped.select("d1", "d2", "n_common",
-                         stable_round(F.col("jaccard_raw")).alias("jaccard"))
+    # Eager-checkpoint the RESULT: this helper's callers fan the edge
+    # list into multiple branches (s33 joins it once per source side;
+    # CC/PageRank consumers iterate over it), and without a pinned
+    # result each branch re-runs the verify join — the expensive
+    # stage — once per consumer. Measured at sfx10 when round 9 first
+    # dropped the interior `verified` checkpoint without pinning the
+    # result: s33 26.3 -> 205 s, s19 33 -> 60 s; pinning the capped
+    # output restores one-run semantics for every downstream shape
+    # (the scalar edge list is small — the arrays never leave the
+    # verify join).
+    return (capped.select("d1", "d2", "n_common",
+                          stable_round(F.col("jaccard_raw"))
+                          .alias("jaccard"))
+            .localCheckpoint(eager=True))
 
 
 # --------------------------------------------------------------------------
