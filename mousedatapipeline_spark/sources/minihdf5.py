@@ -88,6 +88,12 @@ _MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
 _MSG_ATTR_INFO = 0x0015
+# Pseudo-type emitted by the parsers for a SHARED attribute message
+# (flags bit 1): the body is a heap reference, not an inline
+# attribute, so _load_object degrades it to an _UnreadableAttr
+# sentinel (the object must still open — ADVICE r08) instead of
+# parsing garbage. Outside the real 2-byte message-type space.
+_MSG_ATTR_SHARED = 0x1000C
 
 
 class UnsupportedHDF5Feature(ValueError):
@@ -669,7 +675,18 @@ def _parse_messages(data: bytes, addr: int) -> list[tuple[int, bytes]]:
     while blocks and len(out) < nmsgs:
         pos, end = blocks.pop(0)
         while pos + 8 <= end and len(out) < nmsgs:
-            mtype, msize, _flags = struct.unpack_from("<HHB3x", data, pos)
+            mtype, msize, mflags = struct.unpack_from("<HHB3x", data, pos)
+            if mflags & 0x02:
+                # shared message: the body is a heap/object reference,
+                # not inline data — parsing it inline would misread
+                if mtype == _MSG_ATTRIBUTE:
+                    mtype = _MSG_ATTR_SHARED
+                else:
+                    raise UnsupportedHDF5Feature(
+                        f"shared object header message (type {mtype})"
+                        " — the body is a reference this reader would"
+                        " misparse as inline data; needs h5py, the"
+                        " documented hdf5 extra")
             body = bytes(data[pos + 8:pos + 8 + msize])
             pos += 8 + msize
             if mtype == _MSG_CONTINUATION:
@@ -717,11 +734,15 @@ def _parse_messages_v2(data: bytes, addr: int) -> list[tuple[int, bytes]]:
             msize, = struct.unpack_from("<H", data, p + 1)
             mflags = data[p + 3]
             if mflags & 0x02:
-                raise UnsupportedHDF5Feature(
-                    f"shared object header message (type {mtype}) — "
-                    "the body is a heap reference this reader would "
-                    "misparse as inline data; needs h5py, the "
-                    "documented hdf5 extra")
+                # shared message: body is a reference, never inline
+                if mtype == _MSG_ATTRIBUTE:
+                    mtype = _MSG_ATTR_SHARED
+                else:
+                    raise UnsupportedHDF5Feature(
+                        f"shared object header message (type {mtype})"
+                        " — the body is a heap reference this reader"
+                        " would misparse as inline data; needs h5py,"
+                        " the documented hdf5 extra")
             p += 4
             if tracked:
                 p += 2
@@ -1208,7 +1229,21 @@ def _load_object(data: bytes, addr: int):
                 "with this many attributes need h5py, the documented "
                 "hdf5 extra")
     attrs: dict = {}
+    n_shared_attrs = 0
     for t, b in msgs:
+        if t == _MSG_ATTR_SHARED:
+            # A SHARED attribute message (SOHM): the body is a heap
+            # reference, so even the NAME is unreachable without the
+            # shared-message index. The object still opens (ADVICE
+            # r08); the sentinel raises only if something touches it,
+            # under a synthetic key no real units/metadata lookup
+            # would probe.
+            n_shared_attrs += 1
+            key = f"<shared attribute #{n_shared_attrs}>"
+            attrs[key] = _UnreadableAttr(
+                key, "shared attribute message (SOHM) — the value "
+                     "lives in the shared-message index")
+            continue
         if t != _MSG_ATTRIBUTE:
             continue
         try:

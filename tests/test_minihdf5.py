@@ -1149,10 +1149,12 @@ def test_dense_attr_storage_raises_toward_h5py():
     assert m._load_object(bytes(buf.data), hdr2)[()] == 1.0
 
 
-def test_v2_header_shared_message_raises(tmp_path):
-    """A v2 message with the SHARED flag stores a heap reference, not
-    an inline body — parsing it inline would misread (review finding)."""
+def test_shared_message_raises_in_both_header_versions(tmp_path):
+    """A message with the SHARED flag stores a heap reference, not an
+    inline body — parsing it inline would misread (review findings:
+    the guard must cover v1 headers too, not just v2)."""
     from mousedatapipeline_spark.sources import minihdf5 as m
+    # v2 header, shared dataspace
     buf = m._Buf()
     body = m._space_message(())
     shared = (struct.pack("<BHB", m._MSG_DATASPACE, len(body), 0x02)
@@ -1163,6 +1165,68 @@ def test_v2_header_shared_message_raises(tmp_path):
     with pytest.raises(UnsupportedHDF5Feature) as ei:
         m._load_object(bytes(buf.data), hdr)
     assert "shared object header message" in str(ei.value)
+    # v1 header, shared DATATYPE (the committed/named-datatype shape):
+    # craft a v1 message with flags bit 1 set
+    buf1 = m._Buf()
+    data_addr = buf1.alloc(np.float64(1.0).tobytes())
+    ref = struct.pack("<BBQ", 3, 0, 0x1234)   # shared-msg reference
+    sh_dt = (struct.pack("<HHB3x", m._MSG_DATATYPE,
+                         m._pad8(len(ref)), 0x02)
+             + ref.ljust(m._pad8(len(ref)), b"\x00"))
+    hdr1 = buf1.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        sh_dt,
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+    ]))
+    with pytest.raises(UnsupportedHDF5Feature) as e1:
+        m._load_object(bytes(buf1.data), hdr1)
+    assert "shared object header message" in str(e1.value)
+
+
+def test_shared_attribute_degrades_to_sentinel(tmp_path):
+    """A SHARED attribute message must NOT make the object unopenable
+    (the ADVICE r08 invariant): it degrades to a lazy sentinel under a
+    synthetic key, and only touching it raises — in BOTH header
+    versions (review finding)."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    # v1 header
+    buf = m._Buf()
+    data_addr = buf.alloc(np.float64(2.5).tobytes())
+    ref = struct.pack("<BBQ", 3, 0, 0x1234)
+    sh_attr = (struct.pack("<HHB3x", m._MSG_ATTRIBUTE,
+                           m._pad8(len(ref)), 0x02)
+               + ref.ljust(m._pad8(len(ref)), b"\x00"))
+    hdr = buf.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        m._message(m._MSG_DATATYPE, _F8DT),
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        m._message(m._MSG_ATTRIBUTE,
+                   m._attribute_message("units", b"nm")[8:]),
+        sh_attr,
+    ]))
+    ds = m._load_object(bytes(buf.data), hdr)       # must NOT raise
+    assert ds[()] == 2.5
+    assert ds.attrs["units"] == b"nm"
+    skey = [k for k in ds.attrs if k.startswith("<shared attribute")]
+    assert len(skey) == 1
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        str(ds.attrs[skey[0]])
+    assert "shared attribute message" in str(ei.value)
+    # v2 header
+    buf2 = m._Buf()
+    data2 = buf2.alloc(np.float64(3.5).tobytes())
+    msgs = (_v2_msg(m._MSG_DATASPACE, m._space_message(()))
+            + _v2_msg(m._MSG_DATATYPE, _F8DT)
+            + _v2_msg(m._MSG_LAYOUT,
+                      struct.pack("<BBQQ", 3, 1, data2, 8))
+            + struct.pack("<BHB", m._MSG_ATTRIBUTE, len(ref), 0x02)
+            + ref)
+    hdr2 = buf2.alloc(_v2_ohdr(msgs))
+    ds2 = m._load_object(bytes(buf2.data), hdr2)
+    assert ds2[()] == 3.5
+    assert any(k.startswith("<shared attribute") for k in ds2.attrs)
 
 
 def test_v2_header_tracked_gap_not_misparsed(tmp_path):
