@@ -383,7 +383,12 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
                     "this group size; use phash_neardup_edges / the "
                     "mm06 cluster funnel (the s02 -> c06 relationship) "
                     "or raise the budget")
-           .select("media_id", F.col("cell").alias("ahash")))
+           .select("media_id", F.col("cell").alias("ahash"))
+           # Pin the RESULT: m1/m2 and both same/cross branches read
+           # this four times — without its own eager checkpoint the
+           # guard aggregation + error-check join re-runs per consumer
+           # (ADVICE r09; the decode kernel was already pinned by h).
+           .localCheckpoint(eager=True))
     hp = _distinct_hash_pairs(h.select("ahash").distinct(),
                               max_hamming, max_bucket)
     m1 = mem.select(F.col("media_id").alias("i1"),

@@ -186,11 +186,21 @@ _UNIT_ALIASES = {
 
 def normalize_unit(u: str) -> str:
     """Canonical token for a NeXus unit spelling: lower-cased,
-    space-stripped, aliased through :data:`_UNIT_ALIASES`; unknown
-    spellings canonicalize to themselves (so two files agreeing on an
-    exotic unit still pass, and a genuine contradiction still
-    raises)."""
-    key = u.strip().lower().replace(" ", "")
+    whitespace around OPERATORS stripped ("1 / s" == "1/s"), aliased
+    through :data:`_UNIT_ALIASES`; unknown spellings canonicalize to
+    themselves (so two files agreeing on an exotic unit still pass,
+    and a genuine contradiction still raises).
+
+    Whitespace between BARE tokens is never collapsed (ADVICE r09):
+    "m s" must not alias to "ms" — a magnitude-wrong pairing the
+    exact-string check would otherwise silently pass. Spellings with
+    internal spaces and no operator compare as their single-spaced
+    lowercase form, so they only match the same spaced spelling —
+    a contradiction stays a loud raise, never a silent accept."""
+    base = " ".join(u.strip().lower().split())
+    key = base.replace(" ", "")
+    if base != key and not any(op in base for op in "/*^·⁻"):
+        return base
     return _UNIT_ALIASES.get(key, key)
 
 

@@ -18,9 +18,9 @@ small arrays and strings, never chunked/compressed stacks):
   offsets/lengths, little-endian only
 * groups: v1 B-tree (node type 0) + local heap + SNOD symbol tables,
   AND new-style v2 ("OHDR") object headers with COMPACT link storage
-  (hard-link messages; libhdf5 keeps up to 8 links compact) — dense
-  (fractal-heap) link storage and soft/external links raise toward
-  h5py
+  (hard-link messages; libhdf5 keeps up to 8 links compact) AND dense
+  (fractal-heap + type-5 name-index v2 B-tree) link storage —
+  soft/external links raise toward h5py
 * datasets: contiguous layout (v3 message), datatypes float64 / int64 /
   fixed ASCII string; compact layout is read but never written
 * chunked layout (v3 class-2 message + v1 chunk B-tree, node type 1,
@@ -39,6 +39,27 @@ small arrays and strings, never chunked/compressed stacks):
   an attribute OUTSIDE the subset never fails the object load — it
   becomes a lazy sentinel that raises only when that attribute is
   touched (ADVICE r08)
+* DENSE attribute storage (libver='latest' past libhdf5's
+  max_compact=8: ALL attributes move into a fractal heap indexed by a
+  type-8 name v2 B-tree) — read via full index ITERATION, each heap
+  ID resolved out of the root direct block or the root indirect
+  block's direct rows; tiny heap IDs decode inline, huge (v2-B-tree
+  -indexed) objects, filtered heaps, nested indirect rows and
+  depth>0 index trees (>119 attributes on ONE object) raise toward
+  h5py. The writer mirrors libhdf5's threshold (>8 attrs -> dense,
+  lookup3 name hashes + metadata checksums), so round-trip fixtures
+  exercise the real on-disk shape
+
+PERMANENT BOUNDARY — SOHM (shared object header messages): a file
+written with a shared-message index (``H5Pset_shared_mesg_nindexes``)
+stores attribute/datatype/dataspace message BODIES in a global SOHM
+table referenced from the superblock extension. Nothing in the MOUSE
+acquisition chain writes SOHM (libhdf5 default is OFF and h5py exposes
+no knob), so this module deliberately does not read the table: a
+shared DATASPACE/DATATYPE raises loudly, a shared ATTRIBUTE degrades
+to a lazy per-attribute sentinel (the object still opens — ADVICE
+r08). If a real fixture ever carries SOHM, read it with h5py, the
+documented hdf5 extra.
 * variable-length UTF-8 strings (datatype class 9 over global heap
   collections) for attributes and contiguous datasets — the
   ``h5py.special_dtype(vlen=str)`` form the reference writes
@@ -217,12 +238,12 @@ def _space_message(dims: tuple[int, ...]) -> bytes:
     return space + b"".join(struct.pack("<Q", d) for d in dims)
 
 
-def _attribute_message(name: str, value, buf: "_Buf | None" = None
-                       ) -> bytes:
-    """Version-1 attribute message (spec IV.A.2.m): 8-byte header with
-    the UNPADDED name/datatype/dataspace sizes, each field then padded
-    to 8 bytes, raw data last (not padded). ``VlenStr`` values write
-    global-heap-backed class-9 vlen strings (needs ``buf``)."""
+def _attribute_body(name: str, value, buf: "_Buf | None" = None
+                    ) -> bytes:
+    """Version-1 attribute message BODY (spec IV.A.2.m): 8-byte header
+    with the UNPADDED name/datatype/dataspace sizes, each field then
+    padded to 8 bytes, raw data last (not padded). ``VlenStr`` values
+    write global-heap-backed class-9 vlen strings (needs ``buf``)."""
     if _is_vlen(value):
         dt_body, raw, dims = _vlen_payload(value, buf)
     else:
@@ -234,13 +255,165 @@ def _attribute_message(name: str, value, buf: "_Buf | None" = None
     body += dt_body.ljust(_pad8(len(dt_body)), b"\x00")
     body += space.ljust(_pad8(len(space)), b"\x00")
     body += raw
-    return _message(_MSG_ATTRIBUTE, body)
+    return body
+
+
+def _attribute_message(name: str, value, buf: "_Buf | None" = None
+                       ) -> bytes:
+    return _message(_MSG_ATTRIBUTE, _attribute_body(name, value, buf))
+
+
+def _rot32(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' public-domain lookup3 ``hashlittle`` — libhdf5's
+    H5_checksum_lookup3, used for every "latest"-format metadata
+    checksum AND the dense-storage name hashes (H5Adense.c /
+    H5Gdense.c hash names with initval 0). Implemented from the
+    published lookup3.c; the tail zero-pads to 12 bytes, which is
+    sum-identical to the reference's per-length switch because every
+    switch arm only adds the REAL bytes into little-endian words."""
+    m = 0xFFFFFFFF
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & m
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & m
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & m
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & m
+        a = (a - c) & m; a ^= _rot32(c, 4); c = (c + b) & m
+        b = (b - a) & m; b ^= _rot32(a, 6); a = (a + c) & m
+        c = (c - b) & m; c ^= _rot32(b, 8); b = (b + a) & m
+        a = (a - c) & m; a ^= _rot32(c, 16); c = (c + b) & m
+        b = (b - a) & m; b ^= _rot32(a, 19); a = (a + c) & m
+        c = (c - b) & m; c ^= _rot32(b, 4); b = (b + a) & m
+        i += 12
+        length -= 12
+    if length == 0:
+        return c
+    tail = data[i:i + length] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & m
+    b = (b + int.from_bytes(tail[4:8], "little")) & m
+    c = (c + int.from_bytes(tail[8:12], "little")) & m
+    c ^= b; c = (c - _rot32(b, 14)) & m
+    a ^= c; a = (a - _rot32(c, 11)) & m
+    b ^= a; b = (b - _rot32(a, 25)) & m
+    c ^= b; c = (c - _rot32(b, 16)) & m
+    a ^= c; a = (a - _rot32(c, 4)) & m
+    b ^= a; b = (b - _rot32(a, 14)) & m
+    c ^= b; c = (c - _rot32(b, 24)) & m
+    return c
+
+
+# libhdf5 keeps up to max_compact=8 attribute messages in the header;
+# attribute #9 moves ALL of them to dense (fractal-heap) storage.
+_DENSE_ATTR_THRESHOLD = 8
+
+
+def _write_fractal_heap(buf: "_Buf", blobs: list[bytes]
+                        ) -> tuple[int, list[bytes]]:
+    """One fractal heap (spec III.F) holding ``blobs`` as managed
+    objects in a single root DIRECT block -> (header address,
+    [8-byte managed heap IDs]). Geometry mirrors libhdf5's dense
+    -attribute heap: 32-bit heap offsets (4-byte ID offset field),
+    3-byte ID length field, 8-byte IDs — the reader recomputes both
+    field widths from the header, so this doubles as a fixture
+    generator for the read path."""
+    width, max_direct, max_man, heap_bits = 4, 1 << 24, 1 << 16, 32
+    off_size, len_size = 4, 3
+    id_len = 1 + off_size + len_size            # == 8
+    for b in blobs:
+        if len(b) > max_man:
+            raise ValueError(
+                f"managed heap object of {len(b)} bytes exceeds the "
+                f"{max_man}-byte managed-object bound")
+    hdr_size = 4 + 1 + 8 + off_size             # FHDB, unchecksummed
+    need = hdr_size + sum(map(len, blobs))
+    block_size = 512
+    while block_size < need:
+        block_size <<= 1
+    if block_size > max_direct:
+        raise ValueError("dense attribute set exceeds one direct block")
+    ids: list[bytes] = []
+    off = hdr_size
+    payload = bytearray()
+    for b in blobs:
+        ids.append(bytes([0x00]) + off.to_bytes(off_size, "little")
+                   + len(b).to_bytes(len_size, "little"))
+        payload += b
+        off += len(b)
+    block = bytearray(b"FHDB" + bytes([0]) + struct.pack("<Q", 0)
+                      + (0).to_bytes(off_size, "little") + payload)
+    block.extend(b"\x00" * (block_size - len(block)))
+    baddr = buf.alloc(bytes(block))
+    hdr = bytearray(b"FRHP" + bytes([0]))
+    hdr += struct.pack("<HHBI", id_len, 0, 0, max_man)
+    hdr += struct.pack("<12Q",
+                       0, UNDEF,                 # next huge id, huge bt
+                       block_size - off, UNDEF,  # free space, fs mgr
+                       block_size, block_size,   # managed, allocated
+                       off, len(blobs),          # iterator, n managed
+                       0, 0, 0, 0)               # huge/tiny size+count
+    hdr += struct.pack("<HQQHHQH", width, block_size, max_direct,
+                       heap_bits, 0, baddr, 0)
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    haddr = buf.alloc(bytes(hdr))
+    # back-patch the direct block's heap-header address (legal: the
+    # unchecksummed-block flag is 0, nothing covers these bytes)
+    buf.data[baddr + 5:baddr + 13] = struct.pack("<Q", haddr)
+    return haddr, ids
+
+
+def _write_v2_btree(buf: "_Buf", btype: int, records: list[bytes]) -> int:
+    """v2 B-tree (spec III.A.2), root-leaf shape: one BTLF holding all
+    ``records`` (caller sorts), one BTHD -> header address. libhdf5's
+    2048-byte node holds 119 dense-attr records before growing depth
+    1, which this writer (like the reader) does not speak."""
+    rec_size = len(records[0])
+    node_size = 2048
+    if 6 + rec_size * len(records) + 4 > node_size:
+        raise ValueError(
+            f"{len(records)} records overflow one {node_size}-byte "
+            "v2 B-tree leaf (depth-1 trees are out of scope)")
+    leaf = bytearray(b"BTLF" + bytes([0, btype]))
+    for r in records:
+        leaf += r
+    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+    laddr = buf.alloc(bytes(leaf))
+    hdr = bytearray(b"BTHD" + bytes([0, btype]))
+    hdr += struct.pack("<IHHBB", node_size, rec_size, 0, 100, 40)
+    hdr += struct.pack("<QHQ", laddr, len(records), len(records))
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    return buf.alloc(bytes(hdr))
+
+
+def _dense_attr_info_message(items: list[tuple[str, object]],
+                             buf: "_Buf") -> bytes:
+    """Dense attribute storage, libhdf5-shaped: attribute-message
+    bodies as fractal-heap managed objects + a type-8 name-index v2
+    B-tree (records sorted by lookup3 name hash, creation order as
+    tiebreak), referenced from ONE Attribute Info message."""
+    bodies = [_attribute_body(n, v, buf) for n, v in items]
+    heap_addr, ids = _write_fractal_heap(buf, bodies)
+    recs = []
+    for order, ((name, _v), hid) in enumerate(zip(items, ids)):
+        h = _lookup3(name.encode("utf-8"))
+        recs.append((h, order,
+                     hid + bytes([0]) + struct.pack("<II", order, h)))
+    recs.sort(key=lambda t: (t[0], t[1]))
+    bt_addr = _write_v2_btree(buf, 8, [r for _, _, r in recs])
+    body = bytes([0, 0]) + struct.pack("<QQ", heap_addr, bt_addr)
+    return _message(_MSG_ATTR_INFO, body)
 
 
 def _attr_messages(attrs: Mapping[str, object] | None,
                    buf: "_Buf | None" = None) -> list[bytes]:
-    return [_attribute_message(n, v, buf)
-            for n, v in sorted((attrs or {}).items())]
+    items = sorted((attrs or {}).items())
+    if len(items) <= _DENSE_ATTR_THRESHOLD:
+        return [_attribute_message(n, v, buf) for n, v in items]
+    return [_dense_attr_info_message(items, buf)]
 
 
 # Filter ids from the spec's reserved registry (the three libhdf5
@@ -676,6 +849,14 @@ def _parse_messages(data: bytes, addr: int) -> list[tuple[int, bytes]]:
         pos, end = blocks.pop(0)
         while pos + 8 <= end and len(out) < nmsgs:
             mtype, msize, mflags = struct.unpack_from("<HHB3x", data, pos)
+            if pos + 8 + msize > end:
+                # A message body may never cross its block boundary —
+                # an oversized msize would silently consume gap bytes
+                # (or bytes past the block) as body (ADVICE r09).
+                raise ValueError(
+                    f"object header message (type {mtype}) at "
+                    f"{pos:#x} overruns its header block by "
+                    f"{pos + 8 + msize - end} bytes — corrupt file")
             if mflags & 0x02:
                 # shared message: the body is a heap/object reference,
                 # not inline data — parsing it inline would misread
@@ -733,6 +914,15 @@ def _parse_messages_v2(data: bytes, addr: int) -> list[tuple[int, bytes]]:
             mtype = data[p]
             msize, = struct.unpack_from("<H", data, p + 1)
             mflags = data[p + 3]
+            hdr = hdr_len
+            if p + hdr + msize > end:
+                # Same block-boundary contract as the v1 parser
+                # (ADVICE r09): never slice past the chunk/OCHK end —
+                # that would eat the gap or the trailing checksum.
+                raise ValueError(
+                    f"v2 object header message (type {mtype}) at "
+                    f"{p:#x} overruns its block by "
+                    f"{p + hdr + msize - end} bytes — corrupt file")
             if mflags & 0x02:
                 # shared message: body is a reference, never inline
                 if mtype == _MSG_ATTRIBUTE:
@@ -1208,57 +1398,241 @@ def _parse_attribute(body: bytes, data: bytes) -> tuple[str, object]:
     return name, (arr.reshape(dims) if dims else arr[0])
 
 
+# ---------------------------------------------------------------------------
+# Fractal heap + v2 B-tree: dense attribute/link storage (spec III.F,
+# III.A.2) — where libhdf5 moves attributes past max_compact=8 and
+# links past the compact-8 threshold. Read-only; full-index ITERATION
+# (every record resolved through the heap), never hash search.
+# ---------------------------------------------------------------------------
+
+def _enc_size(v: int) -> int:
+    """Bytes libhdf5 uses to encode the VALUE ``v``
+    (H5VM_limit_enc_size: floor(log2 v)//8 + 1 == ceil(bitlen/8))."""
+    return max(1, (int(v).bit_length() + 7) // 8)
+
+
+class _FractalHeap:
+    """Managed objects out of the root direct block or the root
+    indirect block's direct rows — the shapes libhdf5 builds for dense
+    attribute/link storage (hundreds of KB of attribute mass before a
+    NESTED indirect block exists). Tiny objects decode from the ID
+    itself; huge objects (v2-B-tree-indexed) and nested indirect rows
+    raise toward h5py. ID field widths are recomputed from the header
+    exactly as libhdf5 does: offset = ceil(max-heap-size-bits / 8)
+    bytes, length = min(bytes addressing the max direct block, bytes
+    encoding the max managed-object size)."""
+
+    def __init__(self, data: bytes, addr: int) -> None:
+        if data[addr:addr + 4] != b"FRHP":
+            raise UnsupportedHDF5Feature(
+                f"bad fractal heap header at {addr:#x}")
+        if data[addr + 4] != 0:
+            raise UnsupportedHDF5Feature(
+                f"fractal heap version {data[addr + 4]}")
+        self._data = data
+        self.id_len, filter_len = struct.unpack_from("<HH", data, addr + 5)
+        self.flags = data[addr + 9]
+        self.max_man_size, = struct.unpack_from("<I", data, addr + 10)
+        if filter_len:
+            raise UnsupportedHDF5Feature(
+                "I/O filters on a fractal heap — needs h5py, the "
+                "documented hdf5 extra")
+        pos = addr + 14 + 96    # past the twelve 8-byte statistics
+        self.width, = struct.unpack_from("<H", data, pos)
+        self.start_block, self.max_direct = struct.unpack_from(
+            "<QQ", data, pos + 2)
+        max_heap_bits, = struct.unpack_from("<H", data, pos + 18)
+        self.root_addr, = struct.unpack_from("<Q", data, pos + 22)
+        self.cur_rows, = struct.unpack_from("<H", data, pos + 30)
+        self.off_size = (max_heap_bits + 7) // 8
+        self.len_size = min(_enc_size(self.max_direct - 1),
+                            _enc_size(self.max_man_size))
+        # rows 0 and 1 are start_block-sized; row i >= 2 doubles
+        self.max_direct_rows = (self.max_direct.bit_length()
+                                - self.start_block.bit_length() + 2)
+
+    def _block_geom(self, off: int) -> tuple[int, int, int, int]:
+        """heap offset -> (row, column, block heap-start, block size)
+        under the doubling table: row i >= 1 starts at
+        width*start << (i-1) and holds width blocks of
+        start << max(0, i-1) bytes."""
+        w, s = self.width, self.start_block
+        t = off // (w * s)
+        row = 0 if t == 0 else t.bit_length()
+        size = s if row < 2 else s << (row - 1)
+        start = 0 if row == 0 else (w * s) << (row - 1)
+        col = (off - start) // size
+        return row, col, start + col * size, size
+
+    def _direct_block(self, off: int) -> tuple[int, int]:
+        """-> (file address of the direct block containing heap offset
+        ``off``, that block's heap-space start). Heap offsets count
+        block HEADER bytes too, so the object at heap offset o lives
+        at block_addr + (o - block_start) with no header adjustment."""
+        data = self._data
+        if self.cur_rows == 0:
+            # root IS a single start_block-sized direct block
+            if off >= self.start_block:
+                raise ValueError(
+                    f"heap offset {off:#x} beyond the root direct "
+                    f"block ({self.start_block} bytes) — corrupt ID")
+            baddr, bstart = self.root_addr, 0
+        else:
+            row, col, bstart, _size = self._block_geom(off)
+            if row >= self.max_direct_rows:
+                raise UnsupportedHDF5Feature(
+                    "fractal heap offset lands in a NESTED indirect "
+                    "block row — heaps this large need h5py, the "
+                    "documented hdf5 extra")
+            if row >= self.cur_rows:
+                raise ValueError(
+                    f"heap offset {off:#x} beyond the root indirect "
+                    f"block's {self.cur_rows} rows — corrupt ID")
+            ib = self.root_addr
+            if data[ib:ib + 4] != b"FHIB":
+                raise UnsupportedHDF5Feature(
+                    f"bad fractal heap indirect block at {ib:#x}")
+            entries_at = ib + 4 + 1 + 8 + self.off_size
+            baddr, = struct.unpack_from(
+                "<Q", data, entries_at + 8 * (row * self.width + col))
+            if baddr == UNDEF:
+                raise ValueError(
+                    f"heap offset {off:#x} points into an unallocated "
+                    "direct block — corrupt ID")
+        if data[baddr:baddr + 4] != b"FHDB":
+            raise UnsupportedHDF5Feature(
+                f"bad fractal heap direct block at {baddr:#x}")
+        return baddr, bstart
+
+    def read(self, heap_id: bytes) -> bytes:
+        """Resolve one heap ID -> object bytes."""
+        b0 = heap_id[0]
+        if (b0 >> 6) & 0x3:
+            raise UnsupportedHDF5Feature(
+                f"fractal heap ID version {(b0 >> 6) & 0x3}")
+        typ = (b0 >> 4) & 0x3
+        if typ == 2:          # tiny: payload lives inside the ID
+            n = (b0 & 0x0F) + 1
+            return bytes(heap_id[1:1 + n])
+        if typ != 0:
+            raise UnsupportedHDF5Feature(
+                "huge fractal-heap object (v2-B-tree-indexed) — "
+                "needs h5py, the documented hdf5 extra")
+        off = int.from_bytes(heap_id[1:1 + self.off_size], "little")
+        ln = int.from_bytes(
+            heap_id[1 + self.off_size:
+                    1 + self.off_size + self.len_size], "little")
+        baddr, bstart = self._direct_block(off)
+        at = baddr + (off - bstart)
+        return bytes(self._data[at:at + ln])
+
+
+def _v2_btree_records(data: bytes, addr: int
+                      ) -> tuple[int, int, list[bytes]]:
+    """v2 B-tree full iteration -> (record type, record size, raw
+    records). Depth-0 (root leaf) only: libhdf5's 2048-byte node holds
+    119 dense-attribute records before growing depth 1 — deeper trees
+    raise toward h5py rather than guess at the variable-width
+    internal-node pointer encoding."""
+    if data[addr:addr + 4] != b"BTHD":
+        raise UnsupportedHDF5Feature(f"bad v2 B-tree header at {addr:#x}")
+    if data[addr + 4] != 0:
+        raise UnsupportedHDF5Feature(
+            f"v2 B-tree version {data[addr + 4]}")
+    btype = data[addr + 5]
+    rec_size, = struct.unpack_from("<H", data, addr + 10)
+    depth, = struct.unpack_from("<H", data, addr + 12)
+    root_addr, = struct.unpack_from("<Q", data, addr + 16)
+    root_nrec, = struct.unpack_from("<H", data, addr + 24)
+    if root_addr == UNDEF or root_nrec == 0:
+        return btype, rec_size, []
+    if depth != 0:
+        raise UnsupportedHDF5Feature(
+            f"v2 B-tree of depth {depth} (>119 dense records on one "
+            "object) — needs h5py, the documented hdf5 extra")
+    if data[root_addr:root_addr + 4] != b"BTLF":
+        raise UnsupportedHDF5Feature(
+            f"bad v2 B-tree leaf at {root_addr:#x}")
+    if data[root_addr + 5] != btype:
+        raise UnsupportedHDF5Feature(
+            f"v2 B-tree leaf record type {data[root_addr + 5]} != "
+            f"header type {btype} — corrupt file")
+    base = root_addr + 6
+    return btype, rec_size, [
+        bytes(data[base + i * rec_size:base + (i + 1) * rec_size])
+        for i in range(root_nrec)]
+
+
 def _load_object(data: bytes, addr: int):
     msgs = (_parse_messages_v2(data, addr)
             if data[addr:addr + 4] == b"OHDR"
             else _parse_messages(data, addr))
     types = {t for t, _ in msgs}
-    ai = next((b for t, b in msgs if t == _MSG_ATTR_INFO), None)
-    if ai is not None:
-        # Attribute Info: past libhdf5's compact threshold (default 8)
-        # ALL attributes move to dense fractal-heap storage and the
-        # 0x000C messages disappear — silently returning attrs == {}
-        # would skip the units cross-check on exactly the files this
-        # module claims to read, so raise like the dense-LINK case.
-        aflags = ai[1]
-        at = 2 + (2 if aflags & 0x01 else 0)
-        fheap, = struct.unpack_from("<Q", ai, at)
-        if fheap != UNDEF:
-            raise UnsupportedHDF5Feature(
-                "dense attribute storage (fractal heap) — objects "
-                "with this many attributes need h5py, the documented "
-                "hdf5 extra")
     attrs: dict = {}
     n_shared_attrs = 0
-    for t, b in msgs:
-        if t == _MSG_ATTR_SHARED:
-            # A SHARED attribute message (SOHM): the body is a heap
-            # reference, so even the NAME is unreachable without the
-            # shared-message index. The object still opens (ADVICE
-            # r08); the sentinel raises only if something touches it,
-            # under a synthetic key no real units/metadata lookup
-            # would probe.
-            n_shared_attrs += 1
-            key = f"<shared attribute #{n_shared_attrs}>"
-            attrs[key] = _UnreadableAttr(
-                key, "shared attribute message (SOHM) — the value "
-                     "lives in the shared-message index")
-            continue
-        if t != _MSG_ATTRIBUTE:
-            continue
+
+    def _add_shared_sentinel() -> None:
+        # A SHARED attribute message (SOHM): the body is a heap
+        # reference, so even the NAME is unreachable without the
+        # shared-message index. The object still opens (ADVICE r08);
+        # the sentinel raises only if something touches it, under a
+        # synthetic key no real units/metadata lookup would probe.
+        nonlocal n_shared_attrs
+        n_shared_attrs += 1
+        key = f"<shared attribute #{n_shared_attrs}>"
+        attrs[key] = _UnreadableAttr(
+            key, "shared attribute message (SOHM) — the value "
+                 "lives in the shared-message index")
+
+    def _add_attr(body: bytes) -> None:
+        # Tolerate attributes outside the subset: the object load
+        # must not fail because one exotic attribute exists (ADVICE
+        # r08) — store a sentinel that raises only when THAT
+        # attribute is touched.
         try:
-            name, val = _parse_attribute(b, data)
+            name, val = _parse_attribute(body, data)
         except UnsupportedHDF5Feature as exc:
-            # Tolerate attributes outside the subset: the object load
-            # must not fail because one exotic attribute exists
-            # (ADVICE r08) — store a sentinel that raises only when
-            # THAT attribute is touched.
             try:
-                name = _attr_name_best_effort(b)
+                name = _attr_name_best_effort(body)
             except Exception:
-                continue  # not even a name: drop the message
+                return  # not even a name: drop the message
             val = _UnreadableAttr(name, str(exc))
         attrs[name] = val
+
+    for t, b in msgs:
+        if t == _MSG_ATTR_SHARED:
+            _add_shared_sentinel()
+        elif t == _MSG_ATTRIBUTE:
+            _add_attr(b)
+
+    ai = next((b for t, b in msgs if t == _MSG_ATTR_INFO), None)
+    if ai is not None:
+        # Dense attribute storage: past libhdf5's compact threshold
+        # (default 8) ALL attributes move into a fractal heap and the
+        # 0x000C messages disappear — iterate the name-index v2
+        # B-tree (type 8: heap ID, message flags, creation order,
+        # name hash) and resolve each heap ID (VERDICT r09 item 1).
+        aflags = ai[1]
+        at = 2 + (2 if aflags & 0x01 else 0)
+        fheap, name_bt = struct.unpack_from("<QQ", ai, at)
+        if fheap != UNDEF:
+            if name_bt == UNDEF:
+                raise UnsupportedHDF5Feature(
+                    "dense attribute storage without a name index — "
+                    "corrupt file")
+            heap = _FractalHeap(data, fheap)
+            btype, _rs, recs = _v2_btree_records(data, name_bt)
+            if btype != 8:
+                raise UnsupportedHDF5Feature(
+                    f"attribute name index carries v2 B-tree record "
+                    f"type {btype} (expected 8) — corrupt file")
+            for rec in recs:
+                mflags = (rec[heap.id_len]
+                          if len(rec) > heap.id_len else 0)
+                if mflags & 0x02:
+                    _add_shared_sentinel()
+                    continue
+                _add_attr(heap.read(rec[:heap.id_len]))
     if _MSG_SYMBOL_TABLE in types:
         body = next(b for t, b in msgs if t == _MSG_SYMBOL_TABLE)
         btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
@@ -1277,18 +1651,32 @@ def _load_object(data: bytes, addr: int):
     if _MSG_LINK in types or _MSG_LINK_INFO in types:
         # "New-style" group (libver='latest'/SWMR): links live in the
         # header as link messages (COMPACT storage — libhdf5's default
-        # up to 8 links). Dense storage spills links into a fractal
-        # heap + v2 B-tree, which is out of scope -> h5py.
+        # up to 8 links). Past that, dense storage spills link
+        # messages into a fractal heap indexed by a type-5 name v2
+        # B-tree (4-byte name hash, then the heap ID) — iterate the
+        # index and resolve each heap ID, same machinery as dense
+        # attributes.
+        children2: dict = {}
         li = next((b for t, b in msgs if t == _MSG_LINK_INFO), None)
         if li is not None:
             lflags = li[1]
             at = 2 + (8 if lflags & 0x01 else 0)
-            fheap, = struct.unpack_from("<Q", li, at)
+            fheap, name_bt = struct.unpack_from("<QQ", li, at)
             if fheap != UNDEF:
-                raise UnsupportedHDF5Feature(
-                    "dense link storage (fractal heap) — groups this "
-                    "large need h5py, the documented hdf5 extra")
-        children2: dict = {}
+                if name_bt == UNDEF:
+                    raise UnsupportedHDF5Feature(
+                        "dense link storage without a name index — "
+                        "corrupt file")
+                heap = _FractalHeap(data, fheap)
+                btype, _rs, recs = _v2_btree_records(data, name_bt)
+                if btype != 5:
+                    raise UnsupportedHDF5Feature(
+                        f"link name index carries v2 B-tree record "
+                        f"type {btype} (expected 5) — corrupt file")
+                for rec in recs:
+                    name, hdr = _parse_link(
+                        heap.read(rec[4:4 + heap.id_len]))
+                    children2[name] = _load_object(data, hdr)
         for t, b in msgs:
             if t == _MSG_LINK:
                 name, hdr = _parse_link(b)

@@ -458,6 +458,27 @@ def test_multimodal_hot_bucket_guards_raise(spark):
     with pytest.raises(Exception) as eb:
         M.phash_neardup_pairs(df2, max_bucket=11).collect()
     assert "phash_band_bucket" in str(eb.value)
+    # budget EXACTLY at the bucket size: identity, not a raise
+    # (VERDICT r09 item 6 — pin the off-by-one boundary)
+    M.phash_neardup_pairs(df2, max_bucket=12).collect()
+    # budget-1 boundaries: a 1-member group/bucket is identity under
+    # budget 1; the second member is the raise
+    solo = spark.createDataFrame(
+        [(1, 0x1111_2222_3333_4444), (2, 0x5555_6666_7777_0F0F)],
+        ["media_id", "ahash"])  # all four 16-bit bands differ
+    # each hash alone in its group AND in every band bucket -> passes
+    M.phash_neardup_pairs(solo, max_group=1, max_bucket=1).collect()
+    dup = spark.createDataFrame([(1, 77), (2, 77)],
+                                ["media_id", "ahash"])
+    with pytest.raises(Exception) as eg1:
+        M.phash_neardup_pairs(dup, max_group=1).collect()
+    assert "phash_hash_group" in str(eg1.value)
+    shared_band = spark.createDataFrame(
+        [(1, 1 << 16), (2, 2 << 16)],  # distinct hashes, same band-0
+        ["media_id", "ahash"])
+    with pytest.raises(Exception) as eb1:
+        M.phash_neardup_pairs(shared_band, max_bucket=1).collect()
+    assert "phash_band_bucket" in str(eb1.value)
     # (c) video frame-hash bucket: 24 identical clips -> bucket of 24
     docs = spark.range(24).select(
         F.col("id").alias("doc_id"), F.lit(2).alias("payload_key"))

@@ -921,17 +921,51 @@ def test_v2_header_with_tracked_creation_order(tmp_path):
         assert f["d"][()] == 3.25
 
 
-def test_dense_link_storage_raises_toward_h5py(tmp_path):
-    """A link-info message pointing at a real fractal heap (dense
-    storage — groups past the compact threshold) must raise the
-    documented boundary error, not misread."""
+def test_corrupt_dense_link_heap_raises_loudly(tmp_path):
+    """A link-info message pointing dense storage at bytes that are
+    NOT a fractal heap must raise the loud bad-heap error, never
+    misread (dense links themselves are now in scope — see
+    test_dense_link_storage_reads below)."""
     from mousedatapipeline_spark.sources import minihdf5 as m
-    li = bytes([0, 0]) + struct.pack("<QQ", 0x1000, m.UNDEF)
+    li = bytes([0, 0]) + struct.pack("<QQ", 0x1000, 0x1200)
     p = _craft_v3_file(tmp_path, "dense.h5", link_info=li)
     with pytest.raises(UnsupportedHDF5Feature) as ei:
         MiniH5File(str(p))
-    assert "dense link storage" in str(ei.value)
-    assert "h5py" in str(ei.value)
+    assert "bad fractal heap header" in str(ei.value)
+
+
+def test_dense_link_storage_reads(tmp_path):
+    """Dense link storage (fractal heap + type-5 name-index v2
+    B-tree): a v3 file whose root group keeps its links in the heap —
+    the shape libhdf5 writes past 8 links — reads back every child."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    names = [f"d{i:02d}" for i in range(11)]
+    fdt = struct.pack("<B3BIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8,
+                      0, 64, 52, 11, 0, 52, 1023)
+    link_bodies = []
+    for i, name in enumerate(names):
+        data_addr = buf.alloc(np.float64(float(i)).tobytes())
+        ds_addr = buf.alloc(m._object_header([
+            m._message(m._MSG_DATASPACE, m._space_message(())),
+            m._message(m._MSG_DATATYPE, fdt),
+            m._message(m._MSG_LAYOUT,
+                       struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        ]))
+        nb = name.encode()
+        link_bodies.append(bytes([1, 0, len(nb)]) + nb
+                           + struct.pack("<Q", ds_addr))
+    heap_addr, ids = m._write_fractal_heap(buf, link_bodies)
+    recs = sorted(
+        struct.pack("<I", m._lookup3(n.encode())) + hid
+        for n, hid in zip(names, ids))
+    bt_addr = m._write_v2_btree(buf, 5, list(recs))
+    li = bytes([0, 0]) + struct.pack("<QQ", heap_addr, bt_addr)
+    root = buf.alloc(m._object_header([
+        m._message(m._MSG_LINK_INFO, li)]))
+    g = m._load_object(bytes(buf.data), root)
+    assert sorted(g.keys()) == names
+    assert g["d07"][()] == 7.0
 
 
 def test_soft_link_raises_toward_h5py(tmp_path):
@@ -1118,15 +1152,15 @@ def test_h5py_latest_chunked_cross_check(tmp_path):
         assert np.array_equal(f["multi"][()], a2)
 
 
-def test_dense_attr_storage_raises_toward_h5py():
-    """An Attribute Info message with a REAL fractal heap (libhdf5
-    moves ALL attributes to dense storage past the compact threshold,
-    removing the 0x000C messages) must raise — silently returning
-    attrs == {} would skip the units cross-check (review finding)."""
+def test_corrupt_dense_attr_heap_raises_loudly():
+    """An Attribute Info message whose fractal-heap address holds
+    non-heap bytes must raise the loud bad-heap error, never misread
+    — and a missing name index is its own loud raise (silently
+    returning attrs == {} would skip the units cross-check)."""
     from mousedatapipeline_spark.sources import minihdf5 as m
     buf = m._Buf()
     data_addr = buf.alloc(np.float64(1.0).tobytes())
-    ai = bytes([0, 0]) + struct.pack("<QQ", 0x2000, m.UNDEF)
+    ai = bytes([0, 0]) + struct.pack("<QQ", 0x2000, 0x2400)
     hdr = buf.alloc(m._object_header([
         m._message(m._MSG_DATASPACE, m._space_message(())),
         m._message(m._MSG_DATATYPE, _F8DT),
@@ -1136,7 +1170,18 @@ def test_dense_attr_storage_raises_toward_h5py():
     ]))
     with pytest.raises(UnsupportedHDF5Feature) as ei:
         m._load_object(bytes(buf.data), hdr)
-    assert "dense attribute storage" in str(ei.value)
+    assert "bad fractal heap header" in str(ei.value)
+    ai_noidx = bytes([0, 0]) + struct.pack("<QQ", 0x2000, m.UNDEF)
+    hdr2 = buf.alloc(m._object_header([
+        m._message(m._MSG_DATASPACE, m._space_message(())),
+        m._message(m._MSG_DATATYPE, _F8DT),
+        m._message(m._MSG_LAYOUT,
+                   struct.pack("<BBQQ", 3, 1, data_addr, 8)),
+        m._message(m._MSG_ATTR_INFO, ai_noidx),
+    ]))
+    with pytest.raises(UnsupportedHDF5Feature) as ei2:
+        m._load_object(bytes(buf.data), hdr2)
+    assert "without a name index" in str(ei2.value)
     # UNDEF heap address (info message but attrs still compact): fine
     ai2 = bytes([0, 0]) + struct.pack("<QQ", m.UNDEF, m.UNDEF)
     hdr2 = buf.alloc(m._object_header([
@@ -1237,3 +1282,249 @@ def test_v2_header_tracked_gap_not_misparsed(tmp_path):
                        trailing_gap=5)
     with MiniH5File(str(p)) as f:
         assert f["d"][()] == 3.25
+
+
+# ---------------------------------------------------------------------------
+# Round 10: dense attribute storage (fractal heap + v2 B-tree) — the
+# first boundary a real NeXus file hits past libhdf5's compact-8
+# threshold (VERDICT r09 item 1) — plus the ADVICE r09 parser bounds.
+# ---------------------------------------------------------------------------
+
+def test_dense_attrs_round_trip(tmp_path):
+    """>8 attributes move to dense (fractal-heap) storage on write —
+    libhdf5's max_compact threshold — and read back through the
+    name-index v2 B-tree, mixed value classes included."""
+    from mousedatapipeline_spark.sources.minihdf5 import VlenStr
+    p = tmp_path / "dense_attrs.h5"
+    attrs = {f"a{i:02d}": float(i) for i in range(12)}
+    attrs["units"] = "nm"
+    attrs["note"] = VlenStr("vlen survives the heap")
+    attrs["vec"] = [1.0, 2.0, 3.0]
+    write_hdf5(str(p), {"/entry/x": 3.5},
+               attrs={"/entry/x": attrs,
+                      "/entry": {f"g{i}": i for i in range(10)}})
+    with MiniH5File(str(p)) as f:
+        ds = f["entry/x"]
+        assert set(ds.attrs) == set(attrs)
+        assert ds.attrs["a05"] == 5.0
+        assert ds.attrs["units"] == b"nm"
+        assert ds.attrs["note"] == "vlen survives the heap"
+        assert [float(v) for v in ds.attrs["vec"]] == [1.0, 2.0, 3.0]
+        g = f["entry"]
+        assert len(g.attrs) == 10 and g.attrs["g7"] == 7
+
+
+@pytest.mark.parametrize("n", list(range(1, 21)))
+def test_dense_attr_threshold_property(tmp_path, n):
+    """Attribute counts 1..20 crossing the compact->dense threshold:
+    <=8 stay compact 0x000C messages (no fractal heap in the file),
+    >8 move to exactly one heap — and every count reads back."""
+    p = tmp_path / f"attrs_{n}.h5"
+    attrs = {f"k{i:02d}": float(i * i) for i in range(n)}
+    write_hdf5(str(p), {"/d": 1.0}, attrs={"/d": attrs})
+    raw = p.read_bytes()
+    assert raw.count(b"FRHP") == (1 if n > 8 else 0)
+    assert raw.count(b"BTHD") == (1 if n > 8 else 0)
+    with MiniH5File(str(p)) as f:
+        got = f["/d"].attrs
+        assert set(got) == set(attrs)
+        for k, v in attrs.items():
+            assert float(got[k]) == v
+
+
+def test_dense_attrs_through_flatten_tree(tmp_path):
+    """The units cross-check (sources/hdf5.py, reference
+    src/utilities.py:55-59) must see a ``units`` attribute that lives
+    in DENSE storage — the exact real-file shape that used to raise."""
+    p = tmp_path / "dense_units.nxs"
+    attrs = {f"pad{i:02d}": float(i) for i in range(9)}
+    attrs["units"] = "1/s"
+    write_hdf5(str(p), GOLDEN_SPEC,
+               attrs={"/entry/sample/beam/flux": attrs})
+    with MiniH5File(str(p)) as f:
+        row = flatten_tree(f, MOUSE_SCHEMA, KEYS)
+    assert row["flux"] == 1.5e6
+
+
+def test_fractal_heap_tiny_id():
+    """Type-2 (tiny) heap IDs carry the object INSIDE the ID: low
+    nibble is length-1, payload follows the version/type byte."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    heap_addr, _ids = m._write_fractal_heap(buf, [b"x" * 24])
+    heap = m._FractalHeap(bytes(buf.data), heap_addr)
+    tiny = bytes([0x20 | (5 - 1)]) + b"hello" + b"\x00\x00"
+    assert heap.read(tiny) == b"hello"
+
+
+def test_fractal_heap_huge_id_raises():
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    heap_addr, _ids = m._write_fractal_heap(buf, [b"x" * 24])
+    heap = m._FractalHeap(bytes(buf.data), heap_addr)
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        heap.read(bytes([0x10]) + b"\x00" * 7)
+    assert "huge" in str(ei.value)
+
+
+def test_fractal_heap_root_indirect_block():
+    """A heap whose ROOT is an indirect block (libhdf5's shape once
+    the first direct block fills): direct-row children resolve through
+    the FHIB entry table; offsets in unallocated or nested-indirect
+    rows raise loudly."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    blob = b"indirect row payload"
+    S, W = 512, 4
+    hdr_size = 4 + 1 + 8 + 4          # FHDB header, off_size 4
+    # direct block at row 0, col 2: heap offsets [1024, 1536)
+    block = bytearray(b"FHDB" + bytes([0]) + struct.pack("<Q", 0)
+                      + (1024).to_bytes(4, "little") + blob)
+    block.extend(b"\x00" * (S - len(block)))
+    baddr = buf.alloc(bytes(block))
+    fhib = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", 0)
+                     + (0).to_bytes(4, "little"))
+    for col in range(W):
+        fhib += struct.pack("<Q", baddr if col == 2 else m.UNDEF)
+    fhib += struct.pack("<I", m._lookup3(bytes(fhib)))
+    ib_addr = buf.alloc(bytes(fhib))
+    hdr = bytearray(b"FRHP" + bytes([0]))
+    hdr += struct.pack("<HHBI", 8, 0, 0, 1 << 16)
+    hdr += struct.pack("<12Q", 0, m.UNDEF, 0, m.UNDEF, 4 * S, 4 * S,
+                       1024 + hdr_size + len(blob), 1, 0, 0, 0, 0)
+    hdr += struct.pack("<HQQHHQH", W, S, 1 << 24, 32, 1, ib_addr, 1)
+    hdr += struct.pack("<I", m._lookup3(bytes(hdr)))
+    haddr = buf.alloc(bytes(hdr))
+    data = bytes(buf.data)
+    heap = m._FractalHeap(data, haddr)
+    off = 1024 + hdr_size
+    hid = bytes([0x00]) + off.to_bytes(4, "little") \
+        + len(blob).to_bytes(3, "little")
+    assert heap.read(hid) == blob
+    # unallocated sibling block -> loud corrupt-ID error
+    bad = bytes([0x00]) + (17).to_bytes(4, "little") + b"\x05\x00\x00"
+    with pytest.raises(ValueError) as ei:
+        heap.read(bad)
+    assert "unallocated" in str(ei.value)
+    # offset past the root block's rows -> loud raise, not a guess
+    past = bytes([0x00]) + (4096).to_bytes(4, "little") + b"\x05\x00\x00"
+    with pytest.raises((ValueError, UnsupportedHDF5Feature)):
+        heap.read(past)
+
+
+def test_v2_btree_depth_raises():
+    """Depth > 0 v2 B-trees (>119 dense records) raise toward h5py
+    instead of guessing the internal-node pointer widths."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    buf = m._Buf()
+    hdr = bytearray(b"BTHD" + bytes([0, 8]))
+    hdr += struct.pack("<IHHBB", 2048, 17, 1, 100, 40)
+    hdr += struct.pack("<QHQ", 0x4000, 2, 240)
+    hdr += struct.pack("<I", m._lookup3(bytes(hdr)))
+    addr = buf.alloc(bytes(hdr))
+    with pytest.raises(UnsupportedHDF5Feature) as ei:
+        m._v2_btree_records(bytes(buf.data), addr)
+    assert "depth" in str(ei.value)
+
+
+def test_dense_attr_overflow_raises_at_write():
+    """The writer refuses >119 dense attributes (one-leaf bound) with
+    a loud error rather than emitting a depth-1 tree it cannot read."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        attrs = {f"a{i:03d}": float(i) for i in range(150)}
+        with pytest.raises(ValueError) as ei:
+            write_hdf5(f"{td}/x.h5", {"/d": 1.0}, attrs={"/d": attrs})
+        assert "overflow" in str(ei.value)
+
+
+def test_message_overrun_raises_in_both_header_versions(tmp_path):
+    """ADVICE r09: a corrupt/oversized msize must raise loudly instead
+    of silently consuming gap/checksum bytes — in the v1 AND v2
+    object-header parsers."""
+    from mousedatapipeline_spark.sources import minihdf5 as m
+    # v1: one message whose size exceeds the header block
+    buf = m._Buf()
+    bad_msg = struct.pack("<HHB3x", m._MSG_NIL, 0x2000, 0) + b""
+    hdr = buf.alloc(struct.pack("<BxHII4x", 1, 1, 1, len(bad_msg))
+                    + bad_msg)
+    with pytest.raises(ValueError) as ei:
+        m._parse_messages(bytes(buf.data), hdr)
+    assert "overruns" in str(ei.value)
+    # v2: same, inside an OHDR chunk
+    buf2 = m._Buf()
+    msgs = struct.pack("<BHB", m._MSG_NIL, 0x2000, 0)
+    hdr2 = buf2.alloc(b"OHDR" + bytes([2, 0])
+                      + struct.pack("<B", len(msgs)) + msgs + b"\x00" * 4)
+    with pytest.raises(ValueError) as ei2:
+        m._parse_messages_v2(bytes(buf2.data), hdr2)
+    assert "overruns" in str(ei2.value)
+
+
+def test_unit_whitespace_not_collapsed():
+    """ADVICE r09: whitespace collapses only around OPERATORS — bare
+    space-separated tokens must not alias into unrelated keys ('m s'
+    -> 'ms' would silently pass a magnitude-wrong pairing)."""
+    from mousedatapipeline_spark.sources.hdf5 import normalize_unit
+    assert normalize_unit("1 / s") == normalize_unit("1/s")
+    assert normalize_unit("s ** -1") == normalize_unit("Hz")
+    assert normalize_unit("m s") != normalize_unit("ms")
+    assert normalize_unit("m s") != normalize_unit("millisecond")
+    assert normalize_unit("milli second") != normalize_unit("ms")
+    # same spaced spelling still agrees with itself (no false raise)
+    assert normalize_unit("m  s") == normalize_unit("M S")
+
+
+def test_h5py_dense_attr_cross_check(tmp_path):
+    """Wherever h5py IS installed: libhdf5-written dense attributes
+    (libver='latest', >8 attrs) read back through MiniH5File, and
+    this module's dense-attr files open in h5py — heap IDs, name
+    hashes and lookup3 checksums must all be libhdf5-exact for the
+    reverse direction."""
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "h5py_dense.h5"
+    with h5py.File(str(p), "w", libver="latest") as f:
+        d = f.create_dataset("x", data=3.5)
+        for i in range(12):
+            d.attrs[f"a{i:02d}"] = float(i)
+        d.attrs["units"] = b"nm"
+    with MiniH5File(str(p)) as f:
+        got = f["x"].attrs
+        assert {k: v for k, v in got.items() if k != "units"} \
+            == {f"a{i:02d}": float(i) for i in range(12)}
+        assert bytes(got["units"]) == b"nm"
+    q = tmp_path / "mine_dense.h5"
+    attrs = {f"b{i:02d}": float(i * 3) for i in range(11)}
+    write_hdf5(str(q), {"/d": 2.0}, attrs={"/d": attrs})
+    with h5py.File(str(q), "r") as f:
+        assert dict(f["d"].attrs) == attrs
+
+
+def test_libhdf5_written_fixture():
+    """Real-libhdf5-bytes gate (ADVICE r09, medium): read the
+    h5py-written libver='latest' golden fixture UNCONDITIONALLY when
+    the binary exists. Unlike the importorskip cross-checks, this
+    exercises genuine libhdf5 output even where h5py is not installed
+    — it skips ONLY while the binary itself has not been generated
+    (this container has neither h5py nor libhdf5 to produce it; run
+    tools/make_h5py_fixture.py in any environment that does, commit
+    the file, and this test arms itself)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    try:
+        import make_h5py_fixture as mk
+    finally:
+        sys.path.pop(0)
+    if not mk.FIXTURE.exists():
+        pytest.skip("libhdf5-written fixture not generated yet — "
+                    "run tools/make_h5py_fixture.py where h5py exists")
+    with MiniH5File(str(mk.FIXTURE)) as f:
+        d = f["entry/scalar"]
+        assert d[()] == mk.SCALAR
+        assert bytes(d.attrs["units"]) == mk.UNITS
+        assert d.attrs["note"] == mk.VLEN_NOTE
+        c = f["entry/stack"]
+        assert c.shape == mk.CHUNKED_SHAPE
+        assert np.array_equal(c[()], mk.chunked_value())
+        assert {k: float(v) for k, v in c.attrs.items()} \
+            == mk.DENSE_ATTRS
