@@ -307,60 +307,71 @@ _R08_GREEN = frozenset({
     "s39_ivf_pq_index_build", "t12_vocab_coverage",
 })
 
+# Green rows earned in CORRECTNESS_r09.json (48 hash-green of 50
+# sampled; u01/m15 are the declared rows-only kernels). This rotation
+# covered all 25 round-9 stales, draining the pre-r10 pool to zero
+# before the round-10 edits below re-opened it.
+_R09_GREEN = frozenset({
+    "c06_production_dedup_e2e", "e16_rolling_active_users",
+    "e21_sequence_anomaly", "k01_cms_heavy_hitters",
+    "m13_nexus_ingest_merge", "mm03_phash_neardup",
+    "mm06_media_dedup_clusters", "mm07_audio_neardup",
+    "mm09_video_neardup", "q01_pricing_summary", "q02_order_census",
+    "q03_region_revenue", "q04_asof_view_before_purchase",
+    "q05_window_propagation", "q06_latest_order_per_customer",
+    "q07_customers_without_orders", "q08_active_customers_semi",
+    "q09_thickness_physics", "q10_energy_tcf", "q11_stack_stats",
+    "q12_identifiers", "q13_repetition_stack", "q14_first_file",
+    "q15_date_arith", "q16_column_profile", "q17_rollup_revenue",
+    "q18_snapshot_diff", "q19_incremental_agg", "q20_cube_revenue",
+    "q21_pivot_status_counts", "q22_customer_set_ops",
+    "q23_exists_slow_orders", "q28_sole_late_supplier", "s08_ann_ivf",
+    "s10_kmeans_ivf", "s19_lsh_verified_neardup",
+    "s22_incremental_neardup", "s27_triangle_count",
+    "s30_cluster_quality", "s33_cross_source_dup_matrix",
+    "s35_hard_negatives", "s37_ivf_probe_sweep", "s38_knn_graph_stats",
+    "s39_ivf_pq_index_build", "s40_neardup_pagerank",
+    "s43_label_propagation", "t18_novelty_scan",
+    "t30_split_contamination",
+})
+
 # Queries whose implementation changed AFTER their last green driver row:
 # the proof is stale, so they rejoin the unproven pool (rotation rule).
 _STALE_PROOF = frozenset({
-    # Round-9 multimodal hardening (VERDICT r08 #1): exact-hash dedup
-    # before the band join, hot_cell_guard budgets on the (band,
-    # value) / exact-group / frame-hash buckets, eager-checkpointed
-    # decode kernels; mm06 switched to the linear star/rep-rep edge
-    # list (components provably identical). Re-verified locally at
-    # sf0.001/0.01/0.1 the day of the change.
-    "mm03_phash_neardup", "mm06_media_dedup_clusters",
-    "mm07_audio_neardup", "mm09_video_neardup",
-    # Round-9 lazy->eager checkpoint sweep (VERDICT r08 #1/#2),
-    # settled per site by an interleaved A/B (SCALING.md round-9
-    # table): these plans flipped multi-consumer checkpoints to eager
-    # (or, for s19, additionally dropped the dead `verified`
-    # checkpoint). s40/s43/s33/c06 compose s19's changed stage.
-    # Value-identical, plan changed. Re-verified locally at
-    # sf0.001/0.01/0.1 the day of the change.
-    "s19_lsh_verified_neardup", "s40_neardup_pagerank",
-    "s43_label_propagation", "s33_cross_source_dup_matrix",
-    "c06_production_dedup_e2e", "s22_incremental_neardup",
-    "s27_triangle_count", "s30_cluster_quality", "s10_kmeans_ivf",
-    "t18_novelty_scan", "t30_split_contamination",
-    "e16_rolling_active_users", "e21_sequence_anomaly",
-    "q28_sole_late_supplier", "k01_cms_heavy_hitters",
-    # Round-9 quantizer seeding (ADVICE r09): the sqrt(N) k-means
-    # seed stride is now anchored at MIN(vec_id) — provably non-empty
-    # on sparse/offset id domains, identical seed set on the shipped
-    # dense 0-based ids — and the twin's kdist/qdots decimals widened
-    # to (38,18). Values unchanged on shipped data; plan + oracle
-    # text changed. Re-verified locally at sf0.001/0.01/0.1.
-    "s38_knn_graph_stats",
-    # Round-9 guard-message parameterization: hot_cell_guard's raise
-    # literal changed ("vectors" -> "rows" + per-site hints), and that
-    # literal lives in the broadcast JOIN KEY of every IVF consumer's
-    # plan — value-identical, plan changed, so the r08 proofs are
-    # stale by the rotation rule (self-review finding; the same rule
-    # this file applies to s19/q28 above). Re-verified locally at
-    # sf0.01/0.1 the day of the change.
-    "s08_ann_ivf", "s35_hard_negatives", "s37_ivf_probe_sweep",
-    "s39_ivf_pq_index_build",
-    # Round-9 ingest-fidelity items (VERDICT r08 #4/#5 + ADVICE r09):
-    # flatten_tree's unit check now normalizes equivalent NeXus
-    # spellings before comparing; minihdf5 gained fletcher32,
-    # vlen-string attrs/datasets, attr message v2/v3, and lazy
-    # per-attribute tolerance. m13's fixture values are identical,
-    # but its ingest modules changed. Re-verified locally at
-    # sf0.01/0.1 the day of the change.
+    # Round-10 s14 funnel (VERDICT r09 item 2): s14 now runs the
+    # exact-dedup-first c06 shape — identical (lang, source, text)
+    # rows collapse to a representative contributing a linear star,
+    # and s02's exact enumeration + the union top-m degree cap run
+    # over DISTINCT texts only, so duplicate mass never reaches the
+    # quadratic stage (the r09 LSH A/B was REJECTED: >= 2-of-4 bands
+    # misses 103/112 exact 0.6-edges at sf0.01). Components verified
+    # output-identical to the old definition at sf0.001/0.01/0.1.
+    # s02's enumeration was factored into exact_jaccard_edges (plan
+    # unchanged) so s14 shares it verbatim; s34 composes s14's plan
+    # AND oracle, s27 composes s02's factored stage. Re-verified
+    # locally at sf0.001/0.01/0.1 the day of the change.
+    "s02_ngram_jaccard", "s14_neardup_components",
+    "s34_quality_canonical", "s27_triangle_count",
+    # Round-10 ADVICE fixes: phash_neardup_pairs' guarded member
+    # table is now pinned (eager localCheckpoint) so the group-budget
+    # aggregation runs once, not once per consumer branch —
+    # value-identical, plan changed for both pair-surface consumers.
+    # Re-verified locally at sf0.001/0.01/0.1 the day of the change.
+    "mm03_phash_neardup", "mm07_audio_neardup",
+    # Round-10 ingest-fidelity items (VERDICT r09 item 1 + ADVICE):
+    # minihdf5 gained dense attribute/link storage (fractal heap +
+    # v2 B-tree, read and write paths) and message-body bounds checks
+    # in both header parsers; normalize_unit now collapses whitespace
+    # only around operators ('m s' can no longer alias to 'ms').
+    # m13's fixture values are identical, but its ingest modules
+    # changed. Re-verified locally at sf0.001/0.01/0.1 the day of
+    # the change.
     "m13_nexus_ingest_merge",
 })
 
 _PROVEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
            | _R05_GREEN | _R06_GREEN | _R07_GREEN
-           | _R08_GREEN) - _STALE_PROOF
+           | _R08_GREEN | _R09_GREEN) - _STALE_PROOF
 
 
 def all_queries() -> dict[str, QuerySpec]:

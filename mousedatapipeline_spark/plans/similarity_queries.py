@@ -75,6 +75,68 @@ def s01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # space is bounded by the largest block (~112 docs at sf0.1), which is
 # the knob that keeps this shape alive at scale.
 # --------------------------------------------------------------------------
+def exact_jaccard_edges(docs: DataFrame, redistribute: int) -> DataFrame:
+    """s02's exact blocked enumeration over an arbitrary documents
+    frame (doc_id, lang, source, text[, ...]) — (d1, d2, n_common,
+    jaccard_raw) pairs with 3-gram Jaccard >= 0.6 within (lang,
+    source) blocks. Factored out so the s14 funnel can run the
+    IDENTICAL stage over exact-dedup survivors (the c06 relationship)
+    without re-stating the plan.
+
+    Physical strategy choice: an inverted-index join (explode on
+    shingle, self-join, count) blows up when the shingle vocabulary is
+    small — here only ~400 distinct 3-grams exist, so shingle groups
+    are huge and the join emits ~14M intermediate rows at sf0.1.
+    Instead the shingle SET is computed as a per-row array expression
+    (zero shuffles — a document's shingle set is row-local), pairs are
+    generated per (lang, source) block without a self-join
+    (S.blocked_pairs), and the overlap is a JVM-side array_intersect.
+    One small shuffle total; pair count bounded by block size.
+    With large blocks + rich vocabulary the inverted index wins; the
+    true scale path is s03's MinHash banding.
+    hashed_shingle_docs: shingle work once, as 8-byte hashes (never
+    string arrays — see the helper's doc); intersect counts equal the
+    string-set counts under the corpus-checked hash injectivity.
+    Docs shorter than 3 chars drop out here, matching the oracle's
+    shingle relation (they have no rows there and can never reach
+    the 0.6 threshold).
+    """
+    sets = S.hashed_shingle_docs(
+        docs, extra_cols=("lang", "source"), with_n=True)
+
+    # The intersect happens INSIDE the pair lambda (combine=): pair
+    # structs carry five scalars, never copies of the shingle arrays.
+    # Length filter (PPJoin-family, exact): J <= min/max, so a pair
+    # with 5*min(n1,n2) < 3*max(n1,n2) can never reach 0.6 — skip its
+    # intersect entirely (integer compare, no float boundary; ~28% of
+    # candidate pairs on this corpus). n_common=0 keeps the skipped
+    # pair below every downstream threshold, matching the oracle's
+    # WHERE on the true Jaccard.
+    def _overlap(x, y):
+        feasible = (F.least(x["n"], y["n"]) * 5
+                    >= F.greatest(x["n"], y["n"]) * 3)
+        return F.when(
+            feasible,
+            F.size(F.array_intersect(x["hs"], y["hs"])).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    pairs = S.blocked_pairs(
+        sets, ["lang", "source"], {"hs": "hs", "n": "n"},
+        redistribute=redistribute,
+        combine=lambda x, y: [
+            x["n"].alias("n_1"), y["n"].alias("n_2"),
+            _overlap(x, y).alias("n_common"),
+        ])
+    scored = pairs.withColumn(
+        "jaccard_raw",
+        F.col("n_common").cast("double")
+        / (F.col("n_1") + F.col("n_2") - F.col("n_common"))
+        .cast("double"))
+    return scored.filter(F.col("jaccard_raw") >= 0.6) \
+        .select("d1", "d2", "n_common", "jaccard_raw")
+
+
+
 @register(
     "s02_ngram_jaccard",
     oracle=f"""
@@ -98,59 +160,14 @@ def s01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(lang, source) blocks.",
 )
 def s02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Physical strategy choice: an inverted-index join (explode on
-    # shingle, self-join, count) blows up when the shingle vocabulary is
-    # small — here only ~400 distinct 3-grams exist, so shingle groups
-    # are huge and the join emits ~14M intermediate rows at sf0.1.
-    # Instead the shingle SET is computed as a per-row array expression
-    # (zero shuffles — a document's shingle set is row-local), pairs are
-    # generated per (lang, source) block without a self-join
-    # (S.blocked_pairs), and the overlap is a JVM-side array_intersect.
-    # One small shuffle total; pair count bounded by block size.
-    # With large blocks + rich vocabulary the inverted index wins; the
-    # true scale path is s03's MinHash banding.
-    # hashed_shingle_docs: shingle work once, as 8-byte hashes (never
-    # string arrays — see the helper's doc); intersect counts equal the
-    # string-set counts under the corpus-checked hash injectivity.
-    # Docs shorter than 3 chars drop out here, matching the oracle's
-    # shingle relation (they have no rows there and can never reach
-    # the 0.6 threshold).
-    sets = S.hashed_shingle_docs(
+    # Plan rationale lives on exact_jaccard_edges (shared with s14's
+    # funnel).
+    scored = exact_jaccard_edges(
         load_spread(spark, sf_dir, "documents"),
-        extra_cols=("lang", "source"), with_n=True)
-    # The intersect happens INSIDE the pair lambda (combine=): pair
-    # structs carry five scalars, never copies of the shingle arrays.
-    # Length filter (PPJoin-family, exact): J <= min/max, so a pair
-    # with 5*min(n1,n2) < 3*max(n1,n2) can never reach 0.6 — skip its
-    # intersect entirely (integer compare, no float boundary; ~28% of
-    # candidate pairs on this corpus). n_common=0 keeps the skipped
-    # pair below every downstream threshold, matching the oracle's
-    # WHERE on the true Jaccard.
-    def _overlap(x, y):
-        feasible = (F.least(x["n"], y["n"]) * 5
-                    >= F.greatest(x["n"], y["n"]) * 3)
-        return F.when(
-            feasible,
-            F.size(F.array_intersect(x["hs"], y["hs"])).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-
-    pairs = S.blocked_pairs(
-        sets, ["lang", "source"], {"hs": "hs", "n": "n"},
-        redistribute=spark.sparkContext.defaultParallelism,
-        combine=lambda x, y: [
-            x["n"].alias("n_1"), y["n"].alias("n_2"),
-            _overlap(x, y).alias("n_common"),
-        ])
-    scored = pairs.withColumn(
-        "jaccard_raw",
-        F.col("n_common").cast("double")
-        / (F.col("n_1") + F.col("n_2") - F.col("n_common"))
-        .cast("double"))
-    return (
-        scored.filter(F.col("jaccard_raw") >= 0.6)
-        .select("d1", "d2", "n_common",
-                stable_round(F.col("jaccard_raw")).alias("jaccard"))
-    )
+        redistribute=spark.sparkContext.defaultParallelism)
+    return scored.select("d1", "d2", "n_common",
+                         stable_round(F.col("jaccard_raw"))
+                         .alias("jaccard"))
 
 
 # --------------------------------------------------------------------------
@@ -971,23 +988,63 @@ def degree_cap_sql() -> str:
 
 
 # --------------------------------------------------------------------------
-# Near-dup clustering: connected components over the s02 pair graph.
-# The step between "pairs found" and "corpus deduped": transitive
-# closure of near-dup edges, one canonical doc (min doc_id) per
-# component. Spark side is iterative min-label propagation with
-# pointer jumping (O(log n) rounds; see operators/graph.py); the
-# oracle is a recursive-CTE reachability closure. The edge list goes
-# through the SAME union top-m degree cap as s19/c06 (r07 verdict:
-# s14 was the last iterative consumer on an uncapped list — 460 s at
-# 30x duplicate mass), so every |E|-join of the CC iteration is
-# bounded by m * |V|. A no-op at the driver-gate SFs (s02's
-# 0.6-threshold graph has max degree < 64 there); where it binds, the
-# cap is mirrored in the oracle below via the shared degree_cap_sql().
+# Near-dup clustering: connected components over the exact 0.6 pair
+# graph, computed through the c06 exact-dedup-first funnel. The step
+# between "pairs found" and "corpus deduped": transitive closure of
+# near-dup edges, one canonical doc (min doc_id) per component.
+#
+# Funnel (round 10 — VERDICT r09 item 2): identical (lang, source,
+# text) rows collapse to one representative BEFORE the quadratic pair
+# enumeration, each exact group contributing a linear STAR (rep ->
+# member; Jaccard(text, text) = 1 >= 0.6 whenever the text has a
+# shingle, i.e. length >= 3), and s02's exact blocked enumeration +
+# the union top-m degree cap run over DISTINCT texts only. Jaccard
+# depends only on the text, so any member pair across two groups is a
+# 0.6-edge iff the reps are — components are provably identical to
+# the uncapped full graph's wherever the cap is a no-op, while the
+# enumeration cost is flat in duplicate mass (measured: the r09 A/B
+# rejected the LSH pair source — at J ~= 0.6 the >= 2-of-4-band
+# funnel misses 103 of 112 exact edges at sf0.01 and 9,778 of 10,778
+# at sf0.1, and its lang-only blocking adds cross-source edges s02's
+# (lang, source) blocks exclude; this funnel keeps EXACT semantics
+# instead). The cap (shared degree_cap_sql(), r07: s14 was the last
+# iterative consumer on an uncapped list — 460 s at 30x duplicate
+# mass) now acts on the rep graph, so pathological duplicate mass can
+# neither inflate the enumeration nor shatter an exact-duplicate
+# group (stars are never capped; their mass is linear by
+# construction).
+#
+# Spark side is iterative min-label propagation with pointer jumping
+# (O(log n) rounds; see operators/graph.py); the oracle is a
+# recursive-CTE reachability closure over star + capped rep edges.
 # --------------------------------------------------------------------------
 @register(
     "s14_neardup_components",
     oracle=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    WITH RECURSIVE gm AS (
+      SELECT doc_id, lang, source, md5(text) AS th,
+             LENGTH(text) AS tl
+      FROM documents
+    ),
+    grps AS (
+      SELECT lang, source, th, MIN(doc_id) AS rep
+      FROM gm GROUP BY 1, 2, 3
+    ),
+    star AS (
+      SELECT r.rep AS d1, g.doc_id AS d2
+      FROM gm g JOIN grps r
+        ON g.lang = r.lang AND g.source = r.source AND g.th = r.th
+      WHERE g.doc_id <> r.rep AND g.tl >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, source,
+             substr(text, CAST(pos AS INT), 3) AS shingle
+      FROM (SELECT d.doc_id, d.lang, d.source, d.text
+            FROM documents d
+            JOIN grps r ON d.doc_id = r.rep) AS dd,
+           UNNEST(generate_series(1, greatest(length(dd.text) - 2, 0)))
+             AS t(pos)
+    ),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -1008,7 +1065,9 @@ def degree_cap_sql() -> str:
     ),
     {degree_cap_sql()},
     und AS (SELECT d1 AS u, d2 AS v FROM capped
-            UNION ALL SELECT d2, d1 FROM capped),
+            UNION ALL SELECT d2, d1 FROM capped
+            UNION ALL SELECT d1, d2 FROM star
+            UNION ALL SELECT d2, d1 FROM star),
     reach(u, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
@@ -1022,25 +1081,50 @@ def degree_cap_sql() -> str:
            CAST(doc_id = component_id AS INT) AS is_canonical
     FROM comp
     """,
-    doc="Near-dup clustering: connected components of the 3-gram "
-        "Jaccard >= 0.6 pair graph under the shared union top-m "
-        "degree cap (transitive closure of the capped list), "
-        "canonical doc = min(doc_id) per component, singletons "
-        "included. Iterative min-label propagation + pointer jumping, "
-        "label state one row per node, edges checkpointed once "
+    doc="Near-dup clustering through the exact-dedup-first funnel "
+        "(c06's shape): identical (lang, source, text) rows collapse "
+        "to a representative and contribute a linear star; s02's "
+        "exact 3-gram Jaccard >= 0.6 enumeration and the shared union "
+        "top-m degree cap run over DISTINCT texts only, so duplicate "
+        "mass never reaches the quadratic stage. Connected components "
+        "of star + capped rep edges (transitive closure), canonical "
+        "doc = min(doc_id) per component, singletons included. "
+        "Iterative min-label propagation + pointer jumping, label "
+        "state one row per node, edges checkpointed once "
         "(operators/graph.py); the cap bounds every iteration's "
-        "|E|-join to m * |V|.",
+        "|E|-join to m * |V_distinct|.",
 )
 def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from mousedatapipeline_spark.operators.graph import connected_components
-    d = load(spark, sf_dir, "documents")
-    # s02's rounded jaccard is the cap's ranking key in BOTH engines
+    d = load_spread(spark, sf_dir, "documents")
+    # Exact stage: one (lang, source, content-hash) window pins each
+    # row's group representative without a second shuffle (min over
+    # the group); md5 parity with the oracle is s01's green hash.
+    w = Window.partitionBy("lang", "source", "th")
+    mem = (d.select("doc_id", "lang", "source", "text",
+                    T.content_hash(F.col("text")).alias("th"))
+           .withColumn("rep", F.min("doc_id").over(w))
+           .localCheckpoint(eager=True))  # feeds star AND the rep
+    # corpus below — one materialization for both branches
+    star = (mem.filter((F.col("doc_id") != F.col("rep"))
+                       & (F.length("text") >= 3))
+            .select(F.col("rep").alias("d1"),
+                    F.col("doc_id").alias("d2")))
+    reps = (mem.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "lang", "source", "text"))
+    # The ROUNDED jaccard is the cap's ranking key in BOTH engines
     # (stable_round here == stable_round_sql in the oracle's verified
     # CTE — s02's own green hash proves the equality), so the top-m
     # pick order is identical; ties break on neighbor id.
-    raw = s02_ngram_jaccard(spark, sf_dir).select(
-        "d1", "d2", "n_common", F.col("jaccard").alias("jaccard_raw"))
-    edges = S.degree_cap_edges(raw, MAX_NEARDUP_DEGREE).select("d1", "d2")
+    raw = exact_jaccard_edges(
+        reps, redistribute=spark.sparkContext.defaultParallelism
+    ).select("d1", "d2", "n_common",
+             stable_round(F.col("jaccard_raw")).alias("jaccard_raw"))
+    capped = S.degree_cap_edges(raw, MAX_NEARDUP_DEGREE) \
+        .select("d1", "d2")
+    edges = capped.unionByName(star)
     cc = connected_components(d.select("doc_id"), edges,
                               "doc_id", "d1", "d2")
     sizes = cc.groupBy("component_id") \
