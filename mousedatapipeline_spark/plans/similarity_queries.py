@@ -1098,7 +1098,12 @@ def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from mousedatapipeline_spark.operators.graph import connected_components
-    d = load_spread(spark, sf_dir, "documents")
+    # Plain load, not load_spread: the window below hash-shuffles the
+    # corpus anyway, so a round-robin pre-shuffle would be pure
+    # overhead — the per-row work BEFORE the window (md5, length) is
+    # trivial, and the expensive shingle projection runs after the
+    # explicit survivor re-spread further down.
+    d = load(spark, sf_dir, "documents")
     # Exact stage: one (lang, source, content-hash) window pins each
     # row's group representative without a second shuffle (min over
     # the group); md5 parity with the oracle is s01's green hash.
@@ -1112,8 +1117,15 @@ def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.length("text") >= 3))
             .select(F.col("rep").alias("d1"),
                     F.col("doc_id").alias("d2")))
+    # Re-spread the survivors before the per-row-EXPENSIVE shingle
+    # projection (the load_spread rationale): AQE coalesces the
+    # window's tiny-by-bytes shuffle output to ~1 partition, which
+    # would single-thread the enumeration's scan stage (measured
+    # 9.5 -> 2.6 s at sf0.1). One small shuffle of the distinct
+    # texts, strictly cheaper than the shingle work it parallelizes.
     reps = (mem.filter(F.col("doc_id") == F.col("rep"))
-            .select("doc_id", "lang", "source", "text"))
+            .select("doc_id", "lang", "source", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
     # The ROUNDED jaccard is the cap's ranking key in BOTH engines
     # (stable_round here == stable_round_sql in the oracle's verified
     # CTE — s02's own green hash proves the equality), so the top-m

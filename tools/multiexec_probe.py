@@ -73,6 +73,12 @@ PROBE = [
     # boundaries, not just the single-JVM shared-memory crutch
     "mm03_phash_neardup",       # exact-first banded LSH + pair expand
     "mm06_media_dedup_clusters",  # linear edges -> components
+    # round-10 s14 funnel: the exact-dedup window's eager member
+    # checkpoint feeds the star branch AND the survivor enumeration
+    # inside one materializing job (CC's edge checkpoint) — row
+    # parity here proves that reuse works when the checkpoint blocks
+    # live on executor block managers, not driver shared memory
+    "s14_neardup_components",   # exact-first funnel -> components
 ]
 
 # streaming fixtures are sized for sf0.01/sf0.1; the w-family reads
