@@ -361,3 +361,76 @@ def remove_duplicate_spans(docs, *, id_col: str = "doc_id",
                     (F.size("t") - F.size(kept)).cast("bigint")
                     .alias("n_removed"),
                     F.array_join(kept, " ").alias("clean_text")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-crawl curation). Idempotent by construction
+# (canonical output re-canonicalizes to itself — pinned by a property
+# test): lowercase scheme/host, strip :443/:80 and a leading 'www.',
+# drop the #fragment, remove tracking params (utm_*/gclid/fbclid), sort
+# the remaining query params, strip the trailing slash. Every regex is
+# in the Java-regex ∩ RE2 subset (the PII-pattern discipline above) and
+# the whole chain is scan-stage codegen — no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+_URL_TRACKING_PREFIXES = (("utm_", 4), ("gclid=", 6), ("fbclid=", 7))
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host: lowercased authority with the default port
+    (:443/:80) and a leading ``www.`` removed."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":(443|80)$", ""),
+        r"^www\.", "")
+
+
+def canonical_url(url: Column) -> Column:
+    """Full canonical form: lower(scheme)://host + path (trailing slash
+    stripped, '/' restored when empty) + '?' + sorted surviving params
+    (tracking params dropped); fragment discarded."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    path0 = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+
+    def keep(p):
+        cond = p != ""
+        for pref, n in _URL_TRACKING_PREFIXES:
+            cond = cond & (F.substring(p, 1, n) != pref)
+        return cond
+
+    params = F.array_sort(F.filter(
+        F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"), keep))
+    return F.concat(
+        scheme, F.lit("://"), url_host(url), path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+
+
+def url_host_sql(u: str) -> str:
+    """DuckDB twin of :func:`url_host` (identical regex chain)."""
+    return (f"regexp_replace(regexp_replace(lower("
+            f"regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)), "
+            f"':(443|80)$', ''), '^www\\.', '')")
+
+
+def canonical_url_sql(u: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (identical chain; list
+    filter/sort mirror Spark's higher-order filter + array_sort)."""
+    keep = " AND ".join(
+        [f"p <> ''"] + [f"substr(p, 1, {n}) <> '{pref}'"
+                        for pref, n in _URL_TRACKING_PREFIXES])
+    path0 = (f"regexp_replace(regexp_extract({u}, "
+             f"'^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '')")
+    params = (f"list_sort(list_filter(string_split("
+              f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+              f"p -> {keep}))")
+    return (f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) || '://' "
+            f"|| {url_host_sql(u)} "
+            f"|| CASE WHEN {path0} = '' THEN '/' ELSE {path0} END "
+            f"|| CASE WHEN len({params}) > 0 "
+            f"THEN '?' || array_to_string({params}, '&') ELSE '' END")

@@ -1664,3 +1664,111 @@ def _finalize_t37_oracle() -> None:
 
 
 _finalize_t37_oracle()
+
+
+# ---- t38: URL canonicalization + exact dedup (web-crawl curation) --------
+#
+# The one web-pipeline operation the catalog lacked: CommonCrawl-style
+# URL canonicalization (lowercase scheme/host, strip default port and
+# 'www.', drop the fragment, remove tracking params, sort the query
+# string, strip the trailing slash) followed by exact dedup on the
+# canonical form. The documents table carries no URL column, so — the
+# mm-family discipline (image_queries._media_sql_prelude) — each doc
+# mints one deterministic raw URL from pure integer arithmetic on
+# doc_id, reproduced verbatim in the oracle: page doc_id//3, and the
+# three doc_id%3 variants differ only in junk the canonicalizer must
+# remove (case, :443, www., utm_/gclid params, param order, trailing
+# slash, #fragment), so every complete triple collapses to ONE
+# canonical URL. Canonicalization lives in operators/text.py
+# (canonical_url / canonical_url_sql — the t07/t24 pattern discipline:
+# regexp_extract/replace in the Java-regex ∩ RE2 subset plus list
+# filter/sort) — scan-stage, codegen'd, zero per-row Python. At 100 TB
+# this is one well-distributed groupBy on (host, canon) then a
+# |hosts|-row rollup; no skew (pages spread uniformly), no window.
+
+
+@register(
+    "t38_url_canonical_dedup",
+    oracle=rf"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://h' || CAST((doc_id // 3) % 7 AS VARCHAR)
+            || '.example.com/d/' || CAST(doc_id // 3 AS VARCHAR)
+            || '?a=1&b=2&ref=' || CAST((doc_id // 3) % 5 AS VARCHAR)
+          WHEN 1 THEN 'HTTPS://WWW.H' || CAST((doc_id // 3) % 7 AS VARCHAR)
+            || '.EXAMPLE.COM:443/d/' || CAST(doc_id // 3 AS VARCHAR)
+            || '/?utm_source=feed&b=2&a=1&ref='
+            || CAST((doc_id // 3) % 5 AS VARCHAR) || '#frag'
+          ELSE 'https://www.h' || CAST((doc_id // 3) % 7 AS VARCHAR)
+            || '.example.com/d/' || CAST(doc_id // 3 AS VARCHAR)
+            || '?b=2&a=1&ref=' || CAST((doc_id // 3) % 5 AS VARCHAR)
+            || '&gclid=g' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, url,
+        {T.url_host_sql('url')} AS host,
+        {T.canonical_url_sql('url')} AS canon
+      FROM u
+    ),
+    g AS (
+      SELECT host, canon, COUNT(*) AS cnt,
+             SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS dirty
+      FROM k GROUP BY host, canon
+    )
+    SELECT host,
+      CAST(SUM(cnt) AS BIGINT) AS n_raw,
+      CAST(COUNT(*) AS BIGINT) AS n_canonical,
+      CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        AS n_dup_rows,
+      CAST(MAX(cnt) AS BIGINT) AS max_group,
+      CAST(SUM(dirty) AS BIGINT) AS n_dirty
+    FROM g GROUP BY host ORDER BY host
+    """,
+    doc="URL canonicalization + exact dedup (the web-crawl curation "
+        "stage): deterministic minted raw URLs (three junk variants "
+        "per page — case, :443, www., utm_/gclid tracking params, "
+        "param order, trailing slash, fragment) are canonicalized by "
+        "a pure regexp_extract/replace + array filter/sort chain in "
+        "the Java-regex ∩ RE2 subset, then exact-deduped on the "
+        "canonical form; per-host rollup of raw/canonical/dup/dirty "
+        "counts. Scan-stage codegen, one (host, canon) groupBy, one "
+        "|hosts|-row rollup — no skew, no window, no UDF.",
+)
+def t38_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    page = F.floor(F.col("doc_id") / 3).cast("bigint")
+    ps, ref = page.cast("string"), (page % 5).cast("string")
+    hostn = (page % 7).cast("string")
+    v = (F.col("doc_id") % 3).cast("int")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://h"), hostn, F.lit(".example.com/d/"), ps,
+            F.lit("?a=1&b=2&ref="), ref))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW.H"), hostn, F.lit(".EXAMPLE.COM:443/d/"),
+            ps, F.lit("/?utm_source=feed&b=2&a=1&ref="), ref,
+            F.lit("#frag")))
+        .otherwise(F.concat(
+            F.lit("https://www.h"), hostn, F.lit(".example.com/d/"), ps,
+            F.lit("?b=2&a=1&ref="), ref, F.lit("&gclid=g"),
+            F.col("doc_id").cast("string"))))
+    u = d.select("doc_id", url.alias("url"))
+    k = u.select("doc_id", "url",
+                 T.url_host(F.col("url")).alias("host"),
+                 T.canonical_url(F.col("url")).alias("canon"))
+    g = (k.groupBy("host", "canon")
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum((F.col("url") != F.col("canon")).cast("bigint"))
+              .alias("dirty")))
+    return (g.groupBy("host")
+            .agg(F.sum("cnt").cast("bigint").alias("n_raw"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+                 F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("n_dup_rows"),
+                 F.max("cnt").cast("bigint").alias("max_group"),
+                 F.sum("dirty").cast("bigint").alias("n_dirty"))
+            .orderBy("host"))

@@ -180,3 +180,71 @@ def test_c05_compaction_bins_match_python_reference(spark):
         bins.sort()
         for (_, _, hi), (_, lo, _) in zip(bins, bins[1:]):
             assert hi < lo, src
+
+
+def test_canonical_url_idempotent_and_junk_removal(spark):
+    """operators/text.canonical_url: every junk class is removed, path
+    case survives, and the transform is idempotent (canon(canon(u)) ==
+    canon(u)) — the property the dedup key depends on. The DuckDB twin
+    (canonical_url_sql) is cross-checked on the same hand-built URLs,
+    so both engines agree beyond the minted t38 corpus."""
+    import duckdb
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/A/B?a=2&z=1"),
+        ("https://example.com", "https://example.com/"),
+        ("http://example.com:80/?fbclid=abc&gclid=g1&utm_medium=m",
+         "http://example.com/"),
+        ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),
+        ("https://example.com/p?b=2&a=1", "https://example.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = {r.url: r.canon for r in df.select(
+        "url", T.canonical_url(F.col("url")).alias("canon")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, raw
+    # Idempotence: re-canonicalizing the canonical form is the identity.
+    df2 = spark.createDataFrame([(c,) for _, c in cases], ["url"])
+    again = {r.url: r.canon for r in df2.select(
+        "url", T.canonical_url(F.col("url")).alias("canon")).collect()}
+    for _, c in cases:
+        assert again[c] == c, c
+    # DuckDB twin parity on the identical raw strings.
+    con = duckdb.connect()
+    for raw, want in cases:
+        expr = T.canonical_url_sql("url")
+        row = con.sql(
+            f"SELECT {expr} AS c FROM (SELECT ? AS url)",
+            params=[raw]).fetchone()
+        assert row[0] == want, raw
+
+
+def test_t38_dedup_invariants(spark):
+    """t38 aggregates equal the closed forms implied by the minted-URL
+    construction, computed here from N alone (no logic shared with the
+    plan): with page = doc_id//3 and three junk variants per page,
+    every complete triple (and the v0+v1 pair of a partial page)
+    collapses to one canonical URL; only the v0 variant is already
+    canonical."""
+    import math
+    import os
+
+    from mousedatapipeline_spark.plans.catalog import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+        pytest.skip("no test data")
+    n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    rows = all_queries()["t38_url_canonical_dedup"].spark(spark, sf).collect()
+    pages = math.ceil(n / 3)
+    assert sum(r.n_raw for r in rows) == n
+    assert sum(r.n_canonical for r in rows) == pages
+    assert max(r.max_group for r in rows) == (3 if n >= 3 else n)
+    # v0 rows are the only already-canonical ones: dirty = n - #v0.
+    assert sum(r.n_dirty for r in rows) == n - pages
+    # every page with >= 2 members is a dup group.
+    lone = 1 if n % 3 == 1 else 0
+    assert sum(r.n_dup_rows for r in rows) == n - lone
