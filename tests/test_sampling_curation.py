@@ -248,3 +248,47 @@ def test_t38_dedup_invariants(spark):
     # every page with >= 2 members is a dup group.
     lone = 1 if n % 3 == 1 else 0
     assert sum(r.n_dup_rows for r in rows) == n - lone
+
+
+def test_canonical_url_randomized_engine_parity(spark):
+    """Seeded random URL grammar (case, ports, www, params in random
+    order, tracking junk, fragments, trailing slashes) — Spark and the
+    DuckDB twin must canonicalize every sample identically, and the
+    result must be a fixed point of a second canonicalization."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    urls = []
+    for _ in range(120):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "Https"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["example.com", "Sub.Example.COM", "a-b.c.org"])
+        port = rng.choice(["", ":443", ":80", ":8443"])
+        depth = rng.randint(0, 3)
+        path = "".join(f"/{rng.choice(['X', 'y', 'Z9', 'p q'])}"
+                       for _ in range(depth))
+        if rng.random() < 0.4:
+            path += "/"
+        params = rng.sample(
+            ["a=1", "b=2", "z=9", "ref=7", "utm_source=x",
+             "utm_medium=m", "gclid=g12", "fbclid=f9"],
+            rng.randint(0, 5))
+        qs = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#top", "#sec-2"])
+        urls.append(f"{scheme}://{www}{host}{port}{path}{qs}{frag}")
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r.url: r.canon for r in df.select(
+        "url", T.canonical_url(F.col("url")).alias("canon")).collect()}
+    again = {r.url: r.canon for r in spark.createDataFrame(
+        [(c,) for c in set(got.values())], ["url"]).select(
+        "url", T.canonical_url(F.col("url")).alias("canon")).collect()}
+    con = duckdb.connect()
+    expr = T.canonical_url_sql("url")
+    for u in urls:
+        want = con.sql(f"SELECT {expr} AS c FROM (SELECT ? AS url)",
+                       params=[u]).fetchone()[0]
+        assert got[u] == want, u
+        assert again[got[u]] == got[u], (u, got[u])

@@ -86,6 +86,9 @@ PROBE = [
     # the production funnel: exact dedup FIRST collapses the 10
     # replicas, so the pair stages see only distinct content
     "c06_production_dedup_e2e",
+    # round-10 addition: URL canonicalization + dedup — scan-stage
+    # string chain feeding one (host, canon) groupBy; expected linear
+    "t38_url_canonical_dedup",
 ]
 
 
