@@ -860,3 +860,19 @@ def test_iterative_edge_builders_use_symmetrize():
         src = inspect.getsource(fn)
         assert "symmetrize_edges" in src, fn.__name__
         assert "unionByName" not in src, fn.__name__
+
+
+@_needs_data
+def test_t38_url_dedup_is_scan_plus_two_exchanges(spark):
+    """The URL canonicalization chain must stay a scan-stage
+    expression: one 1-column parquet scan (doc_id only — the minted
+    URL never touches text), no join/window/UDF, and exactly the two
+    unavoidable exchanges ((host, canon) groupBy + |hosts| rollup;
+    the final display orderBy may add a range exchange)."""
+    plan = _plan(spark, "t38_url_canonical_dedup")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+               "ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert op not in plan, (op, plan)
+    assert _count_shuffles(plan) <= 3, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), plan
