@@ -21,6 +21,29 @@ from pyspark.sql import functions as F
 DEFAULT_BITS = 1 << 16   # 64 Kbit -> 1024 longs, ~8 KB literal
 DEFAULT_K = 5
 
+_LONG_MIN = -(1 << 63)
+
+
+def _array_literal(vals) -> Column:
+    """``array<bigint>`` literal from Python ints via ONE parsed
+    expression string (r10 optimization, guide §5 driver / §7.3).
+
+    ``F.array(*[F.lit(v).cast("bigint") for v in vals])`` costs two
+    py4j round-trips per element — measured ~3 s of DRIVER time for
+    the 1024-word default filter, re-paid on every query construction
+    — and drags a 1024-child CreateArray through analysis and
+    constant-folding on every execution (the s18 stage profile showed
+    a 2.9 s driver gap against 0.9 s of stage work). One ``F.expr``
+    string parses JVM-side in ~4 ms and folds to the identical
+    ``array<bigint>`` literal.  Long.MIN_VALUE has no negative-decimal
+    literal form in SparkSQL (the parser reads ``-`` as unary minus on
+    an out-of-range positive), so that one word is emitted as the
+    foldable ``shiftleft(1L, 63)`` with the same bit pattern.
+    """
+    parts = [f"{int(v)}L" if int(v) != _LONG_MIN else "shiftleft(1L, 63)"
+             for v in vals]
+    return F.expr("array(" + ",".join(parts) + ")")
+
 
 def _position(col: Column, i: int, bits: int) -> Column:
     return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(bits))
@@ -45,8 +68,7 @@ def bloom_bits_literal(keys: DataFrame, col: str,
                             " CAST(pos % 64 AS INT)) AS mask"))
              .groupBy("w").agg(F.expr("bit_or(mask) AS bits")))
     word_map = {r["w"]: r["bits"] for r in words.collect()}
-    return F.array(*[F.lit(word_map.get(w, 0)).cast("bigint")
-                     for w in range(bits >> 6)])
+    return _array_literal(word_map.get(w, 0) for w in range(bits >> 6))
 
 
 def _pow2_literal() -> Column:
@@ -54,7 +76,7 @@ def _pow2_literal() -> Column:
     long whose two's-complement pattern is 0x8000...0 — identical to
     SQL shiftleft(1, 63) on the build side)."""
     vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    return F.array(*[F.lit(v).cast("bigint") for v in vals])
+    return _array_literal(vals)
 
 
 def might_contain(blit: Column, col: str | Column,

@@ -93,6 +93,26 @@ def shingle_set_col(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def codepoints(text: Column) -> Column:
+    """Codepoint array of ``text`` as ONE O(n) pass (r10 optimization).
+
+    ``F.substring(text, i, k)`` re-scans the UTF-8 bytes from position
+    0 to find character ``i`` (codepoint-aware indexing has no random
+    access), so any per-position loop built on it — the old shingle
+    formulation — is O(n²) per document.  Splitting to a per-character
+    array once and indexing it with ``element_at`` (O(1) on array
+    data) makes the whole shingle pass linear in the document length.
+
+    Equivalence: ``split`` with an empty regex matches zero-width at
+    codepoint boundaries only (Java regex never splits a surrogate
+    pair), so element ``k`` equals ``substring(text, k, 1)`` (1-based)
+    and ``ascii`` of it is exactly the codepoint the positional form
+    hashed — pinned by test_shingle_codepoints_match_substring.
+    """
+    return F.transform(F.split(text, ""),
+                       lambda c: F.ascii(c).cast("bigint"))
+
+
 def shingle_hash(shingle: Column) -> Column:
     """3-char shingle → bigint, pure codepoint arithmetic (identical in
     Spark and DuckDB: ascii() is the first codepoint in both).
@@ -144,11 +164,22 @@ def hashed_shingle_docs(d: DataFrame, extra_cols: Sequence[str] = ("lang",),
     tools/check_correctness.py at every shipped SF).
     """
     base = d.filter(F.length("text") >= 3)
-    t = F.col("text")
+    # O(n) formulation (r10): stage the codepoint array as a REAL
+    # column (three element_at references below — CollapseProject
+    # leaves multiply-referenced non-trivial aliases staged), then
+    # hash by O(1) array indexing. The positional-substring loop this
+    # replaces was O(n²) per document (see codepoints()); values are
+    # bit-identical: cp[i]*65536 + cp[i+1]*256 + cp[i+2] (mod MOD) is
+    # shingle_hash(substring(text, i, 3)) by construction.
+    staged = base.select("doc_id", *extra_cols,
+                         codepoints(F.col("text")).alias("cp"))
+    cp = F.col("cp")
     hs = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.length(t) - 2),
-        lambda i: shingle_hash(F.substring(t, i, 3))))
-    out = (base.select("doc_id", *extra_cols, hs.alias("hs"))
+        F.sequence(F.lit(1), F.size(cp) - 2),
+        lambda i: (F.element_at(cp, i) * 65_536
+                   + F.element_at(cp, i + 1) * 256
+                   + F.element_at(cp, i + 2)) % MOD))
+    out = (staged.select("doc_id", *extra_cols, hs.alias("hs"))
            .localCheckpoint(eager=False))
     if with_n:
         out = out.select("*", F.size("hs").cast("bigint").alias("n"))

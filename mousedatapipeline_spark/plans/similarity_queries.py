@@ -2639,7 +2639,12 @@ def s36_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
 
     dec = "decimal(30,10)"
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread (r10): the per-row work off this scan (subvector
+    # slicing, codebook distance folds) is the query's hot loop, and
+    # the single-file local fixture otherwise single-threads it —
+    # identity on a many-split cluster scan. A/B min-of-3 at sf0.1:
+    # 1.95 -> 1.18 s.
+    e = load_spread(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -2795,7 +2800,10 @@ _S37_MAX_P = 3    # deepest probe
 def s37_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread (r10): the N x k probe-rank distance folds ride the
+    # scan stage; the single-file fixture single-threads them locally
+    # (identity at scale). A/B min-of-3 at sf0.1: 4.90 -> 3.84 s.
+    e = load_spread(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -2963,7 +2971,10 @@ def s38_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mousedatapipeline_spark.operators.aggregates import dsum
 
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread (r10): quantizer seeding + within-cell kNN distance
+    # folds ride the scan stage; single-file fixture single-threads
+    # them locally (identity at scale). A/B min-of-3: 6.94 -> 4.37 s.
+    e = load_spread(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -3081,7 +3092,9 @@ def s39_ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mousedatapipeline_spark.operators.aggregates import dsum
 
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread (r10): PQ codebook training folds ride the scan
+    # stage (identity at scale). A/B min-of-3: 2.99 -> 2.60 s.
+    e = load_spread(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))

@@ -254,6 +254,26 @@ def test_hashed_shingle_docs_matches_string_path(spark):
     assert 2 not in got  # len<3 doc dropped
 
 
+def test_shingle_codepoints_match_substring(spark):
+    """codepoints() (the O(n) split-based scan, r10) must read the SAME
+    characters the positional-substring form read — including
+    multi-byte and supplementary (surrogate-pair) codepoints, where a
+    byte- or code-unit-level split would shear characters apart."""
+    texts = ["abc", "héllo wörld", "日本語テキスト",
+             "a\U0001F600b\U0001F600c", "mixé\U0001F600日aZ9"]
+    df = spark.createDataFrame([(i, "en", t) for i, t in enumerate(texts)],
+                               "doc_id long, lang string, text string")
+    got = {r["doc_id"]: sorted(r["hs"])
+           for r in S.hashed_shingle_docs(df).collect()}
+    want = {}
+    for r in df.select(
+            "doc_id",
+            F.transform(S.shingle_set_col(F.col("text")),
+                        S.shingle_hash).alias("hs")).collect():
+        want[r["doc_id"]] = sorted(r["hs"])
+    assert got == want
+
+
 def test_hashed_shingle_docs_single_evaluation_plan(spark):
     """The staged scan must evaluate the shingle expression ONCE: the
     consumer plan may contain at most one array_distinct (the
