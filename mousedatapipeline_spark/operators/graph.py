@@ -129,16 +129,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     own singleton component); ``edges`` is undirected input given in
     one direction. Returns ``(node_col, component_id)``.
     """
+    from mousedatapipeline_spark.tables import pin_keyed
+
     # Both edge directions from ONE pass over the (possibly expensive)
     # edge subtree: a union of two selects would evaluate the pair-
     # generation plan twice — Spark does not share non-materialized
-    # subtrees between union branches.
-    und = (edges.select(F.explode(F.array(
-               F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-               F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
-           .alias("e"))
-           .select("e.u", "e.v")
-           .localCheckpoint(eager=True))
+    # subtrees between union branches. The materializing checkpoint
+    # runs under the normal (AQE) planner; past broadcast scale the
+    # layout is then re-pinned BY THE PER-ROUND JOIN KEY (v), so each
+    # round's |E|-row join side needs no Exchange and no Sort — an
+    # unpinned checkpoint (UnknownPartitioning) would re-shuffle the
+    # edges once per round, O(rounds x |E|) bytes (guide §2.2/§2.4;
+    # see pin_keyed for the broadcast-threshold gate that keeps this
+    # an identity at label-table-broadcastable scale).
+    und = pin_keyed(
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
+            .alias("e"))
+        .select("e.u", "e.v"),
+        ["v"])
     # Only nodes with at least one edge enter the loop: isolated nodes
     # (the vast majority of a deduped corpus) are their own component
     # by definition and would just pad every per-round shuffle. At

@@ -1232,16 +1232,25 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
     # verify stage reads the same checkpoint (s03 run standalone would
     # recompute the sets for its own pipeline — inlining its body here
     # halves the corpus-scan work of the combined query).
+    from mousedatapipeline_spark.tables import pin_keyed
+
     hashed = S.hashed_shingle_docs(d, with_n=True)
     sig = hashed.select("doc_id", "lang", *S.minhash_cols(F.col("hs")))
-    bands = (S.band_signatures_wide(sig, ["doc_id", "lang"])
-             .localCheckpoint(eager=True))  # self-joined below: the 16
+    bands = pin_keyed(
+        S.band_signatures_wide(sig, ["doc_id", "lang"]),
+        ["lang", "band", "band_sig"])  # self-joined below: the 16
     # array_min projections must not run once per join side — and the
     # two sides race CONCURRENTLY inside the one materializing job,
     # where a lazy checkpoint cannot serve the second side (r08
     # verdict measured the lazy form at 3.78 vs 3.14 s eager; the r09
     # interleaved A/B read a tie at 2.90/2.92 s — eager kept because
-    # it is the only form that BOUNDS the band pass to one run)
+    # it is the only form that BOUNDS the band pass to one run).
+    # pin_keyed (r10): past broadcast scale the layout is re-pinned by
+    # the self-join key, so BOTH join sides read the one pinned
+    # exchange with no re-shuffle and no per-side sort; locally it is
+    # the same eager checkpoint as before (identity under the
+    # broadcast-threshold gate). Hot-bucket skew of the pinned layout
+    # is bounded in-plan by the banding guards.
     ba = bands.select(F.col("doc_id").alias("d1"), "lang", "band",
                       "band_sig")
     bb = bands.select(F.col("doc_id").alias("d2"), "lang", "band",
@@ -3209,6 +3218,8 @@ def s40_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mousedatapipeline_spark.operators.graph import symmetrize_edges
 
+    from mousedatapipeline_spark.tables import pin_keyed
+
     pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
     # One s19 run shared by the degree table and all three iterations:
     # eager checkpoint materializes the (small) edge list exactly once;
@@ -3219,7 +3230,11 @@ def s40_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    # Pinned by the per-iteration join key past broadcast scale: every
+    # iteration equi-joins ew on src, and an unpinned layout would
+    # re-exchange + re-sort |E| rows per iteration once the |V|-row
+    # rank table stops broadcasting (pin_keyed — identity locally).
+    ew = pin_keyed(edges.join(deg, "src"), ["src"])
     # |V| is one scalar (bounded driver collect, graph.py precedent);
     # inlining it as a literal avoids four broadcast-exchange jobs.
     n = float(ew.select(F.count_distinct("src")).first()[0])
@@ -3602,11 +3617,14 @@ def s43_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mousedatapipeline_spark.operators.graph import symmetrize_edges
 
+    from mousedatapipeline_spark.tables import pin_keyed
+
     pairs = s19_lsh_verified_neardup(spark, sf_dir).select("d1", "d2")
-    # Single-pass symmetrization (see s40) before the one eager
-    # checkpoint every round re-reads.
-    edges = symmetrize_edges(pairs, "d1", "d2") \
-        .localCheckpoint(eager=True)
+    # Single-pass symmetrization (see s40) before the one checkpoint
+    # every round re-reads — pinned by the per-round join key (src)
+    # past broadcast scale (pin_keyed: identity locally, one-shuffle
+    # layout once the |V|-row label table stops broadcasting).
+    edges = pin_keyed(symmetrize_edges(pairs, "d1", "d2"), ["src"])
     lab = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab"))
     w = Window.partitionBy("v").orderBy(

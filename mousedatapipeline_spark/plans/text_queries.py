@@ -1620,14 +1620,18 @@ def t37_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).cast("bigint").alias("w")))
     from mousedatapipeline_spark.operators.graph import symmetrize_edges
 
+    from mousedatapipeline_spark.tables import pin_keyed
+
     # One pair-counting pass shared by the degree table and all
     # iterations (s40's eager-checkpoint recipe); both directions from
     # a single pass over pc (a union would run the corpus pair count
-    # once per branch inside the checkpoint job).
+    # once per branch inside the checkpoint job). ew is pinned by the
+    # per-iteration join key past broadcast scale (pin_keyed —
+    # identity locally, one-shuffle layout at 100 TB).
     e = symmetrize_edges(pc, "a", "b", carry=("w",)) \
         .localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
-    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    ew = pin_keyed(e.join(deg, "src"), ["src"])
     n = float(ew.select(F.count_distinct("src")).first()[0])
     r = ew.select("src").distinct().select(
         F.col("src").alias("word"), (F.lit(1.0) / F.lit(n)).alias("r"))

@@ -144,6 +144,144 @@ def _parse_bytes(v: str, default: int = 134217728) -> int:
     return n if n > 0 else default
 
 
+def pin_partitioned(df: DataFrame, keys: "list[str] | tuple[str, ...]",
+                    sort: bool = True,
+                    partitions: int | None = None) -> DataFrame:
+    """Materialize ``df`` hash-partitioned by ``keys`` (and sorted
+    within partitions) so that every downstream equi-join or
+    aggregation on the same keys skips its Exchange (and, with
+    ``sort``, its Sort) — the in-memory analogue of a bucketed table
+    (optimization guide §2.4: two operations keyed the same way share
+    one exchange; §2.2: iterative consumers otherwise re-shuffle the
+    pinned table once per round).
+
+    This is the layout contract for ITERATED tables: connected
+    components / PageRank / label propagation join the edge list every
+    round, and an unpinned layout pays O(rounds x |E|) shuffle bytes
+    where this pays O(|E|) once — the dominant term at 100 TB, where
+    |E| >> |V| and the per-round label tables are the only thing left
+    to move.
+
+    Mechanics: ``localCheckpoint`` records the physical plan's
+    ``outputPartitioning``/``outputOrdering`` in the resulting
+    LogicalRDD, but ONLY when the plan is compiled without AQE —
+    an AdaptiveSparkPlan leaf reports UnknownPartitioning at
+    checkpoint-compile time, which is why the repo's plain
+    eager-checkpoint sites all show ``UnknownPartitioning(0)`` and
+    re-exchange per consumer. AQE is scoped off for this one compile
+    (skew of the pinned layout is bounded in-plan by the callers'
+    budget guards: degree caps for edge lists, ``max_bucket`` for band
+    tables). The partition count defaults to
+    ``spark.sql.shuffle.partitions`` — the same scale-adaptive session
+    conf every other exchange uses, so the consuming joins'
+    ENSURE_REQUIREMENTS sides land on a matching count.
+
+    CONTRACT: ``df``'s subtree must be already materialized (a
+    checkpointed RDD scan) or a linear pipeline (scan/project/filter —
+    no joins or multi-shuffle aggregations), because the whole subtree
+    compiles AND EXECUTES without AQE here. Feeding an untuned join
+    tree through this helper silently forfeits AQE broadcast/coalesce
+    for that job (measured: s14's un-checkpointed edge funnel compiled
+    this way ran >15 min where the tuned form takes seconds —
+    statistics-less RDD leaves force 32-partition SMJs everywhere).
+    Materialize first (plain eager localCheckpoint), then pin the
+    layout: the extra pass costs one |rows|-sized job.
+    """
+    spark = df.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartition(n, *keys)
+    if sort:
+        out = out.sortWithinPartitions(*keys)
+    return _checkpoint_keep_layout(out)
+
+
+def pin_keyed(df: DataFrame, keys: "list[str] | tuple[str, ...]",
+              sort: bool = True) -> DataFrame:
+    """Materialize ``df`` (plain eager checkpoint, normal AQE planning
+    for its subtree), then — ONLY when the materialized table is too
+    big for the other join side to be broadcast — re-pin its layout by
+    ``keys`` via :func:`pin_partitioned`.
+
+    This is the scale-adaptive form for ITERATED tables (connected
+    components / PageRank / label propagation edge lists, LSH band
+    self-joins): locally the per-round other side (the |V|-row label
+    table, bounded by this table's own row count) lands under
+    ``spark.sql.autoBroadcastJoinThreshold``, AQE broadcast-joins it,
+    and the big side is never exchanged — pinning would be pure
+    overhead (measured +0.4 s on s14 at sf0.1). At 100 TB the label
+    table exceeds the threshold, every round becomes a sort-merge join,
+    and an unpinned layout re-exchanges AND re-sorts |E| rows per round
+    — exactly the O(rounds x |E|) term the pinned layout deletes. The
+    decision is made from the materialized row count x schema width —
+    observed facts, not estimates — mirroring load_spread's
+    conditional-repartition idiom (identity where the cluster-scale
+    plan needs no help, layout fix where it does).
+
+    The size gate deliberately compares THIS table against the
+    broadcast threshold although the broadcast decision applies to the
+    other (never larger) side: when this table fits the threshold, the
+    other side certainly does, so the skip is provably safe; past the
+    threshold SMJ is possible and the pinned layout is the guaranteed
+    lower bound (one shuffle, ever).
+    """
+    raw = df.localCheckpoint(eager=True)
+    spark = raw.sparkSession
+    raw_thr = str(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10m")).strip()
+    if raw_thr not in ("-1", "0"):  # broadcast disabled => always pin
+        thr = _parse_bytes(raw_thr, default=10 * 1024**2)
+        size = _cached_bytes(raw)
+        if size is not None and size <= thr:
+            return raw
+    return pin_partitioned(raw, keys, sort=sort)
+
+
+def _cached_bytes(df: DataFrame):
+    """Cached size of an eager-localCheckpoint'ed frame from the block
+    manager — ZERO jobs (a count-based gate costs a full O(partitions)
+    job per call, ~0.3 s on this box; this is a handful of py4j
+    lookups). The scan is one roundtrip per cached RDD, and the live
+    cached-RDD population stays small in practice: query-local frames
+    drop their references at return and the ContextCleaner unpersists
+    them asynchronously. Returns None when the size is not (fully)
+    reported, which pin_keyed treats as BIG: erring toward the pin
+    costs one redundant |rows| pass, erring toward the skip would
+    silently keep the O(rounds x |E|) re-shuffle at exactly the scale
+    where it hurts. The skip path's dependence on a successful lookup
+    is pinned by test_pinning.test_pin_keyed_gate."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        rid = plan.rdd().id()
+        jsc = df.sparkSession.sparkContext._jsc.sc()
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rid:
+                if info.numCachedPartitions() < info.numPartitions():
+                    return None
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:  # noqa: BLE001 - internals moved: err toward pin
+        return None
+    return None
+
+
+def pin_layout(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that PRESERVES ``df``'s existing
+    partitioning/ordering claim (for frames that are already keyed the
+    way consumers need — e.g. the output of a join that must be pinned
+    anyway). See :func:`pin_partitioned` for why the plain checkpoint
+    loses the layout."""
+    return _checkpoint_keep_layout(df)
+
+
+def _checkpoint_keep_layout(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the ``ts`` column to a session-zoned (UTC) TIMESTAMP.
 
