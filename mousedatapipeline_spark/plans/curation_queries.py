@@ -529,8 +529,14 @@ def c02_dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.content_hash(F.col("text")).alias("h"),
         T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
         T.quality_score(F.col("text")).alias("quality"))
-    canon = base.groupBy("h").agg(F.min("doc_id").alias("cid"))
-    j = base.join(canon, "h")
+    # Canonical id as ONE window over the content hash (the s14/c06
+    # idiom), not groupBy+self-join: the join form scanned documents
+    # twice (the canon branch re-derived md5 from parquet) and
+    # re-evaluated md5 inside both scan stages' join-key null filters.
+    # One scan, one hash shuffle — and at scale the join form degrades
+    # to the same shuffle anyway once `canon` stops broadcasting.
+    j = base.withColumn(
+        "cid", F.min("doc_id").over(Window.partitionBy("h")))
     is_canon = F.col("doc_id") == F.col("cid")
     is_final = is_canon & (F.col("quality") >= 0.5)
     return j.groupBy("source").agg(
@@ -847,22 +853,35 @@ def c06_production_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", "source", "lang", "text",
         T.content_hash(F.col("text")).alias("xh"),
-        T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
-        T.quality_score(F.col("text")).alias("quality"))
-    canon = base.groupBy("xh").agg(F.min("doc_id").alias("cid"))
-    # Survivors feed the shingle pipeline AND the component seed; the
-    # lazy checkpoint pins the post-dedup (smaller) corpus once.
-    surv = (base.join(canon, "xh")
-            .filter(F.col("doc_id") == F.col("cid"))
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    # Exact stage as ONE window over xh (the s14 idiom), not
+    # groupBy+self-join: the join form re-derived `canon`'s subtree
+    # from the parquet (documents scanned twice, md5 evaluated again
+    # in the join-key null filter INSIDE the scan stage), and the
+    # final census below re-scanned a third time. One scan + one
+    # hash shuffle now carries the corpus through the whole funnel;
+    # the checkpoint pins it for the survivor branch AND the census
+    # (guide §2.4 / §8: decide and aggregate off one materialized
+    # pass, never re-read the heavy payload).
+    w = Window.partitionBy("xh")
+    mem = (base.withColumn("cid", F.min("doc_id").over(w))
+           .localCheckpoint(eager=False))  # lazy: the eager bands
+    # checkpoint inside lsh_verified_edges materializes it first and
+    # every later consumer (component seed, census join) reuses the
+    # cache — sequential in practice (same rationale the r09 A/B
+    # measured for the old surv checkpoint, 6.25 -> 6.45 s eager).
+    # Re-spread the survivors before the per-row-EXPENSIVE shingle
+    # projection (the s14 lesson): AQE coalesces the window's
+    # tiny-by-bytes shuffle output toward one partition, which would
+    # single-thread the shingle scan stage.
+    surv = (mem.filter(F.col("doc_id") == F.col("cid"))
             .select("doc_id", "lang", "text")
-            .localCheckpoint(eager=False))  # kept lazy: the now-eager
-    # bands checkpoint inside lsh_verified_edges materializes this
-    # first, so the nodes/base consumers reuse it — sequential in
-    # practice (r09 A/B: eager cost 6.25 -> 6.45 s)
+            .repartition(spark.sparkContext.defaultParallelism))
     edges = lsh_verified_edges(surv).select("d1", "d2")
     cc = connected_components(surv.select("doc_id"), edges,
                               "doc_id", "d1", "d2")
-    j = base.join(cc, "doc_id", "left")
+    j = mem.join(cc, "doc_id", "left")
     is_nd = F.col("doc_id") == F.col("component_id")
     is_final = is_nd & (F.col("quality") >= 0.5)
     return j.groupBy("source").agg(
