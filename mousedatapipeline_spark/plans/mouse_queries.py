@@ -580,7 +580,14 @@ def m07_dispersant_background(spark: SparkSession, sf_dir: str) -> DataFrame:
         "higher-order transform, no UDF.",
 )
 def m08_average_to_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    from mousedatapipeline_spark.tables import load_spread
+
+    # load_spread (r10): the whole query is per-row expression work in
+    # the scan stage (4x stable_round + 3x %.6f formatting per row),
+    # and the local single-file lineitem scan packs into ~3 splits —
+    # single-threading it. Spread is identity on a many-split cluster
+    # scan (same conditional idiom as the s36-s39 embeddings fix).
+    li = load_spread(spark, sf_dir, "lineitem")
     arr = li.select(
         F.col("l_orderkey").alias("batch"),
         F.col("l_linenumber").alias("repetition"),

@@ -304,15 +304,23 @@ def s04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The SimHash is a per-row expression over the raw token array
     # (S.simhash_col — count weighting falls out of aggregating with
     # multiplicity): zero shuffles to compute 5000 signatures. Pairing
-    # is blocked per (lang, source) without a self-join.
-    d = load(spark, sf_dir, "documents")
+    # is blocked per (lang, source) without a self-join. load_spread
+    # (r10): tokenize + 16 per-bit aggregates per row is the expensive
+    # scan-stage work the spread idiom exists for.
+    d = load_spread(spark, sf_dir, "documents")
     # Stage the token-hash array so the 16 per-bit aggregates share it.
     hashed = d.select(
         "doc_id", "lang", "source",
         S.token_hashes_16bit(T.tokens(F.col("text"))).alias("ths"))
     sim = hashed.select("doc_id", "lang", "source",
                         S.simhash_col(F.col("ths")).alias("simhash"))
-    pairs = S.blocked_pairs(sim, ["lang", "source"], {"simhash": "sh"})
+    # redistribute (r10): without it AQE coalesces the tiny-by-bytes
+    # block stage to ONE partition and the whole O(block²) pair
+    # enumeration runs single-task (measured 1.4 s on one core at
+    # sf0.1) — the same fix every other blocked_pairs caller carries.
+    pairs = S.blocked_pairs(
+        sim, ["lang", "source"], {"simhash": "sh"},
+        redistribute=spark.sparkContext.defaultParallelism)
     out = pairs.withColumn(
         "hamming", F.bit_count(F.expr("sh_1 ^ sh_2")).cast("int"))
     return out.filter(F.col("hamming") <= 3).select("d1", "d2", "hamming")

@@ -534,21 +534,35 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mousedatapipeline_spark.operators.aggregates import dsum
 
     d = load_spread(spark, sf_dir, "documents")
-    bg = d.select(
+    # Bigrams as (w1, w2) STRUCTS straight off the token array (r10):
+    # the previous form concat_ws'd each pair into a "w1 w2" string
+    # and immediately split_part'd it back into two columns — a build
+    # + parse round-trip per bigram instance deleted outright. tokens
+    # are whitespace-split, so (tokens[i], tokens[i+1]) is exactly the
+    # split of the joined gram. The token array is staged as a real
+    # column (multiply-referenced — CollapseProject keeps it staged).
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    npairs = F.greatest(F.size("tk") - 1, F.lit(0))
+    bg = (tk.select(
         "doc_id",
-        F.explode(T.ngrams_from_tokens(T.tokens(F.col("text")), 2))
-        .alias("gram"))
-    # Three consumers read this stream (both LM builds + the probe);
-    # checkpoint so tokenize/explode runs once, not three times.
-    bg = bg.select(
-        "doc_id",
-        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2")) \
-        .localCheckpoint(eager=False)
-    uni = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1"))
-    pair = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12"))
+        F.explode(F.zip_with(
+            F.slice(F.col("tk"), 1, npairs),
+            F.slice(F.col("tk"), 2, npairs),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("g"))
+        .select("doc_id", "g.w1", "g.w2")
+        .localCheckpoint(eager=False))
+    # Both LM tables from ONE instance-level aggregation (r10): the
+    # unigram LM is the pair LM's marginal (c1 = sum of c12 over w2 —
+    # definitionally equal counts), so the second full pass + second
+    # |instances|-row shuffle over the bigram stream collapses to a
+    # |distinct pairs|-row rollup. The pair table is checkpointed: it
+    # feeds the marginal AND the probe join.
+    pair = (bg.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+            .localCheckpoint(eager=False))
+    uni = pair.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"))
     s = (bg.join(F.broadcast(pair), ["w1", "w2"])
          .join(F.broadcast(uni), "w1")
          .select("doc_id",

@@ -111,10 +111,14 @@ def test_text_queries_have_no_shuffle(spark):
 
 @_needs_data
 def test_simhash_signatures_no_shuffle_before_blocking(spark):
-    """s04: exactly one data shuffle (the block groupBy) + the pair
-    redistribution; signature computation itself must not shuffle."""
+    """s04: the scan spread (load_spread, r10 — the tokenize+16-bit-lane
+    simhash work is scan-stage CPU), the block groupBy, and the pair
+    redistribution; signature computation itself must not add a
+    per-permutation shuffle (the failure mode this test exists for —
+    a minhash_signature-style explode+groupBy would add N_PERM-fold
+    shuffle volume)."""
     plan = _plan(spark, "s04_simhash")
-    assert _count_shuffles(plan) <= 2, plan
+    assert _count_shuffles(plan) <= 3, plan
 
 
 @_needs_data
