@@ -1416,10 +1416,17 @@ def e26_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "value")
+    # Tombstones are a USER-derived set (~1% of users) — unbounded at
+    # 100 TB, so the broadcast hint is size-gated on the materialized
+    # set (VERDICT r10 #4): local plan unchanged (a handful of rows),
+    # at scale the mark join degrades to AQE's runtime choice.
+    from mousedatapipeline_spark.tables import fits_broadcast
     tomb = (ev.filter(F.col("user_id") % 97 == 0)
             .select("user_id").distinct()
-            .withColumn("__del", F.lit(1)))
-    marked = ev.join(F.broadcast(tomb), "user_id", "left")
+            .withColumn("__del", F.lit(1))
+            .localCheckpoint(eager=True))
+    marked = ev.join(F.broadcast(tomb) if fits_broadcast(tomb) else tomb,
+                     "user_id", "left")
     is_del = F.col("__del").isNotNull()
     zero = F.lit(0).cast(DEC)
     # NO distinct in the full-fact pass: a mixed distinct/plain agg

@@ -18,7 +18,11 @@ from mousedatapipeline_spark.operators import graph as G
 from mousedatapipeline_spark.operators import similarity as S
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load, load_spread
+from mousedatapipeline_spark.tables import (
+    fits_broadcast,
+    load,
+    load_spread,
+)
 
 _SQL_SHINGLES = """
       SELECT DISTINCT doc_id, lang, source,
@@ -1119,8 +1123,12 @@ def s14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = (d.select("doc_id", "lang", "source", "text",
                     T.content_hash(F.col("text")).alias("th"))
            .withColumn("rep", F.min("doc_id").over(w))
-           .localCheckpoint(eager=True))  # feeds star AND the rep
-    # corpus below — one materialization for both branches
+           .localCheckpoint(eager=False))  # lazy (r11, VERDICT r10 #1):
+    # the eager edge-list checkpoint inside connected_components
+    # materializes star ∪ capped in ONE job, whose shared lineage
+    # computes this window once and leaves it cached for both branches
+    # (same rationale as c06's lazy mem) — the eager form paid a
+    # separate full-corpus materialization job up front for nothing.
     star = (mem.filter((F.col("doc_id") != F.col("rep"))
                        & (F.length("text") >= 3))
             .select(F.col("rep").alias("d1"),
@@ -1278,11 +1286,18 @@ def lsh_verified_edges(d: DataFrame) -> DataFrame:
     # hash is injective on 3-grams (single-byte codepoints occupy
     # disjoint byte lanes), so intersect counts equal
     # the string-set counts while the joins shuffle int arrays, not
-    # 3-char strings. Pruned to candidate documents (broadcast
-    # semi-join over the checkpoint — candidates are a vanishing
-    # fraction of the corpus at scale), so the two join sides stream
-    # small array sets, not the corpus.
-    sets = (hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # 3-char strings. Pruned to candidate documents (semi-join over
+    # the checkpoint — candidates are a vanishing fraction of the
+    # corpus at scale), so the two join sides stream small array
+    # sets, not the corpus. The broadcast hint is size-gated on the
+    # MATERIALIZED parent (cand_ids is never larger than cands —
+    # distinct single ids vs id pairs): candidate volume grows with
+    # the corpus, and a forced hint would eventually hit the 8 GB
+    # broadcast cap (VERDICT r10 #4); past the gate AQE plans the
+    # semi-join from runtime stats.
+    hint = fits_broadcast(cands)
+    sets = (hashed.join(F.broadcast(cand_ids) if hint else cand_ids,
+                        "doc_id", "left_semi")
             .select("doc_id", "hs", "n"))
     s1 = sets.select(F.col("doc_id").alias("d1"),
                      F.col("hs").alias("ss1"), F.col("n").alias("n1"))

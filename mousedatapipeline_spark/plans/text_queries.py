@@ -19,7 +19,11 @@ from mousedatapipeline_spark.functions.rounding import (
 )
 from mousedatapipeline_spark.operators import text as T
 from mousedatapipeline_spark.plans.catalog import register
-from mousedatapipeline_spark.tables import load, load_spread
+from mousedatapipeline_spark.tables import (
+    fits_broadcast,
+    load,
+    load_spread,
+)
 
 # ---- SQL twins of operators/text.py (kept literally in sync) -------------
 
@@ -244,10 +248,16 @@ def t05_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-    df_tbl = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"))
+    # Materialized + size-gated hint (r11, VERDICT r10 #4): df_tbl is
+    # the corpus VOCABULARY — unbounded at open-vocabulary scale. Hint
+    # only while the observed size fits (local plan unchanged); past
+    # that AQE plans the join from runtime stats.
+    df_tbl = (tok.groupBy("term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+              .localCheckpoint(eager=True))
+    hint = F.broadcast if fits_broadcast(df_tbl) else (lambda f: f)
     scored = (
-        tok.join(F.broadcast(df_tbl), "term")
+        tok.join(hint(df_tbl), "term")
         .withColumn("tfidf",
                     F.col("tf").cast("double")
                     * F.log(F.lit(n_docs) / F.col("df").cast("double"))))
@@ -470,10 +480,16 @@ def t14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    freq = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Materialized + size-gated hint (r11, VERDICT r10 #4): freq is the
+    # corpus VOCABULARY — unbounded at open-vocabulary scale, where a
+    # forced broadcast hits the 8 GB cap. Local plan unchanged while
+    # the observed size fits; total (1 row) stays forced.
+    freq = (tok.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=True))
+    hint = F.broadcast if fits_broadcast(freq) else (lambda f: f)
     total = freq.agg(F.sum("cnt").alias("total"))
-    s = (tok.join(F.broadcast(freq), "term")
+    s = (tok.join(hint(freq), "term")
          .join(F.broadcast(total))
          .select("doc_id",
                  (F.log(F.col("total").cast("double"))
@@ -556,15 +572,24 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram LM is the pair LM's marginal (c1 = sum of c12 over w2 —
     # definitionally equal counts), so the second full pass + second
     # |instances|-row shuffle over the bigram stream collapses to a
-    # |distinct pairs|-row rollup. The pair table is checkpointed: it
-    # feeds the marginal AND the probe join.
+    # |distinct pairs|-row rollup. The pair table is checkpointed
+    # EAGERLY (r11): it feeds the marginal AND the probe join, and the
+    # materialized size gates the broadcast hints below.
     pair = (bg.groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
+    # Size-gated hints (VERDICT r10 #4): pair's cardinality is the
+    # corpus's DISTINCT BIGRAMS — unbounded at 100 TB, where a forced
+    # F.broadcast would run straight into the 8 GB broadcast cap /
+    # driver OOM. Hint only while the observed size fits (local plan
+    # unchanged); past that the join degrades to AQE's runtime choice,
+    # exactly the open-vocabulary story this query's doc promises.
+    # uni is pair's marginal (never larger), so one gate serves both.
+    hint = F.broadcast if fits_broadcast(pair) else (lambda f: f)
     uni = pair.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"))
-    s = (bg.join(F.broadcast(pair), ["w1", "w2"])
-         .join(F.broadcast(uni), "w1")
+    s = (bg.join(hint(pair), ["w1", "w2"])
+         .join(hint(uni), "w1")
          .select("doc_id",
                  (F.log(F.col("c1").cast("double"))
                   - F.log(F.col("c12").cast("double"))).alias("surp")))

